@@ -1,0 +1,29 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding/collective tests run
+against XLA's host platform with 8 virtual devices, mirroring how the driver
+validates ``__graft_entry__.dryrun_multichip``.
+"""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pytest  # noqa: E402
+
+ORACLE = os.path.join(os.path.dirname(__file__), "..", "oracle", "build", "dav1d")
+
+
+@pytest.fixture(scope="session")
+def oracle_bin():
+    """Path to the reference decoder binary (test oracle), if built."""
+    path = os.path.abspath(ORACLE)
+    if not os.path.exists(path):
+        pytest.skip("oracle binary not built (run oracle/build_oracle.sh)")
+    return path
