@@ -34,6 +34,8 @@ for bd in 8 16; do
   gcc $CFLAGS -DBITDEPTH=$bd -c "$HERE/dsp_shim_tmpl.c" -o "$o"
   OBJS="$OBJS $o"
 done
+gcc $CFLAGS -c "$HERE/shim_common.c" -o "$B/obj_pic/shim_common.o"
+OBJS="$OBJS $B/obj_pic/shim_common.o"
 
 gcc -shared $OBJS -o "$B/liboracle_dsp.so" -lm
 echo "built $B/liboracle_dsp.so"
