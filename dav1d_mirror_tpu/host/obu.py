@@ -224,11 +224,58 @@ def _read_frame_size(st: ObuState, gb: GetBits, use_ref: bool):
         hdr.render_height = hdr.height
 
 
+def derive_lossless(hdr: h.FrameHeader):
+    """Per-segment qidx + lossless flags (dav1d src/obu.c:848-859); shared
+    by the parser and the test-stream generator."""
+    delta_lossless = (not hdr.quant_ydc_delta and not hdr.quant_udc_delta
+                      and not hdr.quant_uac_delta and not hdr.quant_vdc_delta
+                      and not hdr.quant_vac_delta)
+    hdr.all_lossless = 1
+    for i in range(h.MAX_SEGMENTS):
+        q = hdr.quant_yac + hdr.seg_data.d[i].delta_q \
+            if hdr.segmentation_enabled else hdr.quant_yac
+        hdr.segmentation_qidx[i] = max(0, min(255, q))
+        hdr.segmentation_lossless[i] = int(
+            not hdr.segmentation_qidx[i] and delta_lossless)
+        hdr.all_lossless &= hdr.segmentation_lossless[i]
+
+
 def _tile_log2(sz: int, tgt: int) -> int:
     k = 0
     while (sz << k) < tgt:
         k += 1
     return k
+
+
+def compute_uniform_tiling(seq: h.SequenceHeader, hdr: h.FrameHeader):
+    """Fill hdr.tiling cols/rows/start arrays for uniform tiling from
+    log2_cols/log2_rows (shared by the parser and the stream generator)."""
+    t = hdr.tiling
+    assert t.uniform
+    sbsz_min1 = (64 << seq.sb128) - 1
+    sbsz_log2 = 6 + seq.sb128
+    sbw = (hdr.width[0] + sbsz_min1) >> sbsz_log2
+    sbh = (hdr.height + sbsz_min1) >> sbsz_log2
+    tile_w = 1 + ((sbw - 1) >> t.log2_cols)
+    t.cols = 0
+    sbx = 0
+    while sbx < sbw:
+        t.col_start_sb[t.cols] = sbx
+        sbx += tile_w
+        t.cols += 1
+    tile_h = 1 + ((sbh - 1) >> t.log2_rows)
+    t.rows = 0
+    sby = 0
+    while sby < sbh:
+        t.row_start_sb[t.rows] = sby
+        sby += tile_h
+        t.rows += 1
+    t.col_start_sb[t.cols] = sbw
+    t.row_start_sb[t.rows] = sbh
+    if t.log2_cols or t.log2_rows:
+        if not t.n_bytes:
+            t.n_bytes = 4
+    return t
 
 
 def parse_frame_hdr(st: ObuState, gb: GetBits):  # noqa: C901
@@ -488,18 +535,7 @@ def parse_frame_hdr(st: ObuState, gb: GetBits):  # noqa: C901
     hdr.delta_lf_res_log2 = gb.get_bits(2) if hdr.delta_lf_present else 0
     hdr.delta_lf_multi = gb.get_bit() if hdr.delta_lf_present else 0
 
-    # lossless
-    delta_lossless = (not hdr.quant_ydc_delta and not hdr.quant_udc_delta
-                      and not hdr.quant_uac_delta and not hdr.quant_vdc_delta
-                      and not hdr.quant_vac_delta)
-    hdr.all_lossless = 1
-    for i in range(h.MAX_SEGMENTS):
-        q = hdr.quant_yac + hdr.seg_data.d[i].delta_q \
-            if hdr.segmentation_enabled else hdr.quant_yac
-        hdr.segmentation_qidx[i] = max(0, min(255, q))
-        hdr.segmentation_lossless[i] = int(
-            not hdr.segmentation_qidx[i] and delta_lossless)
-        hdr.all_lossless &= hdr.segmentation_lossless[i]
+    derive_lossless(hdr)
 
     # loopfilter
     if hdr.all_lossless or hdr.allow_intrabc:

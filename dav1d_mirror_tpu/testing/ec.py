@@ -143,9 +143,22 @@ class MsacEncoder:
             self.put_bools(v - (1 << (k + 2)), k + 2)
 
     def finish(self) -> bytes:
+        """AV1 EC termination: the spec's exit_symbol() requires the unread
+        remainder of the tile bitstream to be a single 1 bit followed by
+        zeros (checked by conformant decoders under strict compliance). In
+        the decoder's complemented-window domain that means X must end in
+        [0][111...1] at the final scale's low 15 bits; we pick
+        X = B*2^15 + (2^14 - 1) inside [L, L+R) (always possible since
+        R >= 2^15), and pad the last byte with complement-ones (raw zeros).
+        """
+        M = 1 << 15
+        half = (1 << 14) - 1
+        B = (self.low - half + M - 1) // M  # ceil((L - (2^14-1)) / 2^15)
+        X = B * M + half
+        assert self.low <= X < self.low + self.rng
         P = 15 + self.shift
-        X = self.low + self.rng - 1
         n = (P + 7) // 8
-        X <<= (8 * n - P)
-        raw = X.to_bytes(n, "big")
+        pad = 8 * n - P
+        Xs = (X << pad) | ((1 << pad) - 1)
+        raw = Xs.to_bytes(n, "big")
         return bytes(b ^ 0xFF for b in raw)

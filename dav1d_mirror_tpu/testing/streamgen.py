@@ -1,0 +1,134 @@
+"""Conformant AV1 test-stream generator (intra frames).
+
+Drives the mirrored TileCoder in encode mode with a random policy: every
+symbol choice is syntactically valid, contexts/CDFs evolve exactly as in the
+decoder, and the resulting IVF stream is decodable by any conformant decoder
+— verified in tests against the reference decoder binary.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..host import headers as h
+from ..host.tilecoder import TileCoder, EncodeSide
+from ..data.tables import new_cdf_context, qcat_from_qidx
+from .ec import MsacEncoder
+from . import obu_write as ow
+
+
+class RandomPolicy:
+    """policy(key, maxv) -> value in [0, maxv] with decode-plausible
+    distributions (small coefficients common, skip mixed, etc.)."""
+
+    def __init__(self, seed=0, skip_p=0.4, eob_small=True):
+        self.rng = np.random.default_rng(seed)
+        self.skip_p = skip_p
+        self.eob_small = eob_small
+
+    def __call__(self, key, maxv):
+        r = self.rng
+        if key == "skip":
+            return int(r.random() < self.skip_p)
+        if key in ("part", "part_split"):
+            # bias toward not splitting forever
+            return int(r.integers(0, maxv + 1))
+        if key == "eob_bin":
+            if self.eob_small and r.random() < 0.7:
+                return int(r.integers(0, min(3, maxv + 1)))
+            return int(r.integers(0, maxv + 1))
+        if key in ("lo_tok", "dc_lo_tok"):
+            return int(min(r.geometric(0.6) - 1, maxv))
+        if key in ("eob_tok", "dc_eob_tok"):
+            return int(min(r.geometric(0.7) - 1, maxv))
+        if key in ("hi_tok", "dc_hi_tok", "eob_hi_tok"):
+            return int(min(r.geometric(0.5) - 1, maxv))
+        if key in ("dc_golomb", "ac_golomb"):
+            return int(min(r.geometric(0.3) - 1, 1000))
+        if key == "use_filter_intra":
+            return int(r.random() < 0.3)
+        return int(r.integers(0, maxv + 1))
+
+
+def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
+                 sb128=0, filter_intra=0, cdef=0, restoration=0,
+                 monochrome=0) -> h.SequenceHeader:
+    s = h.SequenceHeader()
+    s.max_width, s.max_height = width, height
+    s.width_n_bits = max(1, (width - 1).bit_length())
+    s.height_n_bits = max(1, (height - 1).bit_length())
+    s.sb128 = sb128
+    s.filter_intra = filter_intra
+    s.cdef = cdef
+    s.restoration = restoration
+    s.hbd = {8: 0, 10: 1, 12: 2}[bitdepth]
+    if bitdepth == 12:
+        s.profile = 2
+    s.monochrome = monochrome
+    if monochrome:
+        s.layout = h.PIXEL_LAYOUT_I400
+        s.ss_hor = s.ss_ver = 1
+    else:
+        s.layout = layout
+        s.ss_hor = 1 if layout != h.PIXEL_LAYOUT_I444 else 0
+        s.ss_ver = 1 if layout == h.PIXEL_LAYOUT_I420 else 0
+        if layout != h.PIXEL_LAYOUT_I420:
+            s.profile = 2 if layout == h.PIXEL_LAYOUT_I422 else 1
+    return s
+
+
+def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
+                       disable_cdf_update=0, cdef_params=None,
+                       loopfilter=(0, 0, 0, 0, 0)) -> h.FrameHeader:
+    f = h.FrameHeader()
+    f.frame_type = h.KEY
+    f.show_frame = 1
+    f.error_resilient_mode = 1
+    f.width = [seq.max_width, seq.max_width]
+    f.height = seq.max_height
+    f.render_width = seq.max_width
+    f.render_height = seq.max_height
+    f.quant_yac = qidx
+    f.txfm_mode = txfm_mode if qidx else h.TX_4X4_ONLY
+    f.disable_cdf_update = disable_cdf_update
+    f.refresh_context = 0 if disable_cdf_update else 1
+    ly0, ly1, lu, lv, sharp = loopfilter
+    f.loopfilter_level_y = [ly0, ly1]
+    f.loopfilter_level_u = lu
+    f.loopfilter_level_v = lv
+    f.loopfilter_sharpness = sharp
+    f.loopfilter_mode_ref_delta_enabled = 1
+    f.loopfilter_mode_ref_delta_update = 0
+    if cdef_params is not None:
+        f.cdef_damping = cdef_params["damping"]
+        f.cdef_n_bits = cdef_params["n_bits"]
+        for i, (ys, uvs) in enumerate(zip(cdef_params["y_strength"],
+                                          cdef_params["uv_strength"])):
+            f.cdef_y_strength[i] = ys
+            f.cdef_uv_strength[i] = uvs
+    from ..host.obu import compute_uniform_tiling, derive_lossless
+    compute_uniform_tiling(seq, f)
+    derive_lossless(f)
+    return f
+
+
+def gen_intra_frame(seq, fhdr, policy) -> tuple[bytes, TileCoder]:
+    """Encode one intra frame's single tile; returns (tile payload, coder)."""
+    cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+    enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
+    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy))
+    coder.code_tile()
+    return enc.finish(), coder
+
+
+def gen_ivf(seq, frames) -> bytes:
+    """frames: list of (fhdr, tile_payload). Returns a full IVF stream."""
+    out_frames = []
+    for i, (fhdr, tile) in enumerate(frames):
+        obus = ow.write_obu(h.OBU_TD, b"")
+        if i == 0:
+            obus += ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq))
+        obus += ow.write_obu(
+            h.OBU_FRAME_HDR, ow.write_frame_hdr(fhdr, seq, standalone=True))
+        obus += ow.write_obu(h.OBU_TILE_GRP, ow.write_tile_group(tile))
+        out_frames.append(obus)
+    return ow.write_ivf(out_frames, seq.max_width, seq.max_height)
