@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..data.tables import TABLES, CdfContext
+from .intra_edge import (INTRA_EDGE_TREE, EDGE_ALL_TR_AND_BL,
+                         EDGE_ALL_TOP_HAS_RIGHT, EDGE_ALL_LEFT_HAS_BOTTOM)
 from .headers import (SequenceHeader, FrameHeader, PIXEL_LAYOUT_I400,
                       PIXEL_LAYOUT_I420, PIXEL_LAYOUT_I422,
                       PIXEL_LAYOUT_I444, TX_SWITCHABLE, TX_4X4_ONLY)
@@ -242,7 +244,7 @@ class Av1Block:
     __slots__ = ("bl", "bp", "bs", "seg_id", "skip_mode", "skip", "intra",
                  "y_mode", "y_angle", "uv_mode", "uv_angle", "cfl_alpha",
                  "pal_sz", "pal", "pal_idx_y", "pal_idx_uv", "tx", "uvtx",
-                 "bx", "by", "qidx")
+                 "bx", "by", "qidx", "edge_flags")
 
     def __init__(self):
         self.pal_sz = [0, 0]
@@ -357,7 +359,8 @@ class TileCoder:
         for bx in range(self.col_start, self.col_end, self.sb_step):
             self.bx = bx
             self.cur_sb_cdef_idx = [-1, -1, -1, -1]
-            self.decode_sb(self.root_bl, bx, by)
+            self.decode_sb(self.root_bl, bx, by,
+                           INTRA_EDGE_TREE[self.root_bl])
             if self.f.cdef_n_bits:
                 self.cdef_idx.append((bx, by, tuple(self.cur_sb_cdef_idx)))
 
@@ -365,7 +368,7 @@ class TileCoder:
         """above context holder for absolute 4px col (per 128px column)."""
         return self.a_arr[(bx4_abs - (self.col_start & ~31)) >> 5]
 
-    def decode_sb(self, bl, bx, by):
+    def decode_sb(self, bl, bx, by, node):
         hsz = 16 >> bl
         have_h_split = self.bw > bx + hsz
         have_v_split = self.bh > by + hsz
@@ -373,7 +376,7 @@ class TileCoder:
 
         if not have_h_split and not have_v_split:
             assert bl < BL_8X8
-            return self.decode_sb(bl + 1, bx, by)
+            return self.decode_sb(bl + 1, bx, by, node.split[0])
 
         bx8 = (bx & 31) >> 1
         by8 = (by & 31) >> 1
@@ -393,54 +396,60 @@ class TileCoder:
                 raise ValueError("illegal partition for 4:2:2")
             b = T_BLOCK_SIZES[bl][bp]
             if bp == PARTITION_NONE:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.o)
             elif bp == PARTITION_H:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx, by + hsz)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.h[0])
+                self.decode_b(bl, int(b[0]), bp, bx, by + hsz, node.h[1])
             elif bp == PARTITION_V:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx + hsz, by)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.v[0])
+                self.decode_b(bl, int(b[0]), bp, bx + hsz, by, node.v[1])
             elif bp == PARTITION_SPLIT:
                 if bl == BL_8X8:
-                    self.decode_b(bl, BS_4x4, bp, bx, by)
-                    self.decode_b(bl, BS_4x4, bp, bx + 1, by)
-                    self.decode_b(bl, BS_4x4, bp, bx, by + 1)
-                    self.decode_b(bl, BS_4x4, bp, bx + 1, by + 1)
+                    tip = node
+                    self.decode_b(bl, BS_4x4, bp, bx, by, EDGE_ALL_TR_AND_BL)
+                    self.decode_b(bl, BS_4x4, bp, bx + 1, by, tip.split[0])
+                    self.decode_b(bl, BS_4x4, bp, bx, by + 1, tip.split[1])
+                    self.decode_b(bl, BS_4x4, bp, bx + 1, by + 1,
+                                  tip.split[2])
                 else:
-                    self.decode_sb(bl + 1, bx, by)
-                    self.decode_sb(bl + 1, bx + hsz, by)
-                    self.decode_sb(bl + 1, bx, by + hsz)
-                    self.decode_sb(bl + 1, bx + hsz, by + hsz)
+                    self.decode_sb(bl + 1, bx, by, node.split[0])
+                    self.decode_sb(bl + 1, bx + hsz, by, node.split[1])
+                    self.decode_sb(bl + 1, bx, by + hsz, node.split[2])
+                    self.decode_sb(bl + 1, bx + hsz, by + hsz, node.split[3])
             elif bp == PARTITION_T_TOP_SPLIT:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx + hsz, by)
-                self.decode_b(bl, int(b[1]), bp, bx, by + hsz)
+                self.decode_b(bl, int(b[0]), bp, bx, by, EDGE_ALL_TR_AND_BL)
+                self.decode_b(bl, int(b[0]), bp, bx + hsz, by, node.v[1])
+                self.decode_b(bl, int(b[1]), bp, bx, by + hsz, node.h[1])
             elif bp == PARTITION_T_BOTTOM_SPLIT:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[1]), bp, bx, by + hsz)
-                self.decode_b(bl, int(b[1]), bp, bx + hsz, by + hsz)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.h[0])
+                self.decode_b(bl, int(b[1]), bp, bx, by + hsz, node.v[0])
+                self.decode_b(bl, int(b[1]), bp, bx + hsz, by + hsz, 0)
             elif bp == PARTITION_T_LEFT_SPLIT:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx, by + hsz)
-                self.decode_b(bl, int(b[1]), bp, bx + hsz, by)
+                self.decode_b(bl, int(b[0]), bp, bx, by, EDGE_ALL_TR_AND_BL)
+                self.decode_b(bl, int(b[0]), bp, bx, by + hsz, node.h[1])
+                self.decode_b(bl, int(b[1]), bp, bx + hsz, by, node.v[1])
             elif bp == PARTITION_T_RIGHT_SPLIT:
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[1]), bp, bx + hsz, by)
-                self.decode_b(bl, int(b[1]), bp, bx + hsz, by + hsz)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.v[0])
+                self.decode_b(bl, int(b[1]), bp, bx + hsz, by, node.h[0])
+                self.decode_b(bl, int(b[1]), bp, bx + hsz, by + hsz, 0)
             elif bp == PARTITION_H4:
                 q = hsz >> 1
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx, by + q)
-                self.decode_b(bl, int(b[0]), bp, bx, by + 2 * q)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.h[0])
+                self.decode_b(bl, int(b[0]), bp, bx, by + q, node.h4)
+                self.decode_b(bl, int(b[0]), bp, bx, by + 2 * q,
+                              EDGE_ALL_LEFT_HAS_BOTTOM)
                 if by + 3 * q < self.bh:
-                    self.decode_b(bl, int(b[0]), bp, bx, by + 3 * q)
+                    self.decode_b(bl, int(b[0]), bp, bx, by + 3 * q,
+                                  node.h[1])
             elif bp == PARTITION_V4:
                 q = hsz >> 1
-                self.decode_b(bl, int(b[0]), bp, bx, by)
-                self.decode_b(bl, int(b[0]), bp, bx + q, by)
-                self.decode_b(bl, int(b[0]), bp, bx + 2 * q, by)
+                self.decode_b(bl, int(b[0]), bp, bx, by, node.v[0])
+                self.decode_b(bl, int(b[0]), bp, bx + q, by, node.v4)
+                self.decode_b(bl, int(b[0]), bp, bx + 2 * q, by,
+                              EDGE_ALL_TOP_HAS_RIGHT)
                 if bx + 3 * q < self.bw:
-                    self.decode_b(bl, int(b[0]), bp, bx + 3 * q, by)
+                    self.decode_b(bl, int(b[0]), bp, bx + 3 * q, by,
+                                  node.v[1])
             else:
                 raise AssertionError(bp)
         elif have_h_split:
@@ -451,12 +460,12 @@ class TileCoder:
             assert bl < BL_8X8
             if is_split:
                 bp = PARTITION_SPLIT
-                self.decode_sb(bl + 1, bx, by)
-                self.decode_sb(bl + 1, bx + hsz, by)
+                self.decode_sb(bl + 1, bx, by, node.split[0])
+                self.decode_sb(bl + 1, bx + hsz, by, node.split[1])
             else:
                 bp = PARTITION_H
                 self.decode_b(bl, int(T_BLOCK_SIZES[bl][PARTITION_H][0]),
-                              PARTITION_H, bx, by)
+                              PARTITION_H, bx, by, node.h[0])
         else:
             is_split = ec.boolp("part_split", self._gather_left_prob(pc, bl))
             if self.dbg:
@@ -467,12 +476,12 @@ class TileCoder:
             assert bl < BL_8X8
             if is_split:
                 bp = PARTITION_SPLIT
-                self.decode_sb(bl + 1, bx, by)
-                self.decode_sb(bl + 1, bx, by + hsz)
+                self.decode_sb(bl + 1, bx, by, node.split[0])
+                self.decode_sb(bl + 1, bx, by + hsz, node.split[2])
             else:
                 bp = PARTITION_V
                 self.decode_b(bl, int(T_BLOCK_SIZES[bl][PARTITION_V][0]),
-                              PARTITION_V, bx, by)
+                              PARTITION_V, bx, by, node.v[0])
 
         if bp != PARTITION_SPLIT or bl == BL_8X8:
             n = hsz
@@ -497,13 +506,14 @@ class TileCoder:
         return out
 
     # ---- block ----
-    def decode_b(self, bl, bs, bp, bx, by):
+    def decode_b(self, bl, bs, bp, bx, by, edge_flags=0):
         ec = self.ec
         f = self.f
         cdfm = self.cdf.m
         b = Av1Block()
         b.bl, b.bp, b.bs = bl, bp, bs
         b.bx, b.by = bx, by
+        b.edge_flags = edge_flags
         b_dim = T_BLOCK_DIM[bs]
         bw4, bh4 = int(b_dim[0]), int(b_dim[1])
         bx4, by4 = bx & 31, by & 31

@@ -1,0 +1,341 @@
+"""NumPy reference frame reconstruction (the behavioral spec for the TPU
+pipeline) + full IVF->YUV decode driver for intra frames.
+
+Mirrors dav1d's 2-pass structure: the TileCoder's entropy output (blocks +
+dequantized coefficient blocks in decode order) is replayed block by block:
+intra prediction from reconstructed neighbours, inverse transform + add.
+Reference parity: dav1d src/recon_tmpl.c dav1d_recon_b_intra:1195.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..host import headers as h
+from ..host import obu as obu_mod
+from ..host.ivf import parse_ivf, split_obus
+from ..host.msac import Msac
+from ..host.tilecoder import (TileCoder, DecodeSide, T_BLOCK_DIM, T_TXFM,
+                              CFL_PRED, FILTER_PRED)
+from ..data.tables import new_cdf_context, qcat_from_qidx
+from ..ops.ref import ipred as ip
+from ..ops.ref.ipred_prepare import prepare_intra_edges
+from ..ops.ref.itx import inv_txfm_add_ref
+
+SMOOTH_MODES = (9, 10, 11)  # SMOOTH, SMOOTH_V, SMOOTH_H (coded enum)
+ANGLE_SMOOTH_EDGE_FLAG = 512
+
+
+class FrameBuffers:
+    def __init__(self, seq: h.SequenceHeader, fhdr: h.FrameHeader):
+        self.seq = seq
+        self.fhdr = fhdr
+        self.bitdepth = seq.bitdepth
+        dt = np.uint8 if self.bitdepth == 8 else np.uint16
+        self.ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
+        self.ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
+        w, hgt = fhdr.width[0], fhdr.height
+        aw = (w + 127) & ~127
+        ah = (hgt + 127) & ~127
+        self.width, self.height = w, hgt
+        self.planes = [np.zeros((ah, aw), dt)]
+        if seq.layout != h.PIXEL_LAYOUT_I400:
+            cw = aw >> self.ss_hor
+            ch = ah >> self.ss_ver
+            self.planes += [np.zeros((ch, cw), dt), np.zeros((ch, cw), dt)]
+
+    def visible(self):
+        w, hgt = self.width, self.height
+        out = [self.planes[0][:hgt, :w]]
+        if len(self.planes) > 1:
+            cw = (w + self.ss_hor) >> self.ss_hor
+            ch = (hgt + self.ss_ver) >> self.ss_ver
+            out += [p[:ch, :cw] for p in self.planes[1:]]
+        return out
+
+
+def recon_intra_frame(seq, fhdr, coders, bufs: FrameBuffers):
+    """coders: list of completed (entropy-decoded) TileCoders."""
+    for coder in coders:
+        _recon_tile(seq, fhdr, coder, bufs)
+    return bufs
+
+
+def _recon_tile(seq, fhdr, coder, bufs):
+    bitdepth = seq.bitdepth
+    bd_max = (1 << bitdepth) - 1
+    ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
+    bw, bh = coder.bw, coder.bh
+    sb_step = coder.sb_step
+    ief = seq.intra_edge_filter
+    ief_flag = ief << 10
+    monochrome = seq.layout == h.PIXEL_LAYOUT_I400
+
+    # recon-time neighbour mode state (for smoothness flags)
+    a_mode = np.zeros(bw + 32, np.uint8)
+    a_intra = np.ones(bw + 32, np.uint8)
+    a_uvmode = np.zeros(bw + 32, np.uint8)
+    l_mode = np.zeros(32, np.uint8)
+    l_intra = np.ones(32, np.uint8)
+    l_uvmode = np.zeros(32, np.uint8)
+    cur_sbrow = [-1]
+
+    coef_iter = iter(coder.coefs)
+
+    def sm_flag(mode_arr, intra_arr, idx):
+        if not intra_arr[idx]:
+            return 0
+        return ANGLE_SMOOTH_EDGE_FLAG if mode_arr[idx] in SMOOTH_MODES else 0
+
+    def sm_uv_flag(uvmode_arr, idx):
+        return ANGLE_SMOOTH_EDGE_FLAG if uvmode_arr[idx] in SMOOTH_MODES \
+            else 0
+
+    for b in coder.blocks:
+        sbrow = b.by // sb_step
+        if sbrow != cur_sbrow[0]:
+            cur_sbrow[0] = sbrow
+            l_mode[:] = 0
+            l_intra[:] = 1
+            l_uvmode[:] = 0
+
+        b_dim = T_BLOCK_DIM[b.bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        bx, by = b.bx, b.by
+        bx4, by4 = bx & 31, by & 31
+        cbx4, cby4 = bx4 >> ss_hor, by4 >> ss_ver
+        w4 = min(bw4, bw - bx)
+        h4 = min(bh4, bh - by)
+        cw4 = (w4 + ss_hor) >> ss_hor
+        ch4 = (h4 + ss_ver) >> ss_ver
+        cbw4 = (bw4 + ss_hor) >> ss_hor
+        cbh4 = (bh4 + ss_ver) >> ss_ver
+        has_chroma = (not monochrome and
+                      (bw4 > ss_hor or bx & 1) and (bh4 > ss_ver or by & 1))
+        t_dim = T_TXFM[b.tx]
+        uv_t_dim = T_TXFM[b.uvtx]
+        tw, th = int(t_dim[0]), int(t_dim[1])
+        ctw, cth = int(uv_t_dim[0]), int(uv_t_dim[1])
+        yplane = bufs.planes[0]
+
+        for init_y in range(0, h4, 16):
+            sub_h4 = min(h4, 16 + init_y)
+            sub_ch4 = min(ch4, (init_y + 16) >> ss_ver)
+            for init_x in range(0, w4, 16):
+                sub_w4 = min(w4, init_x + 16)
+                intra_flags = (sm_flag(a_mode, a_intra, bx + init_x) |
+                               sm_flag(l_mode, l_intra, by4 + init_y) |
+                               ief_flag)
+                sb_has_tr = 1 if init_x + 16 < w4 else 0 if init_y else \
+                    (b.edge_flags & 1)  # EDGE_I444_TOP_HAS_RIGHT
+                sb_has_bl = 0 if init_x else 1 if init_y + 16 < h4 else \
+                    (b.edge_flags & 8)  # EDGE_I444_LEFT_HAS_BOTTOM
+
+                # ---- luma ----
+                y = init_y
+                while y < sub_h4:
+                    x = init_x
+                    while x < sub_w4:
+                        px, py = 4 * (bx + x), 4 * (by + y)
+                        angle = b.y_angle
+                        edge_flags = (
+                            (0 if ((y > init_y or not sb_has_tr) and
+                                   (x + tw >= sub_w4)) else 1) |
+                            (0 if (x > init_x or
+                                   (not sb_has_bl and y + th >= sub_h4))
+                             else 8))
+                        m, angle, tl, c = prepare_intra_edges(
+                            bx + x, bx + x > coder.col_start,
+                            by + y, by + y > coder.row_start,
+                            coder.col_end, coder.row_end, edge_flags,
+                            yplane, px, py, b.y_mode, angle, tw, th,
+                            ief, bitdepth)
+                        pred = ip.intra_pred_ref(
+                            m, tl, c, tw * 4, th * 4,
+                            angle | intra_flags,
+                            4 * bw - 4 * (bx + x), 4 * bh - 4 * (by + y),
+                            bitdepth)
+                        yplane[py:py + th * 4, px:px + tw * 4] = pred
+                        if not b.skip:
+                            cb = next(coef_iter)
+                            assert cb.plane == 0 and cb.x == bx + x and \
+                                cb.y == by + y
+                            if cb.eob >= 0:
+                                patch = yplane[py:py + th * 4,
+                                               px:px + tw * 4]
+                                out = inv_txfm_add_ref(
+                                    patch, cb.cf, cb.eob, b.tx, cb.txtp,
+                                    bitdepth)
+                                yplane[py:py + th * 4, px:px + tw * 4] = out
+                        x += tw
+                    y += th
+
+                if not has_chroma:
+                    continue
+
+                # ---- CFL / chroma prediction ----
+                uplane, vplane = bufs.planes[1], bufs.planes[2]
+                if b.uv_mode == CFL_PRED:
+                    assert init_x == 0 and init_y == 0
+                    ysrc_x = 4 * (bx & ~ss_hor)
+                    ysrc_y = 4 * (by & ~ss_ver)
+                    furthest_r = ((cw4 << ss_hor) + tw - 1) & ~(tw - 1)
+                    furthest_b = ((ch4 << ss_ver) + th - 1) & ~(th - 1)
+                    w_pad = cbw4 - (furthest_r >> ss_hor)
+                    h_pad = cbh4 - (furthest_b >> ss_ver)
+                    ysub = yplane[ysrc_y:ysrc_y + (cbh4 * 4 << ss_ver),
+                                  ysrc_x:ysrc_x + (cbw4 * 4 << ss_hor)]
+                    ac = ip.cfl_ac_ref(ysub, w_pad, h_pad, cbw4 * 4,
+                                       cbh4 * 4, ss_hor, ss_ver)
+                    for pl in range(2):
+                        if not b.cfl_alpha[pl]:
+                            continue
+                        plane = bufs.planes[1 + pl]
+                        xpos, ypos = bx >> ss_hor, by >> ss_ver
+                        m, _, tl, c = prepare_intra_edges(
+                            xpos, xpos > (coder.col_start >> ss_hor),
+                            ypos, ypos > (coder.row_start >> ss_ver),
+                            coder.col_end >> ss_hor,
+                            coder.row_end >> ss_ver, 0,
+                            plane, xpos * 4, ypos * 4, 0, 0,
+                            ctw, cth, 0, bitdepth)
+                        dc = ip.dc_value(tl, c, ctw * 4, cth * 4, m,
+                                         bitdepth)
+                        pred = ip.cfl_pred_ref(dc, ac[:cth * 4, :ctw * 4],
+                                               b.cfl_alpha[pl], ctw * 4,
+                                               cth * 4, bitdepth)
+                        plane[ypos * 4:ypos * 4 + cth * 4,
+                              xpos * 4:xpos * 4 + ctw * 4] = pred
+
+                sm_uv_fl = (sm_uv_flag(a_uvmode, (bx + init_x) >> ss_hor) |
+                            sm_uv_flag(l_uvmode, cby4 + (init_y >> ss_ver)))
+                uv_sb_has_tr = (1 if ((init_x + 16) >> ss_hor) < cw4 else
+                                0 if init_y else
+                                b.edge_flags & (4 >> (seq.layout - 1)))
+                uv_sb_has_bl = (0 if init_x else
+                                1 if ((init_y + 16) >> ss_ver) < ch4 else
+                                b.edge_flags & (32 >> (seq.layout - 1)))
+                sub_cw4 = min(cw4, (init_x + 16) >> ss_hor)
+                for pl in range(2):
+                    plane = bufs.planes[1 + pl]
+                    y = init_y >> ss_ver
+                    while y < sub_ch4:
+                        x = init_x >> ss_hor
+                        while x < sub_cw4:
+                            xpos = (bx >> ss_hor) + x
+                            ypos = (by >> ss_ver) + y
+                            ppx, ppy = xpos * 4, ypos * 4
+                            do_pred = not ((b.uv_mode == CFL_PRED and
+                                            b.cfl_alpha[pl]) or b.pal_sz[1])
+                            if do_pred:
+                                angle = b.uv_angle
+                                edge_flags = (
+                                    (0 if ((y > (init_y >> ss_ver) or
+                                            not uv_sb_has_tr) and
+                                           (x + ctw >= sub_cw4)) else 1) |
+                                    (0 if (x > (init_x >> ss_hor) or
+                                           (not uv_sb_has_bl and
+                                            y + cth >= sub_ch4)) else 8))
+                                uv_mode = 0 if b.uv_mode == CFL_PRED \
+                                    else b.uv_mode
+                                m, angle, tl, c = prepare_intra_edges(
+                                    xpos,
+                                    xpos > (coder.col_start >> ss_hor),
+                                    ypos,
+                                    ypos > (coder.row_start >> ss_ver),
+                                    coder.col_end >> ss_hor,
+                                    coder.row_end >> ss_ver,
+                                    edge_flags, plane, ppx, ppy, uv_mode,
+                                    angle, ctw, cth, ief, bitdepth)
+                                angle |= ief_flag
+                                pred = ip.intra_pred_ref(
+                                    m, tl, c, ctw * 4, cth * 4,
+                                    angle | sm_uv_fl,
+                                    (4 * bw + ss_hor -
+                                     4 * (bx & ~ss_hor)) >> ss_hor,
+                                    (4 * bh + ss_ver -
+                                     4 * (by & ~ss_ver)) >> ss_ver,
+                                    bitdepth)
+                                plane[ppy:ppy + cth * 4,
+                                      ppx:ppx + ctw * 4] = pred
+                            if not b.skip:
+                                cb = next(coef_iter)
+                                assert cb.plane == 1 + pl and \
+                                    cb.x == xpos and cb.y == ypos, \
+                                    (cb.plane, cb.x, cb.y, pl, xpos, ypos)
+                                if cb.eob >= 0:
+                                    patch = plane[ppy:ppy + cth * 4,
+                                                  ppx:ppx + ctw * 4]
+                                    out = inv_txfm_add_ref(
+                                        patch, cb.cf, cb.eob, b.uvtx,
+                                        cb.txtp, bitdepth)
+                                    plane[ppy:ppy + cth * 4,
+                                          ppx:ppx + ctw * 4] = out
+                            x += ctw
+                        y += cth
+
+        # update neighbour mode state
+        y_mode_nofilt = 0 if b.y_mode == FILTER_PRED else b.y_mode
+        a_mode[bx:bx + bw4] = y_mode_nofilt
+        a_intra[bx:bx + bw4] = 1
+        l_mode[by4:by4 + bh4] = y_mode_nofilt
+        l_intra[by4:by4 + bh4] = 1
+        if has_chroma:
+            a_uvmode[(bx >> ss_hor):(bx >> ss_hor) + cbw4] = b.uv_mode
+            l_uvmode[cby4:cby4 + cbh4] = b.uv_mode
+
+
+def decode_ivf(data: bytes):
+    """Full intra-stream decode: returns list of plane tuples (visible)."""
+    _, _, _, frames = parse_ivf(data)
+    st = obu_mod.ObuState()
+    out = []
+    for fr in frames:
+        for _, obu_data in split_obus(fr.data):
+            obu_mod.parse_obus(st, obu_data)
+        if not st.frame_ready:
+            continue
+        st.frame_ready = False
+        seq, fhdr = st.seq_hdr, st.frame_hdr
+        coders = []
+        t = fhdr.tiling
+        for tile_row in range(t.rows):
+            for tile_col in range(t.cols):
+                ti = tile_row * t.cols + tile_col
+                # tile data: with a single tile group holding all tiles
+                data_t, start, end = _tile_payload(st, ti, fhdr)
+                cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+                coder = TileCoder(
+                    seq, fhdr, cdf,
+                    DecodeSide(Msac(data_t,
+                                    bool(fhdr.disable_cdf_update))),
+                    tile_col=tile_col, tile_row=tile_row)
+                coder.code_tile()
+                coders.append(coder)
+        bufs = FrameBuffers(seq, fhdr)
+        recon_intra_frame(seq, fhdr, coders, bufs)
+        out.append(tuple(bufs.visible()))
+        st.tiles = []
+        st.n_tiles = 0
+    return out
+
+
+def _tile_payload(st, tile_idx, fhdr):
+    """Extract tile #tile_idx's msac payload from the tile groups."""
+    n_tiles = fhdr.tiling.cols * fhdr.tiling.rows
+    for tg in st.tiles:
+        if not (tg.start <= tile_idx <= tg.end):
+            continue
+        data = tg.data
+        pos = 0
+        for ti in range(tg.start, tg.end + 1):
+            is_last = ti == tg.end
+            if is_last:
+                sz = len(data) - pos
+            else:
+                n_bytes = fhdr.tiling.n_bytes
+                sz = int.from_bytes(data[pos:pos + n_bytes], "little") + 1
+                pos += n_bytes
+            if ti == tile_idx:
+                return data[pos:pos + sz], 0, sz
+            pos += sz
+    raise ValueError(f"tile {tile_idx} not found")

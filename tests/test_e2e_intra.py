@@ -1,0 +1,86 @@
+"""End-to-end: generated intra streams decoded by our decoder vs the
+reference decoder, pixel-exact."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from dav1d_mirror_tpu.host import headers as h
+from dav1d_mirror_tpu.models.ref_decoder import decode_ivf
+from dav1d_mirror_tpu.testing.streamgen import (RandomPolicy, make_seq_hdr,
+                                                make_key_frame_hdr,
+                                                gen_intra_frame, gen_ivf)
+
+CONFIGS = [
+    dict(w=64, h=64, q=100),
+    dict(w=64, h=64, q=20, txsw=True),
+    dict(w=128, h=96, q=150),
+    dict(w=72, h=36, q=80, txsw=True),
+    dict(w=64, h=64, q=0),               # lossless / WHT
+    dict(w=128, h=128, q=120, sb128=1),
+    dict(w=96, h=64, q=100, bitdepth=10),
+    dict(w=64, h=64, q=100, layout=h.PIXEL_LAYOUT_I444),
+    dict(w=64, h=64, q=100, mono=1),
+    dict(w=64, h=64, q=60, fi=1, txsw=True),
+    dict(w=64, h=64, q=100, ief=1),      # intra edge filter
+    dict(w=160, h=128, q=90, ief=1, txsw=True, bitdepth=10),
+]
+
+
+def build_stream(cfg, seed):
+    seq = make_seq_hdr(cfg["w"], cfg["h"], bitdepth=cfg.get("bitdepth", 8),
+                       layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
+                       sb128=cfg.get("sb128", 0),
+                       filter_intra=cfg.get("fi", 0),
+                       monochrome=cfg.get("mono", 0))
+    seq.intra_edge_filter = cfg.get("ief", 0)
+    fhdr = make_key_frame_hdr(
+        seq, qidx=cfg["q"],
+        txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST)
+    tile, _ = gen_intra_frame(seq, fhdr, RandomPolicy(seed))
+    return seq, fhdr, gen_ivf(seq, [(fhdr, tile)])
+
+
+def oracle_decode_yuv(oracle_bin, ivf, tmp_path, seq):
+    p = tmp_path / "t.ivf"
+    o = tmp_path / "out.yuv"
+    p.write_bytes(ivf)
+    r = subprocess.run([oracle_bin, "-i", str(p), "--muxer", "yuv",
+                        "-o", str(o), "-q"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, f"oracle failed: {r.stderr}"
+    raw = o.read_bytes()
+    dt = np.uint8 if seq.bitdepth == 8 else np.uint16
+    arr = np.frombuffer(raw, dt)
+    w, hgt = seq.max_width, seq.max_height
+    planes = [arr[:w * hgt].reshape(hgt, w)]
+    off = w * hgt
+    if not seq.monochrome:
+        ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
+        ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
+        cw = (w + ss_hor) >> ss_hor
+        ch = (hgt + ss_ver) >> ss_ver
+        for _ in range(2):
+            planes.append(arr[off:off + cw * ch].reshape(ch, cw))
+            off += cw * ch
+    assert off == len(arr)
+    return planes
+
+
+@pytest.mark.parametrize("ci", range(len(CONFIGS)))
+def test_e2e_intra_pixel_exact(ci, oracle_bin, tmp_path):
+    cfg = CONFIGS[ci]
+    seq, fhdr, ivf = build_stream(cfg, seed=777 + ci)
+    ref_planes = oracle_decode_yuv(oracle_bin, ivf, tmp_path, seq)
+    got_frames = decode_ivf(ivf)
+    assert len(got_frames) == 1
+    got = got_frames[0]
+    assert len(got) == len(ref_planes)
+    for pl, (g, r) in enumerate(zip(got, ref_planes)):
+        assert g.shape == r.shape, (pl, g.shape, r.shape)
+        if not np.array_equal(g, r):
+            bad = np.argwhere(g.astype(np.int32) != r.astype(np.int32))
+            y0, x0 = bad[0]
+            raise AssertionError(
+                f"cfg{ci} plane {pl}: {len(bad)} mismatches, first at "
+                f"({y0},{x0}): got {g[y0, x0]} want {r[y0, x0]}")
