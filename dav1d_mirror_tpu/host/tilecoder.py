@@ -244,7 +244,7 @@ class Av1Block:
     __slots__ = ("bl", "bp", "bs", "seg_id", "skip_mode", "skip", "intra",
                  "y_mode", "y_angle", "uv_mode", "uv_angle", "cfl_alpha",
                  "pal_sz", "pal", "pal_idx_y", "pal_idx_uv", "tx", "uvtx",
-                 "bx", "by", "qidx", "edge_flags")
+                 "bx", "by", "qidx", "edge_flags", "lflvl4")
 
     def __init__(self):
         self.pal_sz = [0, 0]
@@ -590,6 +590,7 @@ class TileCoder:
         if not (bx & mask) and not (by & mask):
             self._read_delta_q_lf(b, bs)
         b.qidx = self.last_qidx
+        b.lflvl4 = self._calc_lflvl(b.seg_id)
 
         b.intra = 1
 
@@ -741,6 +742,38 @@ class TileCoder:
         if seg_id > last_active or seg_id >= 8:
             seg_id = 0
         return seg_id
+
+    def _calc_lflvl(self, seg_id):
+        f = self.f
+        if not f.loopfilter_level_y[0] and not f.loopfilter_level_y[1]:
+            return (0, 0, 0, 0)
+        mr = f.loopfilter_mode_ref_deltas \
+            if f.loopfilter_mode_ref_delta_enabled else None
+        segd = f.seg_data.d[seg_id] if f.segmentation_enabled else None
+        dlf = self.last_delta_lf
+        multi = f.delta_lf_multi
+
+        def calc(base_lvl, lf_delta, seg_delta):
+            base = max(0, min(63, base_lvl + lf_delta))
+            base = max(0, min(63, base + seg_delta))
+            if mr is None:
+                return base
+            sh = 1 if base >= 32 else 0
+            return max(0, min(63, base + mr.ref_delta[0] * (1 << sh)))
+
+        def calc_c(base_lvl, lf_delta, seg_delta):
+            return 0 if not base_lvl else calc(base_lvl, lf_delta, seg_delta)
+
+        return (
+            calc(f.loopfilter_level_y[0], dlf[0],
+                 segd.delta_lf_y_v if segd else 0),
+            calc(f.loopfilter_level_y[1], dlf[1 if multi else 0],
+                 segd.delta_lf_y_h if segd else 0),
+            calc_c(f.loopfilter_level_u, dlf[2 if multi else 0],
+                   segd.delta_lf_u if segd else 0),
+            calc_c(f.loopfilter_level_v, dlf[3 if multi else 0],
+                   segd.delta_lf_v if segd else 0),
+        )
 
     def _read_delta_q_lf(self, b, bs):
         ec = self.ec

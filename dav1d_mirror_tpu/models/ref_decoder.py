@@ -284,6 +284,28 @@ def _recon_tile(seq, fhdr, coder, bufs):
             l_uvmode[cby4:cby4 + cbh4] = b.uv_mode
 
 
+def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
+    from ..host.lf import build_lf_arrays
+    from ..ops.ref.loopfilter import calc_eih, apply_deblock
+
+    if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
+        lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
+        e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
+        bd = seq.bitdepth
+        sb_step4 = 32 if seq.sb128 else 16
+        apply_deblock(bufs.planes[0], lf.edge_v_y, lf.edge_h_y, lf.lvl_y,
+                      0, 1, e_lut, i_lut, (4, 8, 16), bd, sb_step4)
+        if (len(bufs.planes) > 1 and
+                (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
+            css = bufs.ss_ver  # chroma sb step: luma sb px >> ss >> 2
+            csb_step4 = sb_step4 >> bufs.ss_ver
+            for pl in (0, 1):
+                apply_deblock(bufs.planes[1 + pl], lf.edge_v_uv,
+                              lf.edge_h_uv, lf.lvl_uv, pl, pl, e_lut,
+                              i_lut, (4, 6), bd, csb_step4)
+    return bufs
+
+
 def decode_ivf(data: bytes):
     """Full intra-stream decode: returns list of plane tuples (visible)."""
     _, _, _, frames = parse_ivf(data)
@@ -313,6 +335,7 @@ def decode_ivf(data: bytes):
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
         recon_intra_frame(seq, fhdr, coders, bufs)
+        apply_inloop_filters(seq, fhdr, coders, bufs)
         out.append(tuple(bufs.visible()))
         st.tiles = []
         st.n_tiles = 0

@@ -24,6 +24,14 @@ CONFIGS = [
     dict(w=64, h=64, q=60, fi=1, txsw=True),
     dict(w=64, h=64, q=100, ief=1),      # intra edge filter
     dict(w=160, h=128, q=90, ief=1, txsw=True, bitdepth=10),
+    # deblocking
+    dict(w=64, h=64, q=100, lf=(32, 32, 24, 20, 0)),
+    dict(w=128, h=96, q=150, lf=(63, 60, 63, 63, 7), txsw=True),
+    dict(w=96, h=64, q=120, lf=(20, 25, 0, 0, 4), bitdepth=10),
+    dict(w=64, h=64, q=80, lf=(15, 15, 10, 10, 2),
+         layout=h.PIXEL_LAYOUT_I444),
+    dict(w=128, h=128, q=100, lf=(40, 40, 30, 30, 1), sb128=1, txsw=True),
+    dict(w=64, h=64, q=100, lf=(32, 32, 32, 32, 0), mono=1),
 ]
 
 
@@ -36,7 +44,8 @@ def build_stream(cfg, seed):
     seq.intra_edge_filter = cfg.get("ief", 0)
     fhdr = make_key_frame_hdr(
         seq, qidx=cfg["q"],
-        txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST)
+        txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST,
+        loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)))
     tile, _ = gen_intra_frame(seq, fhdr, RandomPolicy(seed))
     return seq, fhdr, gen_ivf(seq, [(fhdr, tile)])
 
