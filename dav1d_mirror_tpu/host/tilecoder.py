@@ -361,8 +361,7 @@ class TileCoder:
             self.cur_sb_cdef_idx = [-1, -1, -1, -1]
             self.decode_sb(self.root_bl, bx, by,
                            INTRA_EDGE_TREE[self.root_bl])
-            if self.f.cdef_n_bits:
-                self.cdef_idx.append((bx, by, tuple(self.cur_sb_cdef_idx)))
+            self.cdef_idx.append((bx, by, tuple(self.cur_sb_cdef_idx)))
 
     def _a(self, bx4_abs):
         """above context holder for absolute 4px col (per 128px column)."""

@@ -288,21 +288,50 @@ def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
     from ..host.lf import build_lf_arrays
     from ..ops.ref.loopfilter import calc_eih, apply_deblock
 
+    bd = seq.bitdepth
     if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
         lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
         e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
-        bd = seq.bitdepth
         sb_step4 = 32 if seq.sb128 else 16
         apply_deblock(bufs.planes[0], lf.edge_v_y, lf.edge_h_y, lf.lvl_y,
                       0, 1, e_lut, i_lut, (4, 8, 16), bd, sb_step4)
         if (len(bufs.planes) > 1 and
                 (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
-            css = bufs.ss_ver  # chroma sb step: luma sb px >> ss >> 2
             csb_step4 = sb_step4 >> bufs.ss_ver
             for pl in (0, 1):
                 apply_deblock(bufs.planes[1 + pl], lf.edge_v_uv,
                               lf.edge_h_uv, lf.lvl_uv, pl, pl, e_lut,
                               i_lut, (4, 6), bd, csb_step4)
+
+    # CDEF
+    if seq.cdef and (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
+                     any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
+        from ..ops.ref.cdef import apply_cdef_frame
+        bw4 = coders[0].bw
+        bh4 = coders[0].bh
+        n64x = (bw4 + 15) >> 4
+        n64y = (bh4 + 15) >> 4
+        cdef_idx_map = np.full((n64y, n64x), -1, np.int32)
+        noskip = np.zeros((bh4, bw4), bool)
+        for coder in coders:
+            sb_step = coder.sb_step
+            for (bx, by, idxs) in coder.cdef_idx:
+                if sb_step == 32:  # 128px superblocks: 4 64x64 quadrants
+                    for q, v in enumerate(idxs):
+                        qx = (bx >> 4) + (q & 1)
+                        qy = (by >> 4) + (q >> 1)
+                        if qy < n64y and qx < n64x:
+                            cdef_idx_map[qy, qx] = v
+                else:
+                    cdef_idx_map[by >> 4, bx >> 4] = idxs[0]
+            from ..host.tilecoder import T_BLOCK_DIM
+            for b in coder.blocks:
+                if not b.skip:
+                    bd_ = T_BLOCK_DIM[b.bs]
+                    noskip[b.by:b.by + int(bd_[1]),
+                           b.bx:b.bx + int(bd_[0])] = True
+        apply_cdef_frame(bufs.planes, seq, fhdr, cdef_idx_map, noskip,
+                         bw4, bh4, bufs.ss_hor, bufs.ss_ver)
     return bufs
 
 

@@ -32,6 +32,21 @@ CONFIGS = [
          layout=h.PIXEL_LAYOUT_I444),
     dict(w=128, h=128, q=100, lf=(40, 40, 30, 30, 1), sb128=1, txsw=True),
     dict(w=64, h=64, q=100, lf=(32, 32, 32, 32, 0), mono=1),
+    # cdef
+    dict(w=64, h=64, q=150, cdef=dict(damping=5, n_bits=2,
+                                      y_strength=[9, 0, 63, 17],
+                                      uv_strength=[5, 12, 0, 33])),
+    dict(w=128, h=96, q=100, lf=(25, 25, 20, 20, 0),
+         cdef=dict(damping=3, n_bits=1, y_strength=[4, 21],
+                   uv_strength=[7, 0])),
+    dict(w=96, h=64, q=120, bitdepth=10,
+         cdef=dict(damping=6, n_bits=0, y_strength=[13], uv_strength=[6])),
+    dict(w=128, h=128, q=100, sb128=1, txsw=True,
+         cdef=dict(damping=4, n_bits=2, y_strength=[1, 5, 9, 13],
+                   uv_strength=[2, 6, 10, 14])),
+    dict(w=64, h=64, q=80, layout=h.PIXEL_LAYOUT_I444, lf=(10, 12, 8, 9, 3),
+         cdef=dict(damping=5, n_bits=1, y_strength=[8, 0],
+                   uv_strength=[4, 9])),
 ]
 
 
@@ -42,10 +57,13 @@ def build_stream(cfg, seed):
                        filter_intra=cfg.get("fi", 0),
                        monochrome=cfg.get("mono", 0))
     seq.intra_edge_filter = cfg.get("ief", 0)
+    if cfg.get("cdef"):
+        seq.cdef = 1
     fhdr = make_key_frame_hdr(
         seq, qidx=cfg["q"],
         txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST,
-        loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)))
+        loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)),
+        cdef_params=cfg.get("cdef"))
     tile, _ = gen_intra_frame(seq, fhdr, RandomPolicy(seed))
     return seq, fhdr, gen_ivf(seq, [(fhdr, tile)])
 
