@@ -119,6 +119,9 @@ class DecodeSide:
             val = (val << 1) + self.m.decode_bool_equi()
         return val - 1
 
+    def subexp(self, key, ref, n, k):
+        return self.m.decode_subexp(ref, n, k)
+
     def uniform(self, key, n):
         # dav1d_msac_decode_uniform (msac.h): ns(n) over the arithmetic coder
         assert n > 1
@@ -181,6 +184,11 @@ class EncodeSide:
         self.e.put_bool_equi(1)
         for k in range(ln - 1, -1, -1):
             self.e.put_bool_equi((val >> k) & 1)
+        return v
+
+    def subexp(self, key, ref, n, k):
+        v = self.policy(key, n - 1)
+        self.e.put_subexp(v, ref, n, k)
         return v
 
     def uniform(self, key, n):
@@ -315,6 +323,15 @@ class TileCoder:
                 self.qm[tx][0] = TABLES.qm(fhdr.quant_qm_y, 0, tx)
                 self.qm[tx][1] = TABLES.qm(fhdr.quant_qm_u, 1, tx)
                 self.qm[tx][2] = TABLES.qm(fhdr.quant_qm_v, 1, tx)
+        # loop restoration state
+        self.restore_planes = 0
+        for pidx in range(3):
+            if fhdr.restoration_type[pidx] != 0:
+                self.restore_planes |= 1 << pidx
+        self.lr_ref = [dict(type=0, filter_v=[3, -7, 15],
+                            filter_h=[3, -7, 15], sgr_weights=[-32, 31])
+                       for _ in range(3)]
+        self.lr_units: dict = {}
         # outputs
         self.blocks: list[Av1Block] = []
         self.coefs: list[CoefBlock] = []
@@ -359,6 +376,7 @@ class TileCoder:
         for bx in range(self.col_start, self.col_end, self.sb_step):
             self.bx = bx
             self.cur_sb_cdef_idx = [-1, -1, -1, -1]
+            self._read_lr_for_sb(bx, by)
             self.decode_sb(self.root_bl, bx, by,
                            INTRA_EDGE_TREE[self.root_bl])
             self.cdef_idx.append((bx, by, tuple(self.cur_sb_cdef_idx)))
@@ -741,6 +759,83 @@ class TileCoder:
         if seg_id > last_active or seg_id >= 8:
             seg_id = 0
         return seg_id
+
+    def _read_lr_for_sb(self, bx, by):
+        f = self.f
+        if not self.restore_planes:
+            return
+        assert f.width[0] == f.width[1], "super-res LR not yet supported"
+        for p in range(3):
+            if not ((self.restore_planes >> p) & 1):
+                continue
+            ss_ver = 1 if (p and self.layout == PIXEL_LAYOUT_I420) else 0
+            ss_hor = 1 if (p and self.layout != PIXEL_LAYOUT_I444) else 0
+            us_log2 = f.restoration_unit_size[1 if p else 0]
+            y = (by * 4) >> ss_ver
+            hh = (f.height + ss_ver) >> ss_ver
+            unit_size = 1 << us_log2
+            mask_ = unit_size - 1
+            if y & mask_:
+                continue
+            half = unit_size >> 1
+            if y and y + half > hh:
+                continue
+            x = (4 * bx) >> ss_hor
+            if x & mask_:
+                continue
+            ww = (f.width[0] + ss_hor) >> ss_hor
+            if x and x + half > ww:
+                continue
+            lr = self._read_restoration_info(p, f.restoration_type[p])
+            # key on 64px-luma grid (storage granularity)
+            self.lr_units[(p, (by * 4) >> 6, (bx * 4) >> 6)] = lr
+
+    def _read_restoration_info(self, p, frame_type):
+        ec = self.ec
+        cdfm = self.cdf.m
+        ref = self.lr_ref[p]
+        lr = dict(type=0, filter_v=[0, 0, 0], filter_h=[0, 0, 0],
+                  sgr_weights=list(ref["sgr_weights"]))
+        RESTORATION_SWITCHABLE, RESTORATION_WIENER, RESTORATION_SGRPROJ = \
+            1, 2, 3
+        if frame_type == RESTORATION_SWITCHABLE:
+            filt = ec.sym("lr_switchable", cdfm["restore_switchable"], 2)
+            lr["type"] = filt + (1 if filt else 0)  # NONE/WIENER/SGRPROJ
+        else:
+            cdf = cdfm["restore_wiener"] \
+                if frame_type == RESTORATION_WIENER \
+                else cdfm["restore_sgrproj"]
+            t = ec.bool_adapt("lr_type", cdf)
+            lr["type"] = frame_type if t else 0
+        if lr["type"] == RESTORATION_WIENER:
+            lr["filter_v"][0] = 0 if p else \
+                ec.subexp("lr_wv0", ref["filter_v"][0] + 5, 16, 1) - 5
+            lr["filter_v"][1] = \
+                ec.subexp("lr_wv1", ref["filter_v"][1] + 23, 32, 2) - 23
+            lr["filter_v"][2] = \
+                ec.subexp("lr_wv2", ref["filter_v"][2] + 17, 64, 3) - 17
+            lr["filter_h"][0] = 0 if p else \
+                ec.subexp("lr_wh0", ref["filter_h"][0] + 5, 16, 1) - 5
+            lr["filter_h"][1] = \
+                ec.subexp("lr_wh1", ref["filter_h"][1] + 23, 32, 2) - 23
+            lr["filter_h"][2] = \
+                ec.subexp("lr_wh2", ref["filter_h"][2] + 17, 64, 3) - 17
+            lr["sgr_weights"] = list(ref["sgr_weights"])
+            self.lr_ref[p] = lr
+        elif lr["type"] == RESTORATION_SGRPROJ:
+            idx = ec.bools("lr_sgr_idx", 4)
+            sgr_params = TABLES["sgr_params"][idx]
+            lr["type"] += idx
+            lr["sgr_weights"][0] = (
+                ec.subexp("lr_sw0", ref["sgr_weights"][0] + 96, 128, 4) - 96
+                if sgr_params[0] else 0)
+            lr["sgr_weights"][1] = (
+                ec.subexp("lr_sw1", ref["sgr_weights"][1] + 32, 128, 4) - 32
+                if sgr_params[1] else 95)
+            lr["filter_v"] = list(ref["filter_v"])
+            lr["filter_h"] = list(ref["filter_h"])
+            self.lr_ref[p] = lr
+        return lr
 
     def _calc_lflvl(self, seg_id):
         f = self.f

@@ -303,6 +303,11 @@ def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
                               lf.edge_h_uv, lf.lvl_uv, pl, pl, e_lut,
                               i_lut, (4, 6), bd, csb_step4)
 
+    # snapshot post-deblock (pre-CDEF) rows for LR stripe boundaries
+    restore_planes = sum((fhdr.restoration_type[p] != 0) << p
+                         for p in range(3))
+    pre_cdef = [p.copy() for p in bufs.planes] if restore_planes else None
+
     # CDEF
     if seq.cdef and (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
                      any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
@@ -332,7 +337,94 @@ def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
                            b.bx:b.bx + int(bd_[0])] = True
         apply_cdef_frame(bufs.planes, seq, fhdr, cdef_idx_map, noskip,
                          bw4, bh4, bufs.ss_hor, bufs.ss_ver)
+
+    # loop restoration
+    if restore_planes:
+        apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes)
     return bufs
+
+
+def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
+    from ..ops.ref.looprestoration import (pad_stripe, wiener_stripe,
+                                           sgr_stripe, LR_HAVE_LEFT,
+                                           LR_HAVE_RIGHT, LR_HAVE_TOP,
+                                           LR_HAVE_BOTTOM,
+                                           RESTORATION_WIENER)
+    bd = seq.bitdepth
+    lr_units = {}
+    for coder in coders:
+        lr_units.update(coder.lr_units)
+
+    for p in range(len(bufs.planes)):
+        if not ((restore_planes >> p) & 1):
+            continue
+        ss_ver = bufs.ss_ver if p else 0
+        ss_hor = bufs.ss_hor if p else 0
+        plane = bufs.planes[p]
+        pre = pre_cdef[p]
+        pre_lr = plane.copy()
+        hh = (bufs.height + ss_ver) >> ss_ver
+        ww = (bufs.width + ss_hor) >> ss_hor
+        us_log2 = fhdr.restoration_unit_size[1 if p else 0]
+        unit_size = 1 << us_log2
+        half = unit_size >> 1
+        max_unit = unit_size + half
+
+        y = 0
+        while y < hh:
+            stripe_h = min((64 - 8 * (y == 0)) >> ss_ver, hh - y)
+            # unit row lookup (dav1d lr_apply row_y/aligned_unit_pos logic)
+            row_y = y + ((8 >> ss_ver) if y else 0)
+            aligned = row_y & ~(unit_size - 1)
+            if aligned and aligned + half > hh:
+                aligned -= unit_size
+            urow64 = (aligned << ss_ver) >> 6
+
+            edges_base = ((LR_HAVE_TOP if y > 0 else 0) |
+                          (LR_HAVE_BOTTOM if y + stripe_h < hh else 0))
+            x = 0
+            while x < ww:
+                if x + max_unit <= ww:
+                    uw = unit_size
+                    last = False
+                else:
+                    uw = ww - x
+                    last = True
+                ucol64 = (x << ss_hor) >> 6
+                lr = lr_units.get((p, urow64, ucol64))
+                if lr is not None and lr["type"] != 0:
+                    edges = edges_base | \
+                        (LR_HAVE_LEFT if x > 0 else 0) | \
+                        (0 if last else LR_HAVE_RIGHT)
+                    xs = max(0, x - 3)
+                    xe = min(x + uw + 3, plane.shape[1])
+                    c0 = 3 - (x - xs)
+                    c1 = c0 + (xe - xs)
+                    p_ext = np.zeros((stripe_h, uw + 6), np.int32)
+                    p_ext[:, c0:c1] = pre_lr[y:y + stripe_h, xs:xe]
+                    left = pre_lr[y:y + stripe_h,
+                                  max(0, x - 3):x].astype(np.int32)
+                    if left.shape[1] < 3:
+                        pad = np.zeros((stripe_h, 3 - left.shape[1]),
+                                       np.int32)
+                        left = np.concatenate([pad, left], axis=1)
+                    above2 = np.zeros((2, uw + 6), np.int32)
+                    below2 = np.zeros((2, uw + 6), np.int32)
+                    if edges & LR_HAVE_TOP:
+                        above2[:, c0:c1] = pre[y - 2:y, xs:xe]
+                    if edges & LR_HAVE_BOTTOM:
+                        below2[:, c0:c1] = \
+                            pre[y + stripe_h:y + stripe_h + 2, xs:xe]
+                    padded = pad_stripe(p_ext, left, above2, below2, uw,
+                                        stripe_h, edges)
+                    if lr["type"] == RESTORATION_WIENER:
+                        wiener_stripe(plane, padded, x, y, uw, stripe_h,
+                                      lr["filter_h"], lr["filter_v"], bd)
+                    else:
+                        sgr_stripe(plane, padded, x, y, uw, stripe_h,
+                                   lr["type"], lr["sgr_weights"], bd)
+                x += uw
+            y += stripe_h
 
 
 def decode_ivf(data: bytes):

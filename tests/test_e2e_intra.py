@@ -47,6 +47,16 @@ CONFIGS = [
     dict(w=64, h=64, q=80, layout=h.PIXEL_LAYOUT_I444, lf=(10, 12, 8, 9, 3),
          cdef=dict(damping=5, n_bits=1, y_strength=[8, 0],
                    uv_strength=[4, 9])),
+    # loop restoration
+    dict(w=64, h=64, q=120, lr=(2, 2, 2)),            # wiener all planes
+    dict(w=128, h=96, q=100, lr=(3, 3, 3)),           # sgrproj
+    dict(w=192, h=128, q=150, lr=(1, 1, 1), lf=(20, 20, 15, 15, 2)),
+    dict(w=128, h=128, q=100, lr=(1, 0, 3), sb128=1, txsw=True,
+         cdef=dict(damping=4, n_bits=1, y_strength=[6, 11],
+                   uv_strength=[3, 0])),
+    dict(w=96, h=64, q=90, bitdepth=10, lr=(2, 3, 1),
+         lf=(18, 18, 12, 12, 0)),
+    dict(w=160, h=96, q=110, lr=(1, 1, 1), lr_us=(7, 6)),  # 128px units
 ]
 
 
@@ -59,11 +69,17 @@ def build_stream(cfg, seed):
     seq.intra_edge_filter = cfg.get("ief", 0)
     if cfg.get("cdef"):
         seq.cdef = 1
+    if cfg.get("lr"):
+        seq.restoration = 1
     fhdr = make_key_frame_hdr(
         seq, qidx=cfg["q"],
         txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST,
         loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)),
         cdef_params=cfg.get("cdef"))
+    if cfg.get("lr"):
+        fhdr.restoration_type = list(cfg["lr"])
+        us = cfg.get("lr_us", (6 + seq.sb128, 6 + seq.sb128))
+        fhdr.restoration_unit_size = list(us)
     tile, _ = gen_intra_frame(seq, fhdr, RandomPolicy(seed))
     return seq, fhdr, gen_ivf(seq, [(fhdr, tile)])
 
