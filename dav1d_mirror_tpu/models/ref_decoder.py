@@ -457,6 +457,10 @@ def decode_ivf(data: bytes):
         bufs = FrameBuffers(seq, fhdr)
         recon_intra_frame(seq, fhdr, coders, bufs)
         apply_inloop_filters(seq, fhdr, coders, bufs)
+        if fhdr.film_grain_present:
+            from ..ops.ref.filmgrain import apply_film_grain
+            bufs.planes = apply_film_grain(bufs.planes, seq, fhdr,
+                                           bufs.width, bufs.height)
         out.append(tuple(bufs.visible()))
         st.tiles = []
         st.n_tiles = 0

@@ -57,6 +57,28 @@ CONFIGS = [
     dict(w=96, h=64, q=90, bitdepth=10, lr=(2, 3, 1),
          lf=(18, 18, 12, 12, 0)),
     dict(w=160, h=96, q=110, lr=(1, 1, 1), lr_us=(7, 6)),  # 128px units
+    # film grain
+    dict(w=64, h=64, q=100,
+         fg=dict(seed=1234, num_y_points=3,
+                 y_points=[(0, 40), (80, 90), (255, 20)],
+                 ar_coeff_lag=1, ar_coeffs_y=[3, -7, 12, 5],
+                 scaling_shift=8, overlap_flag=1)),
+    dict(w=96, h=70, q=120, lf=(20, 20, 10, 10, 0),
+         fg=dict(seed=9999, num_y_points=2, y_points=[(10, 60), (200, 80)],
+                 num_uv_points=[2, 1],
+                 uv_points=[[(0, 30), (255, 64)], [(0, 50)]],
+                 ar_coeff_lag=2,
+                 ar_coeffs_y=[1, -2, 3, -4, 5, -6, 7, -8, 9, -10, 11, -12],
+                 ar_coeffs_uv=[[2] * 13, [-3] * 13],
+                 uv_mult=[10, -20], uv_luma_mult=[40, 50],
+                 uv_offset=[-5, 9],
+                 scaling_shift=9, overlap_flag=1,
+                 clip_to_restricted_range=1)),
+    dict(w=64, h=64, q=100, bitdepth=10,
+         fg=dict(seed=777, num_y_points=2, y_points=[(0, 64), (255, 64)],
+                 chroma_scaling_from_luma=1, ar_coeff_lag=0,
+                 scaling_shift=10, overlap_flag=0,
+                 grain_scale_shift=1)),
 ]
 
 
@@ -80,6 +102,12 @@ def build_stream(cfg, seed):
         fhdr.restoration_type = list(cfg["lr"])
         us = cfg.get("lr_us", (6 + seq.sb128, 6 + seq.sb128))
         fhdr.restoration_unit_size = list(us)
+    if cfg.get("fg"):
+        seq.film_grain_present = 1
+        fhdr.film_grain_present = 1
+        fgd = fhdr.film_grain_data
+        for k, v in cfg["fg"].items():
+            setattr(fgd, k, v)
     tile, _ = gen_intra_frame(seq, fhdr, RandomPolicy(seed))
     return seq, fhdr, gen_ivf(seq, [(fhdr, tile)])
 
