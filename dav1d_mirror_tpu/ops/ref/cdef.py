@@ -44,18 +44,19 @@ def cdef_find_dir(img, bitdepth):
             ps_hv[1][x] += px
             ps_alt[3][(y >> 1) + x] += px
 
+    M = 0xFFFFFFFF  # uint32 wrapping, matching the reference's cost type
     cost = [0] * 8
-    cost[2] = int((ps_hv[0] ** 2).sum()) * 105
-    cost[6] = int((ps_hv[1] ** 2).sum()) * 105
+    cost[2] = (int((ps_hv[0] ** 2).sum()) * 105) & M
+    cost[6] = (int((ps_hv[1] ** 2).sum()) * 105) & M
     div = (840, 420, 280, 210, 168, 140, 120)
     for n in range(7):
         d = div[n]
-        cost[0] += (int(ps_diag[0][n]) ** 2 +
-                    int(ps_diag[0][14 - n]) ** 2) * d
-        cost[4] += (int(ps_diag[1][n]) ** 2 +
-                    int(ps_diag[1][14 - n]) ** 2) * d
-    cost[0] += int(ps_diag[0][7]) ** 2 * 105
-    cost[4] += int(ps_diag[1][7]) ** 2 * 105
+        cost[0] = (cost[0] + (int(ps_diag[0][n]) ** 2 +
+                              int(ps_diag[0][14 - n]) ** 2) * d) & M
+        cost[4] = (cost[4] + (int(ps_diag[1][n]) ** 2 +
+                              int(ps_diag[1][14 - n]) ** 2) * d) & M
+    cost[0] = (cost[0] + int(ps_diag[0][7]) ** 2 * 105) & M
+    cost[4] = (cost[4] + int(ps_diag[1][7]) ** 2 * 105) & M
     for n in range(4):
         c = 0
         for m in range(5):
@@ -64,7 +65,7 @@ def cdef_find_dir(img, bitdepth):
         for m in range(3):
             d = div[2 * m + 1]
             c += (int(ps_alt[n][m]) ** 2 + int(ps_alt[n][10 - m]) ** 2) * d
-        cost[n * 2 + 1] = c
+        cost[n * 2 + 1] = c & M
 
     best_dir = 0
     best_cost = cost[0]
@@ -72,7 +73,7 @@ def cdef_find_dir(img, bitdepth):
         if cost[n] > best_cost:
             best_cost = cost[n]
             best_dir = n
-    var = (best_cost - cost[best_dir ^ 4]) >> 10
+    var = ((best_cost - cost[best_dir ^ 4]) & 0xFFFFFFFF) >> 10
     return best_dir, var
 
 
