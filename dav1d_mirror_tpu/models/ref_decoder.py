@@ -427,8 +427,10 @@ def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
             y += stripe_h
 
 
-def decode_ivf(data: bytes):
-    """Full intra-stream decode: returns list of plane tuples (visible)."""
+def decode_ivf(data: bytes, use_tpu_filters: bool = False):
+    """Full intra-stream decode: returns list of plane tuples (visible).
+    use_tpu_filters routes the in-loop filter chain (deblock/CDEF/LR)
+    through the jitted device pipeline (models.tpu_filters)."""
     _, _, _, frames = parse_ivf(data)
     st = obu_mod.ObuState()
     out = []
@@ -456,7 +458,11 @@ def decode_ivf(data: bytes):
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
         recon_intra_frame(seq, fhdr, coders, bufs)
-        apply_inloop_filters(seq, fhdr, coders, bufs)
+        if use_tpu_filters:
+            from .tpu_filters import apply_inloop_filters_tpu
+            apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
+        else:
+            apply_inloop_filters(seq, fhdr, coders, bufs)
         if fhdr.film_grain_present:
             from ..ops.ref.filmgrain import apply_film_grain
             bufs.planes = apply_film_grain(bufs.planes, seq, fhdr,

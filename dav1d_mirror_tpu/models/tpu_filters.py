@@ -1,0 +1,266 @@
+"""Device (TPU/XLA) in-loop filter pipeline: deblock -> CDEF -> LR.
+
+Drop-in equivalent of models.ref_decoder.apply_inloop_filters, but with all
+pixel work running as jitted JAX kernels (ops/loopfilter_tpu, ops/cdef_tpu,
+ops/looprestoration_tpu). The host only builds small integer plan arrays
+(edge/level maps, cdef index maps, LR stripe-unit batches) from the parsed
+headers and entropy state; pixels stay in device arrays across stages.
+
+Mirrors dav1d's pipeline order (src/decode.c filter_sbrow: deblock cols/rows,
+cdef, resize, loop restoration) at frame granularity.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..host.lf import build_lf_arrays
+from ..ops.ref.loopfilter import calc_eih
+from ..ops.loopfilter_tpu import deblock_plane_tpu
+from ..ops.cdef_tpu import cdef_frame_tpu
+from ..ops.looprestoration_tpu import (wiener_batch_tpu, sgr_batch_tpu)
+from ..ops.ref.looprestoration import (LR_HAVE_LEFT, LR_HAVE_RIGHT,
+                                       LR_HAVE_TOP, LR_HAVE_BOTTOM,
+                                       RESTORATION_WIENER, SGR_PARAMS)
+
+
+def _prep_lvls(lvl, ci_v, ci_h):
+    lv = lvl[:, :, ci_v].astype(np.int32)
+    lv_prev = np.zeros_like(lv)
+    lv_prev[:, 1:] = lv[:, :-1]
+    lh = lvl[:, :, ci_h].astype(np.int32)
+    lh_prev = np.zeros_like(lh)
+    lh_prev[1:, :] = lh[:-1, :]
+    return lv, lv_prev, lh, lh_prev
+
+
+def deblock_frame_tpu(seq, fhdr, coders, bufs, planes):
+    """planes: list of device int32 arrays. Returns deblocked planes."""
+    lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
+    e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
+    e_lut = np.asarray(e_lut)
+    i_lut = np.asarray(i_lut)
+    bd = seq.bitdepth
+    sb_step4 = 32 if seq.sb128 else 16
+
+    lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
+    out = [deblock_plane_tpu(planes[0], lf.edge_v_y.astype(np.int32),
+                             lf.edge_h_y.astype(np.int32), lv, lvp, lh_,
+                             lhp, e_lut, i_lut, luma=True, bitdepth=bd,
+                             sb_step4=sb_step4)]
+    if (len(planes) > 1 and
+            (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
+        for pl in (0, 1):
+            lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
+            out.append(deblock_plane_tpu(
+                planes[1 + pl], lf.edge_v_uv.astype(np.int32),
+                lf.edge_h_uv.astype(np.int32), lv, lvp, lh_, lhp, e_lut,
+                i_lut, luma=False, bitdepth=bd,
+                sb_step4=sb_step4 >> bufs.ss_ver))
+    else:
+        out.extend(planes[1:])
+    return out
+
+
+def build_cdef_plan(fhdr, coders):
+    """Host plan for CDEF: per-64x64 index map + 4x4 noskip map."""
+    from ..host.tilecoder import T_BLOCK_DIM
+    bw4 = coders[0].bw
+    bh4 = coders[0].bh
+    n64x = (bw4 + 15) >> 4
+    n64y = (bh4 + 15) >> 4
+    cdef_idx_map = np.full((n64y, n64x), -1, np.int32)
+    noskip = np.zeros((bh4, bw4), bool)
+    for coder in coders:
+        sb_step = coder.sb_step
+        for (bx, by, idxs) in coder.cdef_idx:
+            if sb_step == 32:
+                for q, v in enumerate(idxs):
+                    qx = (bx >> 4) + (q & 1)
+                    qy = (by >> 4) + (q >> 1)
+                    if qy < n64y and qx < n64x:
+                        cdef_idx_map[qy, qx] = v
+            else:
+                cdef_idx_map[by >> 4, bx >> 4] = idxs[0]
+        for b in coder.blocks:
+            if not b.skip:
+                bd_ = T_BLOCK_DIM[b.bs]
+                noskip[b.by:b.by + int(bd_[1]),
+                       b.bx:b.bx + int(bd_[0])] = True
+    return cdef_idx_map, noskip
+
+
+def _lr_stripe_plan(seq, fhdr, coders, bufs, p):
+    """Enumerate LR stripe-units for plane p exactly as the reference driver
+    (models.ref_decoder.apply_lr); yields dicts with geometry + params."""
+    lr_units = {}
+    for coder in coders:
+        lr_units.update(coder.lr_units)
+    ss_ver = bufs.ss_ver if p else 0
+    ss_hor = bufs.ss_hor if p else 0
+    hh = (bufs.height + ss_ver) >> ss_ver
+    ww = (bufs.width + ss_hor) >> ss_hor
+    us_log2 = fhdr.restoration_unit_size[1 if p else 0]
+    unit_size = 1 << us_log2
+    half = unit_size >> 1
+    max_unit = unit_size + half
+
+    y = 0
+    while y < hh:
+        stripe_h = min((64 - 8 * (y == 0)) >> ss_ver, hh - y)
+        row_y = y + ((8 >> ss_ver) if y else 0)
+        aligned = row_y & ~(unit_size - 1)
+        if aligned and aligned + half > hh:
+            aligned -= unit_size
+        urow64 = (aligned << ss_ver) >> 6
+        edges_base = ((LR_HAVE_TOP if y > 0 else 0) |
+                      (LR_HAVE_BOTTOM if y + stripe_h < hh else 0))
+        x = 0
+        while x < ww:
+            if x + max_unit <= ww:
+                uw = unit_size
+                last = False
+            else:
+                uw = ww - x
+                last = True
+            ucol64 = (x << ss_hor) >> 6
+            lr = lr_units.get((p, urow64, ucol64))
+            if lr is not None and lr["type"] != 0:
+                edges = edges_base | \
+                    (LR_HAVE_LEFT if x > 0 else 0) | \
+                    (0 if last else LR_HAVE_RIGHT)
+                yield dict(x=x, y=y, w=uw, h=stripe_h, edges=edges, lr=lr)
+            x += uw
+        y += stripe_h
+
+
+def _pad_stripe_np(pre_lr, pre, x, y, w, h, edges, plane_w):
+    """Gather the (h+6, w+6) padded input from host copies of the pre-LR
+    plane and the pre-CDEF boundary rows (same semantics as
+    ops.ref.looprestoration.pad_stripe)."""
+    out = np.zeros((h + 6, w + 6), np.int32)
+    xs = max(0, x - 3)
+    xe = min(x + w + 3, plane_w)
+    c0 = 3 - (x - xs)
+    c1 = c0 + (xe - xs)
+    out[3:3 + h, c0:c1] = pre_lr[y:y + h, xs:xe]
+    if edges & LR_HAVE_TOP:
+        out[0, c0:c1] = pre[y - 2, xs:xe]
+        out[1, c0:c1] = pre[y - 2, xs:xe]
+        out[2, c0:c1] = pre[y - 1, xs:xe]
+    else:
+        out[0] = out[1] = out[2] = out[3]
+    if edges & LR_HAVE_BOTTOM:
+        out[3 + h, c0:c1] = pre[y + h, xs:xe]
+        out[4 + h, c0:c1] = pre[y + h + 1, xs:xe]
+        out[5 + h, c0:c1] = pre[y + h + 1, xs:xe]
+    else:
+        out[3 + h] = out[4 + h] = out[5 + h] = out[2 + h]
+    if not (edges & LR_HAVE_LEFT):
+        out[:, 0] = out[:, 1] = out[:, 2] = out[:, 3]
+    if not (edges & LR_HAVE_RIGHT):
+        out[:, w + 3] = out[:, w + 4] = out[:, w + 5] = out[:, w + 2]
+    return out
+
+
+def lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef, restore_planes):
+    """planes: device int32 arrays (post-CDEF). pre_cdef: host int32 copies
+    of the post-deblock planes. Batches equal-geometry stripe-units per
+    filter family and runs them as single device calls."""
+    bd = seq.bitdepth
+    out = list(planes)
+    for p in range(len(planes)):
+        if not ((restore_planes >> p) & 1):
+            continue
+        pre_lr = np.asarray(planes[p])
+        pre = pre_cdef[p]
+        plane_w = pre_lr.shape[1]
+
+        groups = {}  # (kind-key) -> list of units
+        for u in _lr_stripe_plan(seq, fhdr, coders, bufs, p):
+            lr = u["lr"]
+            if lr["type"] == RESTORATION_WIENER:
+                key = ("wiener", u["w"], u["h"])
+            else:
+                sgr_idx = lr["type"] - 3
+                s0 = int(SGR_PARAMS[sgr_idx][0])
+                s1 = int(SGR_PARAMS[sgr_idx][1])
+                kind = 2 if (s0 and s1) else (0 if s0 else 1)
+                key = ("sgr", kind, u["w"], u["h"])
+            groups.setdefault(key, []).append(u)
+
+        plane = np.asarray(out[p]).copy()
+        for key, units in groups.items():
+            B = len(units)
+            w, h = key[-2], key[-1]
+            padded = np.stack([
+                _pad_stripe_np(pre_lr, pre, u["x"], u["y"], w, h,
+                               u["edges"], plane_w) for u in units])
+            if key[0] == "wiener":
+                fh = np.zeros((B, 7), np.int32)
+                fv = np.zeros((B, 7), np.int32)
+                for i, u in enumerate(units):
+                    f3h = u["lr"]["filter_h"]
+                    f3v = u["lr"]["filter_v"]
+                    fh[i, :3] = f3h
+                    fh[i, 4:] = f3h[::-1]
+                    fh[i, 3] = 128 - 2 * (f3h[0] + f3h[1] + f3h[2])
+                    fv[i, :3] = f3v
+                    fv[i, 4:] = f3v[::-1]
+                    fv[i, 3] = 128 - 2 * (f3v[0] + f3v[1] + f3v[2])
+                res = np.asarray(wiener_batch_tpu(padded, fh, fv, w, h, bd))
+            else:
+                kind = key[1]
+                s0 = np.zeros(B, np.int32)
+                s1 = np.zeros(B, np.int32)
+                w0 = np.zeros(B, np.int32)
+                w1 = np.zeros(B, np.int32)
+                cur = np.stack([plane[u["y"]:u["y"] + h,
+                                      u["x"]:u["x"] + w] for u in units])
+                for i, u in enumerate(units):
+                    sgr_idx = u["lr"]["type"] - 3
+                    s0[i] = int(SGR_PARAMS[sgr_idx][0])
+                    s1[i] = int(SGR_PARAMS[sgr_idx][1])
+                    sw = u["lr"]["sgr_weights"]
+                    w0[i] = sw[0]
+                    w1[i] = 128 - (sw[0] + sw[1])
+                res = np.asarray(sgr_batch_tpu(
+                    padded, cur.astype(np.int32), s0, s1, w0, w1, w, h, bd,
+                    kind))
+            for i, u in enumerate(units):
+                plane[u["y"]:u["y"] + h, u["x"]:u["x"] + w] = res[i]
+        out[p] = jnp.asarray(plane)
+    return out
+
+
+def apply_inloop_filters_tpu(seq, fhdr, coders, bufs):
+    """Full TPU in-loop filter chain over bufs.planes (numpy in/out).
+    Equivalent to models.ref_decoder.apply_inloop_filters."""
+    planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
+
+    if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
+        planes = deblock_frame_tpu(seq, fhdr, coders, bufs, planes)
+
+    restore_planes = sum((fhdr.restoration_type[p] != 0) << p
+                         for p in range(3))
+    pre_cdef = [np.asarray(p) for p in planes] if restore_planes else None
+
+    if seq.cdef and (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
+                     any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
+        cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
+        bd_m8 = seq.bitdepth - 8
+        new = cdef_frame_tpu(
+            tuple(planes), cdef_idx_map, noskip,
+            np.asarray(fhdr.cdef_y_strength, np.int32),
+            np.asarray(fhdr.cdef_uv_strength, np.int32),
+            fhdr.cdef_damping + bd_m8, seq.bitdepth, bufs.ss_hor,
+            bufs.ss_ver, seq.layout == 0)
+        planes = list(new)
+
+    if restore_planes:
+        planes = lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef,
+                              restore_planes)
+
+    for i, p in enumerate(planes):
+        bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
+    return bufs
