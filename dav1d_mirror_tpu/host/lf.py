@@ -13,6 +13,36 @@ from .tilecoder import T_BLOCK_DIM, T_TXFM
 from . import headers as h
 
 
+def _decomp_tx(txw, txh, stepw, steph, from_tx, depth, y_off, x_off, masks,
+               y0, x0):
+    """dav1d lf_mask.c decomp_tx:39 — dense 32x32 formulation."""
+    t_dim = T_TXFM[from_tx]
+    w, hh = int(t_dim[0]), int(t_dim[1])
+    is_split = 0 if (from_tx == 0 or depth > 1) else \
+        (masks[depth] >> (y_off * 4 + x_off)) & 1
+    if is_split:
+        sub = int(t_dim[6])
+        htw4, hth4 = w >> 1, hh >> 1
+        _decomp_tx(txw, txh, stepw, steph, sub, depth + 1,
+                   y_off * 2, x_off * 2, masks, y0, x0)
+        if w >= hh:
+            _decomp_tx(txw, txh, stepw, steph, sub, depth + 1,
+                       y_off * 2, x_off * 2 + 1, masks, y0, x0 + htw4)
+        if hh >= w:
+            _decomp_tx(txw, txh, stepw, steph, sub, depth + 1,
+                       y_off * 2 + 1, x_off * 2, masks, y0 + hth4, x0)
+            if w >= hh:
+                _decomp_tx(txw, txh, stepw, steph, sub, depth + 1,
+                           y_off * 2 + 1, x_off * 2 + 1, masks,
+                           y0 + hth4, x0 + htw4)
+    else:
+        lw, lh = min(2, int(t_dim[2])), min(2, int(t_dim[3]))
+        txw[y0:y0 + hh, x0:x0 + w] = lw
+        txh[y0:y0 + hh, x0:x0 + w] = lh
+        stepw[y0:y0 + hh, x0] = w
+        steph[y0, x0:x0 + w] = hh
+
+
 class LfArrays:
     def __init__(self, w4, h4, cw4, ch4):
         self.edge_v_y = np.full((h4, w4), -1, np.int8)
@@ -54,27 +84,79 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
                 continue
             by4 = by & 31
 
-            t_dim = T_TXFM[b.tx]
-            tw, th = int(t_dim[0]), int(t_dim[1])
-            twl4c = min(2, int(t_dim[2]))
-            thl4c = min(2, int(t_dim[3]))
-
             lf.lvl_y[by:by + bh4, bx:bx + bw4, 0] = b.lflvl4[0]
             lf.lvl_y[by:by + bh4, bx:bx + bw4, 1] = b.lflvl4[1]
 
-            # left block edge
-            for y in range(bh4):
-                lf.edge_v_y[by + y, bx] = min(twl4c, int(l_y[by4 + y]))
-            # top block edge
-            for x in range(bw4):
-                lf.edge_h_y[by, bx + x] = min(thl4c, int(a_y[bx + x]))
-            # inner tx edges
-            for xi in range(tw, bw4, tw):
-                lf.edge_v_y[by:by + bh4, bx + xi] = twl4c
-            for yi in range(th, bh4, th):
-                lf.edge_h_y[by + yi, bx:bx + bw4] = thl4c
-            a_y[bx:bx + bw4] = thl4c
-            l_y[by4:by4 + bh4] = twl4c
+            if b.intra:
+                t_dim = T_TXFM[b.tx]
+                tw, th = int(t_dim[0]), int(t_dim[1])
+                twl4c = min(2, int(t_dim[2]))
+                thl4c = min(2, int(t_dim[3]))
+
+                # left block edge
+                for y in range(bh4):
+                    lf.edge_v_y[by + y, bx] = min(twl4c, int(l_y[by4 + y]))
+                # top block edge
+                for x in range(bw4):
+                    lf.edge_h_y[by, bx + x] = min(thl4c, int(a_y[bx + x]))
+                # inner tx edges
+                for xi in range(tw, bw4, tw):
+                    lf.edge_v_y[by:by + bh4, bx + xi] = twl4c
+                for yi in range(th, bh4, th):
+                    lf.edge_h_y[by + yi, bx:bx + bw4] = thl4c
+                a_y[bx:bx + bw4] = thl4c
+                l_y[by4:by4 + bh4] = twl4c
+            else:
+                # dav1d lf_mask.c mask_edges_inter:82 (dense formulation)
+                txw = np.zeros((32, 32), np.int32)
+                txh = np.zeros((32, 32), np.int32)
+                stepw = np.zeros((32, 32), np.int32)
+                steph = np.zeros((32, 32), np.int32)
+                ytx_dim = T_TXFM[b.max_ytx]
+                yw, yh = int(ytx_dim[0]), int(ytx_dim[1])
+                masks = (b.tx_split0, b.tx_split1)
+                yy = 0
+                y_off = 0
+                while yy < bh4:
+                    xx = 0
+                    x_off = 0
+                    while xx < bw4:
+                        _decomp_tx(txw, txh, stepw, steph, b.max_ytx, 0,
+                                   y_off, x_off, masks, yy, xx)
+                        xx += yw
+                        x_off += 1
+                    yy += yh
+                    y_off += 1
+
+                for y in range(bh4):
+                    lf.edge_v_y[by + y, bx] = min(int(txw[y, 0]),
+                                                  int(l_y[by4 + y]))
+                for x in range(bw4):
+                    lf.edge_h_y[by, bx + x] = min(int(txh[0, x]),
+                                                  int(a_y[bx + x]))
+                if not b.skip:
+                    for y in range(bh4):
+                        ltx = int(txw[y, 0])
+                        step = int(stepw[y, 0])
+                        x = step
+                        while x < bw4:
+                            rtx = int(txw[y, x])
+                            lf.edge_v_y[by + y, bx + x] = min(rtx, ltx)
+                            ltx = rtx
+                            step = int(stepw[y, x])
+                            x += step
+                    for x in range(bw4):
+                        ttx = int(txh[0, x])
+                        step = int(steph[0, x])
+                        y = step
+                        while y < bh4:
+                            btx = int(txh[y, x])
+                            lf.edge_h_y[by + y, bx + x] = min(ttx, btx)
+                            ttx = btx
+                            step = int(steph[y, x])
+                            y += step
+                l_y[by4:by4 + bh4] = txw[:bh4, bw4 - 1]
+                a_y[bx:bx + bw4] = txh[bh4 - 1, :bw4]
 
             if monochrome:
                 continue
@@ -102,10 +184,11 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
                 lf.edge_v_uv[cby + y, cbx] = min(ctwl4c, int(l_uv[cby4 + y]))
             for x in range(cbw4):
                 lf.edge_h_uv[cby, cbx + x] = min(cthl4c, int(a_uv[cbx + x]))
-            for xi in range(ctw, cbw4, ctw):
-                lf.edge_v_uv[cby:cby + cbh4, cbx + xi] = ctwl4c
-            for yi in range(cth, cbh4, cth):
-                lf.edge_h_uv[cby + yi, cbx:cbx + cbw4] = cthl4c
+            if b.intra or not b.skip:  # dav1d mask_edges_chroma skip_inter
+                for xi in range(ctw, cbw4, ctw):
+                    lf.edge_v_uv[cby:cby + cbh4, cbx + xi] = ctwl4c
+                for yi in range(cth, cbh4, cth):
+                    lf.edge_h_uv[cby + yi, cbx:cbx + cbw4] = cthl4c
             a_uv[cbx:cbx + cbw4] = cthl4c
             l_uv[cby4:cby4 + cbh4] = ctwl4c
 

@@ -56,6 +56,21 @@ _BS_LIST = [(128, 128), (128, 64), (64, 128), (64, 64), (64, 32), (64, 16),
             (16, 16), (16, 8), (16, 4), (8, 32), (8, 16), (8, 8), (8, 4),
             (4, 16), (4, 8), (4, 4)]
 CFL_ALLOWED = {i for i, (w, h) in enumerate(_BS_LIST) if w <= 32 and h <= 32}
+# dav1d src/tables.h:86,97 (BS indices: 32x32..8x8 resp. subsets)
+WEDGE_ALLOWED = {7, 8, 9, 11, 12, 13, 15, 16, 17}
+INTERINTRA_ALLOWED = {7, 8, 11, 12, 13, 16, 17}
+
+# inter enums (dav1d src/levels.h:207-257)
+NEARESTMV, NEARMV, GLOBALMV, NEWMV = range(4)
+(NEAREST_DRL, NEARER_DRL, NEAR_DRL, NEARISH_DRL) = range(4)
+(NEARESTMV_NEARESTMV, NEARMV_NEARMV, NEARESTMV_NEWMV, NEWMV_NEARESTMV,
+ NEARMV_NEWMV, NEWMV_NEARMV, GLOBALMV_GLOBALMV, NEWMV_NEWMV) = range(8)
+N_COMP_INTER_PRED_MODES = 8
+(COMP_INTER_NONE, COMP_INTER_WEIGHTED_AVG, COMP_INTER_AVG, COMP_INTER_SEG,
+ COMP_INTER_WEDGE) = range(5)
+MM_TRANSLATION, MM_OBMC, MM_WARP = range(3)
+INTER_INTRA_NONE, INTER_INTRA_BLEND, INTER_INTRA_WEDGE = range(3)
+N_SWITCHABLE_FILTERS = 3
 
 # ---- spec tables ----
 T_BLOCK_DIM = TABLES["block_dimensions"]          # [bs][w4,h4,lw,lh]
@@ -73,6 +88,9 @@ T_LO_CTX_OFFSETS = TABLES["lo_ctx_offsets"]       # [3][5][5]
 T_SKIP_CTX = TABLES["skip_ctx"]                   # [5][5]
 T_DQ = TABLES["dq_tbl"]                           # [hbd][256][2]
 SCANS = [TABLES[f"scan.{t}"] for t in range(19)]
+T_COMP_INTER_MODES = TABLES["comp_inter_pred_modes"]  # [8][2]
+T_FILTER_2D = TABLES["filter_2d"]                 # [v][h] -> Filter2d
+T_WEDGE_CTX = TABLES["wedge_ctx_lut"]             # [bs]
 
 
 def iclip_u8(v):
@@ -206,6 +224,210 @@ class EncodeSide:
 
 
 # ------------------------------------------------------------------
+# env.h inter context derivations (dav1d src/env.h:59-438)
+# ------------------------------------------------------------------
+def get_intra_ctx(a, l, by4, bx4, have_top, have_left):
+    if have_left:
+        if have_top:
+            ctx = int(l.intra[by4]) + int(a.intra[bx4])
+            return ctx + (ctx == 2)
+        return int(l.intra[by4]) * 2
+    return int(a.intra[bx4]) * 2 if have_top else 0
+
+
+def get_comp_ctx(a, l, by4, bx4, have_top, have_left):
+    if have_top:
+        if have_left:
+            if a.comp_type[bx4]:
+                if l.comp_type[by4]:
+                    return 4
+                return 2 + (int(l.ref[0][by4]) >= 4 or l.ref[0][by4] < 0)
+            if l.comp_type[by4]:
+                return 2 + (int(a.ref[0][bx4]) >= 4 or a.ref[0][bx4] < 0)
+            return int(l.ref[0][by4] >= 4) ^ int(a.ref[0][bx4] >= 4)
+        return 3 if a.comp_type[bx4] else int(a.ref[0][bx4] >= 4)
+    if have_left:
+        return 3 if l.comp_type[by4] else int(l.ref[0][by4] >= 4)
+    return 1
+
+
+def _has_uni_comp(edge, off):
+    return (edge.ref[0][off] < 4) == (edge.ref[1][off] < 4)
+
+
+def get_comp_dir_ctx(a, l, by4, bx4, have_top, have_left):
+    if have_top and have_left:
+        a_intra, l_intra = a.intra[bx4], l.intra[by4]
+        if a_intra and l_intra:
+            return 2
+        if a_intra or l_intra:
+            edge, off = (l, by4) if a_intra else (a, bx4)
+            if edge.comp_type[off] == COMP_INTER_NONE:
+                return 2
+            return 1 + 2 * int(_has_uni_comp(edge, off))
+        a_comp = a.comp_type[bx4] != COMP_INTER_NONE
+        l_comp = l.comp_type[by4] != COMP_INTER_NONE
+        a_ref0, l_ref0 = int(a.ref[0][bx4]), int(l.ref[0][by4])
+        if not a_comp and not l_comp:
+            return 1 + 2 * int((a_ref0 >= 4) == (l_ref0 >= 4))
+        if not a_comp or not l_comp:
+            edge, off = (a, bx4) if a_comp else (l, by4)
+            if not _has_uni_comp(edge, off):
+                return 1
+            return 3 + int((a_ref0 >= 4) == (l_ref0 >= 4))
+        a_uni, l_uni = _has_uni_comp(a, bx4), _has_uni_comp(l, by4)
+        if not a_uni and not l_uni:
+            return 0
+        if not a_uni or not l_uni:
+            return 2
+        return 3 + int((a_ref0 == 4) == (l_ref0 == 4))
+    if have_top or have_left:
+        edge, off = (l, by4) if have_left else (a, bx4)
+        if edge.intra[off]:
+            return 2
+        if edge.comp_type[off] == COMP_INTER_NONE:
+            return 2
+        return 4 * int(_has_uni_comp(edge, off))
+    return 2
+
+
+def _ref_cnts(a, l, by4, bx4, have_top, have_left):
+    out = []
+    if have_top and not a.intra[bx4]:
+        out.append(int(a.ref[0][bx4]))
+        if a.comp_type[bx4]:
+            out.append(int(a.ref[1][bx4]))
+    if have_left and not l.intra[by4]:
+        out.append(int(l.ref[0][by4]))
+        if l.comp_type[by4]:
+            out.append(int(l.ref[1][by4]))
+    return out
+
+
+def _cnt_ctx(c0, c1):
+    return 1 if c0 == c1 else (0 if c0 < c1 else 2)
+
+
+def get_ref_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0]
+    for r in refs:
+        c[r >= 4] += 1
+    return _cnt_ctx(c[0], c[1])
+
+
+def get_fwd_ref_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0, 0, 0]
+    for r in refs:
+        if 0 <= r < 4:
+            c[r] += 1
+    return _cnt_ctx(c[0] + c[1], c[2] + c[3])
+
+
+def get_fwd_ref_1_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0]
+    for r in refs:
+        if 0 <= r < 2:
+            c[r] += 1
+    return _cnt_ctx(c[0], c[1])
+
+
+def get_fwd_ref_2_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0]
+    for r in refs:
+        if 2 <= r < 4:
+            c[r - 2] += 1
+    return _cnt_ctx(c[0], c[1])
+
+
+def get_bwd_ref_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0, 0]
+    for r in refs:
+        if r >= 4:
+            c[r - 4] += 1
+    return _cnt_ctx(c[1] + c[0], c[2])
+
+
+def get_bwd_ref_1_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0, 0]
+    for r in refs:
+        if r >= 4:
+            c[r - 4] += 1
+    return _cnt_ctx(c[0], c[1])
+
+
+def get_uni_p1_ctx(a, l, by4, bx4, have_top, have_left):
+    refs = _ref_cnts(a, l, by4, bx4, have_top, have_left)
+    c = [0, 0, 0]
+    for r in refs:
+        if 1 <= r < 4:
+            c[r - 1] += 1
+    return _cnt_ctx(c[0], c[1] + c[2])
+
+
+def get_jnt_comp_ctx(order_hint_n_bits, poc, ref0poc, ref1poc, a, l,
+                     by4, bx4):
+    def poc_diff(p0, p1):
+        if not order_hint_n_bits:
+            return 0
+        mask = 1 << (order_hint_n_bits - 1)
+        diff = p0 - p1
+        return (diff & (mask - 1)) - (diff & mask)
+    d0 = abs(poc_diff(ref0poc, poc))
+    d1 = abs(poc_diff(poc, ref1poc))
+    offset = int(d0 == d1)
+    a_ctx = int(a.comp_type[bx4] >= COMP_INTER_AVG or a.ref[0][bx4] == 6)
+    l_ctx = int(l.comp_type[by4] >= COMP_INTER_AVG or l.ref[0][by4] == 6)
+    return 3 * offset + a_ctx + l_ctx
+
+
+def get_mask_comp_ctx(a, l, by4, bx4):
+    a_ctx = 1 if a.comp_type[bx4] >= COMP_INTER_SEG else \
+        3 if a.ref[0][bx4] == 6 else 0
+    l_ctx = 1 if l.comp_type[by4] >= COMP_INTER_SEG else \
+        3 if l.ref[0][by4] == 6 else 0
+    return min(a_ctx + l_ctx, 5)
+
+
+def get_filter_ctx(a, l, comp, dir_, ref, by4, bx4):
+    a_filter = int(a.filter[dir_][bx4]) \
+        if (a.ref[0][bx4] == ref or a.ref[1][bx4] == ref) \
+        else N_SWITCHABLE_FILTERS
+    l_filter = int(l.filter[dir_][by4]) \
+        if (l.ref[0][by4] == ref or l.ref[1][by4] == ref) \
+        else N_SWITCHABLE_FILTERS
+    if a_filter == l_filter:
+        return comp * 4 + a_filter
+    if a_filter == N_SWITCHABLE_FILTERS:
+        return comp * 4 + l_filter
+    if l_filter == N_SWITCHABLE_FILTERS:
+        return comp * 4 + a_filter
+    return comp * 4 + N_SWITCHABLE_FILTERS
+
+
+def get_drl_context(stack, ref_idx):
+    if stack[ref_idx][2] >= 640:
+        return int(stack[ref_idx + 1][2] < 640)
+    return 2 if stack[ref_idx + 1][2] < 640 else 0
+
+
+def get_uv_inter_txtp(uvt_dim, ytxtp):
+    """dav1d env.h get_uv_inter_txtp:120."""
+    H_ADST, V_ADST, H_FLIPADST, V_FLIPADST = 12, 13, 14, 15
+    if int(uvt_dim[5]) == TX_32X32:
+        return IDTX if ytxtp == IDTX else DCT_DCT
+    if int(uvt_dim[4]) == TX_16X16 and \
+            ytxtp in (H_FLIPADST, V_FLIPADST, H_ADST, V_ADST):
+        return DCT_DCT
+    return ytxtp
+
+
+# ------------------------------------------------------------------
 # Block context (dav1d env.h BlockContext)
 # ------------------------------------------------------------------
 class BlockContext:
@@ -243,7 +465,7 @@ class BlockContext:
             self.comp_type[:] = 0
         self.lcoef[:] = 0x40
         self.ccoef[:] = 0x40
-        self.filter[:] = 4  # N_SWITCHABLE_FILTERS
+        self.filter[:] = 3  # DAV1D_N_SWITCHABLE_FILTERS
         self.seg_pred[:] = 0
         self.pal_sz[:] = 0
 
@@ -252,7 +474,12 @@ class Av1Block:
     __slots__ = ("bl", "bp", "bs", "seg_id", "skip_mode", "skip", "intra",
                  "y_mode", "y_angle", "uv_mode", "uv_angle", "cfl_alpha",
                  "pal_sz", "pal", "pal_idx_y", "pal_idx_uv", "tx", "uvtx",
-                 "bx", "by", "qidx", "edge_flags", "lflvl4")
+                 "bx", "by", "qidx", "edge_flags", "lflvl4",
+                 # inter
+                 "inter_mode", "drl_idx", "ref", "mv", "comp_type",
+                 "motion_mode", "interintra_type", "interintra_mode",
+                 "wedge_idx", "mask_sign", "filter2d", "max_ytx",
+                 "tx_split0", "tx_split1", "coef_lo", "coef_hi")
 
     def __init__(self):
         self.pal_sz = [0, 0]
@@ -260,6 +487,16 @@ class Av1Block:
         self.pal = [None, None, None]
         self.pal_idx_y = None
         self.pal_idx_uv = None
+        self.intra = 1
+        self.skip_mode = 0
+        self.comp_type = COMP_INTER_NONE
+        self.motion_mode = MM_TRANSLATION
+        self.interintra_type = INTER_INTRA_NONE
+        self.ref = [-1, -1]
+        self.mv = [(0, 0), (0, 0)]
+        self.filter2d = 0
+        self.tx_split0 = 0
+        self.tx_split1 = 0
 
 
 class CoefBlock:
@@ -277,11 +514,16 @@ class CoefBlock:
 
 class TileCoder:
     def __init__(self, seq: SequenceHeader, fhdr: FrameHeader,
-                 cdf: CdfContext, ec, tile_col: int = 0, tile_row: int = 0):
+                 cdf: CdfContext, ec, tile_col: int = 0, tile_row: int = 0,
+                 rf=None, prev_segmap=None, ref_poc=None):
         self.seq = seq
         self.f = fhdr
         self.cdf = cdf
         self.ec = ec
+        self.rf = rf                  # host.refmvs.RefmvsFrame (inter frames)
+        self.prev_segmap = prev_segmap
+        self.ref_poc = ref_poc or [0] * 7
+        self.txtp_map = np.zeros((32, 32), np.uint8)
         t = fhdr.tiling
         sbsz_log2 = 6 + seq.sb128
         sb_step = 1 << (sbsz_log2 - 2)  # in 4px units
@@ -547,25 +789,41 @@ class TileCoder:
         a = self._a(bx)
         l = self.l
 
-        assert self.keyframe and not f.allow_intrabc, \
-            "inter frames not yet supported by the tile coder"
+        assert not f.allow_intrabc, "intrabc not yet supported"
+        inter_frame = not self.keyframe
 
-        # segment_id (keyframe: update_map=1, update_data=1, maybe preskip)
+        # segment_id (dav1d decode.c:851-906)
         seg = None
+        seg_pred = 0
         if f.segmentation_enabled:
-            if f.seg_data.preskip:
-                b.seg_id = self._read_seg_id(bx, by, w4, h4, have_top,
-                                             have_left)
+            if not f.segmentation_update_map:
+                b.seg_id = self._prev_seg_id(bx, by, w4, h4)
+                seg = f.seg_data.d[b.seg_id]
+            elif f.seg_data.preskip:
+                if f.segmentation_temporal:
+                    spctx = int(a.seg_pred[bx4]) + int(self.l.seg_pred[by4])
+                    seg_pred = ec.bool_adapt("seg_pred",
+                                             self.cdf.m["seg_pred"][spctx])
+                if seg_pred:
+                    b.seg_id = self._prev_seg_id(bx, by, w4, h4)
+                else:
+                    b.seg_id = self._read_seg_id(bx, by, w4, h4, have_top,
+                                                 have_left)
                 seg = f.seg_data.d[b.seg_id]
         else:
             b.seg_id = 0
-            seg = None
 
-        # skip_mode is 0 for intra frames
-        b.skip_mode = 0
+        # skip_mode (dav1d decode.c:908-919)
+        if (seg is None or (not seg.globalmv and seg.ref == -1 and
+                            not seg.skip)) and f.skip_mode_enabled and \
+                min(bw4, bh4) > 1:
+            smctx = int(a.skip_mode[bx4]) + int(l.skip_mode[by4])
+            b.skip_mode = ec.bool_adapt("skip_mode", cdfm["skip_mode"][smctx])
+        else:
+            b.skip_mode = 0
 
         # skip
-        if seg is not None and seg.skip:
+        if b.skip_mode or (seg is not None and seg.skip):
             b.skip = 1
         else:
             sctx = int(a.skip[bx4]) + int(l.skip[by4])
@@ -574,19 +832,27 @@ class TileCoder:
                 print(f"Post-skip[{b.skip}]: r={ec.rng}")
 
         # segment_id post-skip
-        if f.segmentation_enabled and not f.seg_data.preskip:
-            if b.skip:
+        if f.segmentation_enabled and f.segmentation_update_map and \
+                not f.seg_data.preskip:
+            if not b.skip and f.segmentation_temporal:
+                spctx = int(a.seg_pred[bx4]) + int(self.l.seg_pred[by4])
+                seg_pred = ec.bool_adapt("seg_pred",
+                                         self.cdf.m["seg_pred"][spctx])
+            if not b.skip and seg_pred:
+                b.seg_id = self._prev_seg_id(bx, by, w4, h4)
+            else:
                 seg_ctx, pred_seg_id = self._cur_seg_ctx(bx, by, have_top,
                                                          have_left)
-                b.seg_id = pred_seg_id
-            else:
-                b.seg_id = self._read_seg_id(bx, by, w4, h4, have_top,
-                                             have_left)
+                if b.skip:
+                    b.seg_id = pred_seg_id
+                else:
+                    b.seg_id = self._read_seg_id(bx, by, w4, h4, have_top,
+                                                 have_left)
             seg = f.seg_data.d[b.seg_id]
         elif not f.segmentation_enabled:
             b.seg_id = 0
 
-        if self.seg_map is not None:
+        if self.seg_map is not None and f.segmentation_update_map:
             self.seg_map[by:by + h4, bx:bx + w4] = b.seg_id
 
         # cdef index (always walked; reads 0 bits when cdef.n_bits == 0)
@@ -607,13 +873,35 @@ class TileCoder:
         if not (bx & mask) and not (by & mask):
             self._read_delta_q_lf(b, bs)
         b.qidx = self.last_qidx
-        b.lflvl4 = self._calc_lflvl(b.seg_id)
 
-        b.intra = 1
+        # intra/inter determination (dav1d decode.c:1067-1086)
+        if b.skip_mode:
+            b.intra = 0
+        elif inter_frame:
+            if seg is not None and (seg.ref >= 0 or seg.globalmv):
+                b.intra = int(not seg.ref)
+            else:
+                ictx = get_intra_ctx(a, l, by4, bx4, have_top, have_left)
+                b.intra = 1 - ec.bool_adapt("is_inter", cdfm["intra"][ictx])
+                if self.dbg:
+                    print(f"Post-intra[{b.intra}]: r={ec.rng}")
+        else:
+            b.intra = 1
 
-        # y mode (keyframe cdf)
-        ymode_cdf = self.cdf.kfym[
-            T_INTRA_MODE_CTX[a.mode[bx4]]][T_INTRA_MODE_CTX[l.mode[by4]]]
+        if not b.intra:
+            self._inter_block(b, bl, bs, bx, by, w4, h4, edge_flags, seg,
+                              seg_pred, have_top, have_left)
+            self.blocks.append(b)
+            return 0
+
+        b.lflvl4 = self._calc_lflvl(b.seg_id, 0, 0)
+
+        # y mode
+        if inter_frame:
+            ymode_cdf = cdfm["y_mode"][int(T_YMODE_SIZE_CTX[bs])]
+        else:
+            ymode_cdf = self.cdf.kfym[
+                T_INTRA_MODE_CTX[a.mode[bx4]]][T_INTRA_MODE_CTX[l.mode[by4]]]
         b.y_mode = ec.sym("ymode", ymode_cdf, N_INTRA_PRED_MODES - 1)
         if self.dbg:
             print(f"Post-ymode[{b.y_mode}]: r={ec.rng}")
@@ -701,7 +989,9 @@ class TileCoder:
                 print(f"Post-tx[{b.tx}]: r={ec.rng}")
 
         # coefficient blocks (read_coef_blocks order)
+        b.coef_lo = len(self.coefs)
         self._read_coef_blocks(b, bs, bx, by, w4, h4, has_chroma)
+        b.coef_hi = len(self.coefs)
 
         # context updates
         y_mode_nofilt = DC_PRED if b.y_mode == FILTER_PRED else b.y_mode
@@ -714,17 +1004,33 @@ class TileCoder:
         a.mode[bx4:bx4 + bw4] = y_mode_nofilt
         l.pal_sz[by4:by4 + bh4] = b.pal_sz[0]
         a.pal_sz[bx4:bx4 + bw4] = b.pal_sz[0]
-        l.seg_pred[by4:by4 + bh4] = 0
-        a.seg_pred[bx4:bx4 + bw4] = 0
+        l.seg_pred[by4:by4 + bh4] = seg_pred
+        a.seg_pred[bx4:bx4 + bw4] = seg_pred
         l.skip_mode[by4:by4 + bh4] = 0
         a.skip_mode[bx4:bx4 + bw4] = 0
         l.intra[by4:by4 + bh4] = 1
         a.intra[bx4:bx4 + bw4] = 1
         l.skip[by4:by4 + bh4] = b.skip
         a.skip[bx4:bx4 + bw4] = b.skip
+        if inter_frame:
+            l.comp_type[by4:by4 + bh4] = COMP_INTER_NONE
+            a.comp_type[bx4:bx4 + bw4] = COMP_INTER_NONE
+            l.ref[0][by4:by4 + bh4] = -1
+            l.ref[1][by4:by4 + bh4] = -1
+            a.ref[0][bx4:bx4 + bw4] = -1
+            a.ref[1][bx4:bx4 + bw4] = -1
+            l.filter[0][by4:by4 + bh4] = N_SWITCHABLE_FILTERS
+            l.filter[1][by4:by4 + bh4] = N_SWITCHABLE_FILTERS
+            a.filter[0][bx4:bx4 + bw4] = N_SWITCHABLE_FILTERS
+            a.filter[1][bx4:bx4 + bw4] = N_SWITCHABLE_FILTERS
         if has_chroma:
             l.uvmode[cby4:cby4 + cbh4] = b.uv_mode
             a.uvmode[cbx4:cbx4 + cbw4] = b.uv_mode
+        if inter_frame:
+            # dav1d decode.c splat_intraref:596
+            from .refmvs import INVALID
+            self.rf.splat_mv(by, bx, bw4, bh4, 0, -1,
+                             (INVALID, INVALID), (INVALID, INVALID), bs, 0)
 
         self.blocks.append(b)
         return 0
@@ -759,6 +1065,629 @@ class TileCoder:
         if seg_id > last_active or seg_id >= 8:
             seg_id = 0
         return seg_id
+
+    def _prev_seg_id(self, bx, by, w4, h4):
+        """dav1d decode.c get_prev_frame_segid:528 (min over the block)."""
+        if self.prev_segmap is None:
+            return 0
+        seg_id = int(self.prev_segmap[by:by + h4, bx:bx + w4].min())
+        assert seg_id < 8
+        return seg_id
+
+    # ---- inter block (dav1d decode.c:1421-1975) ----
+    def _inter_block(self, b, bl, bs, bx, by, w4, h4, edge_flags, seg,
+                     seg_pred, have_top, have_left):
+        from .refmvs import (refmvs_find, fix_mv_precision, get_gmv_2d,
+                             WM_TYPE_TRANSLATION)
+        ec = self.ec
+        f = self.f
+        seq = self.seq
+        cdfm = self.cdf.m
+        a = self._a(bx)
+        l = self.l
+        b_dim = T_BLOCK_DIM[b.bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        bx4, by4 = bx & 31, by & 31
+        ss_ver, ss_hor = self.ss_ver, self.ss_hor
+        cbx4, cby4 = bx4 >> ss_hor, by4 >> ss_ver
+        cbw4 = (bw4 + ss_hor) >> ss_hor
+        cbh4 = (bh4 + ss_ver) >> ss_ver
+        has_chroma = (not self.monochrome and
+                      (bw4 > ss_hor or bx & 1) and (bh4 > ss_ver or by & 1))
+
+        if b.skip_mode:
+            is_comp = 1
+        elif (seg is None or (seg.ref == -1 and not seg.globalmv and
+                              not seg.skip)) and f.switchable_comp_refs and \
+                min(bw4, bh4) > 1:
+            cctx = get_comp_ctx(a, l, by4, bx4, have_top, have_left)
+            is_comp = ec.bool_adapt("comp", cdfm["comp"][cctx])
+            if self.dbg:
+                print(f"Post-compflag[{is_comp}]: r={ec.rng}")
+        else:
+            is_comp = 0
+
+        filter01 = [0, 0]
+        if b.skip_mode:
+            b.ref = [f.skip_mode_refs[0], f.skip_mode_refs[1]]
+            b.comp_type = COMP_INTER_AVG
+            b.inter_mode = NEARESTMV_NEARESTMV
+            b.drl_idx = NEAREST_DRL
+            has_subpel_filter = 0
+            stack, n_mvs, mctx = refmvs_find(
+                self.rf, self, (b.ref[0] + 1, b.ref[1] + 1), bs, edge_flags,
+                by, bx)
+            b.mv = [fix_mv_precision(f, stack[0][0]),
+                    fix_mv_precision(f, stack[0][1])]
+        elif is_comp:
+            dctx = get_comp_dir_ctx(a, l, by4, bx4, have_top, have_left)
+            if ec.bool_adapt("comp_dir", cdfm["comp_dir"][dctx]):
+                # bidir
+                c1 = get_fwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                if ec.bool_adapt("comp_fwd0", cdfm["comp_fwd_ref"][0][c1]):
+                    c2 = get_fwd_ref_2_ctx(a, l, by4, bx4, have_top,
+                                           have_left)
+                    b.ref[0] = 2 + ec.bool_adapt("comp_fwd2",
+                                                 cdfm["comp_fwd_ref"][2][c2])
+                else:
+                    c2 = get_fwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                           have_left)
+                    b.ref[0] = ec.bool_adapt("comp_fwd1",
+                                             cdfm["comp_fwd_ref"][1][c2])
+                c3 = get_bwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                if ec.bool_adapt("comp_bwd0", cdfm["comp_bwd_ref"][0][c3]):
+                    b.ref[1] = 6
+                else:
+                    c4 = get_bwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                           have_left)
+                    b.ref[1] = 4 + ec.bool_adapt("comp_bwd1",
+                                                 cdfm["comp_bwd_ref"][1][c4])
+            else:
+                # unidir
+                uc = get_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                if ec.bool_adapt("comp_uni0", cdfm["comp_uni_ref"][0][uc]):
+                    b.ref = [4, 6]
+                else:
+                    uc1 = get_uni_p1_ctx(a, l, by4, bx4, have_top, have_left)
+                    b.ref[0] = 0
+                    b.ref[1] = 1 + ec.bool_adapt("comp_uni1",
+                                                 cdfm["comp_uni_ref"][1][uc1])
+                    if b.ref[1] == 2:
+                        uc2 = get_fwd_ref_2_ctx(a, l, by4, bx4, have_top,
+                                                have_left)
+                        b.ref[1] += ec.bool_adapt(
+                            "comp_uni2", cdfm["comp_uni_ref"][2][uc2])
+            if self.dbg:
+                print(f"Post-refs[{b.ref[0]}/{b.ref[1]}]: r={ec.rng}")
+
+            stack, n_mvs, mctx = refmvs_find(
+                self.rf, self, (b.ref[0] + 1, b.ref[1] + 1), bs, edge_flags,
+                by, bx)
+            b.inter_mode = ec.sym("comp_inter_mode",
+                                  cdfm["comp_inter_mode"][mctx],
+                                  N_COMP_INTER_PRED_MODES - 1)
+            if self.dbg:
+                print(f"Post-compintermode[{b.inter_mode},ctx={mctx},"
+                      f"n_mvs={n_mvs}]: r={ec.rng}")
+
+            im = T_COMP_INTER_MODES[b.inter_mode]
+            b.drl_idx = NEAREST_DRL
+            if b.inter_mode == NEWMV_NEWMV:
+                if n_mvs > 1:
+                    dctx1 = get_drl_context(stack, 0)
+                    b.drl_idx += ec.bool_adapt("drl", cdfm["drl_bit"][dctx1])
+                    if b.drl_idx == NEARER_DRL and n_mvs > 2:
+                        dctx2 = get_drl_context(stack, 1)
+                        b.drl_idx += ec.bool_adapt("drl",
+                                                   cdfm["drl_bit"][dctx2])
+            elif int(im[0]) == NEARMV or int(im[1]) == NEARMV:
+                b.drl_idx = NEARER_DRL
+                if n_mvs > 2:
+                    dctx2 = get_drl_context(stack, 1)
+                    b.drl_idx += ec.bool_adapt("drl", cdfm["drl_bit"][dctx2])
+                    if b.drl_idx == NEAR_DRL and n_mvs > 3:
+                        dctx3 = get_drl_context(stack, 2)
+                        b.drl_idx += ec.bool_adapt("drl",
+                                                   cdfm["drl_bit"][dctx3])
+
+            has_subpel_filter = min(bw4, bh4) == 1 or \
+                b.inter_mode != GLOBALMV_GLOBALMV
+            mv = [None, None]
+            for idx in range(2):
+                m = int(im[idx])
+                if m in (NEARMV, NEARESTMV):
+                    mv[idx] = fix_mv_precision(f, stack[b.drl_idx][idx])
+                elif m == GLOBALMV:
+                    has_subpel_filter |= \
+                        f.gmv[b.ref[idx]].type == WM_TYPE_TRANSLATION
+                    mv[idx] = get_gmv_2d(f.gmv[b.ref[idx]], bx, by, bw4, bh4,
+                                         f)
+                else:  # NEWMV
+                    mv[idx] = self._read_mv_residual(
+                        stack[b.drl_idx][idx], self.cdf.mv,
+                        not f.force_integer_mv)
+            b.mv = mv
+            if self.dbg:
+                print(f"Post-residual_mv[1:y={b.mv[0][0]},x={b.mv[0][1]},"
+                      f"2:y={b.mv[1][0]},x={b.mv[1][1]}]: r={ec.rng}")
+
+            # jnt_comp vs. seg vs. wedge
+            is_segwedge = 0
+            if seq.masked_compound:
+                mkctx = get_mask_comp_ctx(a, l, by4, bx4)
+                is_segwedge = ec.bool_adapt("mask_comp",
+                                            cdfm["mask_comp"][mkctx])
+            if not is_segwedge:
+                if seq.jnt_comp:
+                    jctx = get_jnt_comp_ctx(
+                        seq.order_hint_n_bits, f.frame_offset,
+                        self.ref_poc[b.ref[0]], self.ref_poc[b.ref[1]],
+                        a, l, by4, bx4)
+                    b.comp_type = COMP_INTER_WEIGHTED_AVG + \
+                        ec.bool_adapt("jnt_comp", cdfm["jnt_comp"][jctx])
+                else:
+                    b.comp_type = COMP_INTER_AVG
+            else:
+                if bs in WEDGE_ALLOWED:
+                    wctx = int(T_WEDGE_CTX[bs])
+                    b.comp_type = COMP_INTER_WEDGE - \
+                        ec.bool_adapt("wedge_comp", cdfm["wedge_comp"][wctx])
+                    if b.comp_type == COMP_INTER_WEDGE:
+                        b.wedge_idx = ec.sym("wedge_idx",
+                                             cdfm["wedge_idx"][wctx], 15)
+                else:
+                    b.comp_type = COMP_INTER_SEG
+                b.mask_sign = ec.equi("mask_sign")
+        else:
+            b.comp_type = COMP_INTER_NONE
+            if seg is not None and seg.ref > 0:
+                b.ref[0] = seg.ref - 1
+            elif seg is not None and (seg.globalmv or seg.skip):
+                b.ref[0] = 0
+            else:
+                c1 = get_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                if ec.bool_adapt("ref0", cdfm["ref"][0][c1]):
+                    c2 = get_bwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                    if ec.bool_adapt("ref1", cdfm["ref"][1][c2]):
+                        b.ref[0] = 6
+                    else:
+                        c3 = get_bwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                        b.ref[0] = 4 + ec.bool_adapt("ref5",
+                                                     cdfm["ref"][5][c3])
+                else:
+                    c2 = get_fwd_ref_ctx(a, l, by4, bx4, have_top, have_left)
+                    if ec.bool_adapt("ref2", cdfm["ref"][2][c2]):
+                        c3 = get_fwd_ref_2_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                        b.ref[0] = 2 + ec.bool_adapt("ref4",
+                                                     cdfm["ref"][4][c3])
+                    else:
+                        c3 = get_fwd_ref_1_ctx(a, l, by4, bx4, have_top,
+                                               have_left)
+                        b.ref[0] = ec.bool_adapt("ref3", cdfm["ref"][3][c3])
+                if self.dbg:
+                    print(f"Post-ref[{b.ref[0]}]: r={ec.rng}")
+            b.ref[1] = -1
+
+            stack, n_mvs, mctx = refmvs_find(
+                self.rf, self, (b.ref[0] + 1, -1), bs, edge_flags, by, bx)
+
+            seg_force = seg is not None and (seg.skip or seg.globalmv)
+            if seg_force or ec.bool_adapt("newmv_mode",
+                                          cdfm["newmv_mode"][mctx & 7]):
+                if seg_force or not ec.bool_adapt(
+                        "globalmv_mode", cdfm["globalmv_mode"][(mctx >> 3)
+                                                               & 1]):
+                    b.inter_mode = GLOBALMV
+                    b.mv = [get_gmv_2d(f.gmv[b.ref[0]], bx, by, bw4, bh4, f),
+                            (0, 0)]
+                    b.drl_idx = NEAREST_DRL
+                    has_subpel_filter = min(bw4, bh4) == 1 or \
+                        f.gmv[b.ref[0]].type == WM_TYPE_TRANSLATION
+                else:
+                    has_subpel_filter = 1
+                    if ec.bool_adapt("refmv_mode",
+                                     cdfm["refmv_mode"][(mctx >> 4) & 15]):
+                        b.inter_mode = NEARMV
+                        b.drl_idx = NEARER_DRL
+                        if n_mvs > 2:
+                            dctx2 = get_drl_context(stack, 1)
+                            b.drl_idx += ec.bool_adapt(
+                                "drl", cdfm["drl_bit"][dctx2])
+                            if b.drl_idx == NEAR_DRL and n_mvs > 3:
+                                dctx3 = get_drl_context(stack, 2)
+                                b.drl_idx += ec.bool_adapt(
+                                    "drl", cdfm["drl_bit"][dctx3])
+                    else:
+                        b.inter_mode = NEARESTMV
+                        b.drl_idx = NEAREST_DRL
+                    mv0 = stack[b.drl_idx][0]
+                    if b.drl_idx < NEAR_DRL:
+                        mv0 = fix_mv_precision(f, mv0)
+                    b.mv = [mv0, (0, 0)]
+                if self.dbg:
+                    print(f"Post-intermode[{b.inter_mode},drl={b.drl_idx},"
+                          f"mv=y:{b.mv[0][0]},x:{b.mv[0][1]},"
+                          f"n_mvs={n_mvs}]: r={ec.rng}")
+            else:
+                has_subpel_filter = 1
+                b.inter_mode = NEWMV
+                b.drl_idx = NEAREST_DRL
+                if n_mvs > 1:
+                    dctx1 = get_drl_context(stack, 0)
+                    b.drl_idx += ec.bool_adapt("drl", cdfm["drl_bit"][dctx1])
+                    if b.drl_idx == NEARER_DRL and n_mvs > 2:
+                        dctx2 = get_drl_context(stack, 1)
+                        b.drl_idx += ec.bool_adapt("drl",
+                                                   cdfm["drl_bit"][dctx2])
+                if n_mvs > 1:
+                    mv0 = stack[b.drl_idx][0]
+                else:
+                    assert b.drl_idx == 0
+                    mv0 = fix_mv_precision(f, stack[0][0])
+                if self.dbg:
+                    print(f"Post-intermode[{b.inter_mode},"
+                          f"drl={b.drl_idx}]: r={ec.rng}")
+                mv0 = self._read_mv_residual(mv0, self.cdf.mv,
+                                             not f.force_integer_mv)
+                b.mv = [mv0, (0, 0)]
+                if self.dbg:
+                    print(f"Post-residualmv[mv=y:{b.mv[0][0]},"
+                          f"x:{b.mv[0][1]}]: r={ec.rng}")
+
+            # interintra
+            ii_sz_grp = int(T_YMODE_SIZE_CTX[bs])
+            if seq.inter_intra and bs in INTERINTRA_ALLOWED and \
+                    ec.bool_adapt("interintra", cdfm["interintra"][ii_sz_grp]):
+                b.interintra_mode = ec.sym(
+                    "interintra_mode", cdfm["interintra_mode"][ii_sz_grp], 3)
+                wctx = int(T_WEDGE_CTX[bs])
+                b.interintra_type = INTER_INTRA_BLEND + ec.bool_adapt(
+                    "interintra_wedge", cdfm["interintra_wedge"][wctx])
+                if b.interintra_type == INTER_INTRA_WEDGE:
+                    b.wedge_idx = ec.sym("wedge_idx", cdfm["wedge_idx"][wctx],
+                                         15)
+            else:
+                b.interintra_type = INTER_INTRA_NONE
+
+            # motion variation (OBMC / warp)
+            if f.switchable_motion_mode and \
+                    b.interintra_type == INTER_INTRA_NONE and \
+                    min(bw4, bh4) >= 2 and \
+                    not (not f.force_integer_mv and
+                         b.inter_mode == GLOBALMV and
+                         f.gmv[b.ref[0]].type > WM_TYPE_TRANSLATION) and \
+                    ((have_left and _findoddzero(l.intra, by4 + 1, h4 >> 1))
+                     or (have_top and _findoddzero(a.intra, bx4 + 1,
+                                                   w4 >> 1))):
+                masks = self._find_matching_ref(edge_flags, bw4, bh4, w4, h4,
+                                                have_left, have_top,
+                                                b.ref[0], bx, by)
+                allow_warp = (not f.force_integer_mv and f.warp_motion and
+                              (masks[0] | masks[1]))
+                if allow_warp:
+                    b.motion_mode = ec.sym("motion_mode",
+                                           cdfm["motion_mode"][bs], 2)
+                else:
+                    b.motion_mode = ec.bool_adapt("obmc", cdfm["obmc"][bs])
+                if b.motion_mode == MM_WARP:
+                    has_subpel_filter = 0
+                    raise NotImplementedError("warp motion derivation")
+                if self.dbg:
+                    print(f"Post-motionmode[{b.motion_mode}]: r={ec.rng}")
+            else:
+                b.motion_mode = MM_TRANSLATION
+
+        # subpel filter (dav1d decode.c:1877-1911)
+        from .headers import FILTER_SWITCHABLE, FILTER_8TAP_REGULAR
+        if f.subpel_filter_mode == FILTER_SWITCHABLE:
+            if has_subpel_filter:
+                comp = int(b.comp_type != COMP_INTER_NONE)
+                fc1 = get_filter_ctx(a, l, comp, 0, b.ref[0], by4, bx4)
+                filter01[0] = ec.sym("filter", cdfm["filter"][0][fc1],
+                                     N_SWITCHABLE_FILTERS - 1)
+                if seq.dual_filter:
+                    fc2 = get_filter_ctx(a, l, comp, 1, b.ref[0], by4, bx4)
+                    filter01[1] = ec.sym("filter", cdfm["filter"][1][fc2],
+                                         N_SWITCHABLE_FILTERS - 1)
+                else:
+                    filter01[1] = filter01[0]
+                if self.dbg:
+                    print(f"Post-subpel_filter[{filter01[0]},"
+                          f"{filter01[1]}]: r={ec.rng}")
+            else:
+                filter01 = [FILTER_8TAP_REGULAR, FILTER_8TAP_REGULAR]
+        else:
+            filter01 = [f.subpel_filter_mode, f.subpel_filter_mode]
+        b.filter2d = int(T_FILTER_2D[filter01[1]][filter01[0]])
+
+        self._read_vartx_tree(b, bs, bx4, by4, bx, by)
+
+        # coefficients
+        b.coef_lo = len(self.coefs)
+        self._read_coef_blocks(b, bs, bx, by, w4, h4, has_chroma)
+        b.coef_hi = len(self.coefs)
+
+        is_globalmv = b.inter_mode == (GLOBALMV_GLOBALMV if is_comp
+                                       else GLOBALMV)
+        b.lflvl4 = self._calc_lflvl(b.seg_id, b.ref[0] + 1,
+                                    0 if is_globalmv else 1)
+
+        # refmvs splat (dav1d decode.c splat_oneref_mv:548/splat_tworef:579)
+        if is_comp:
+            mf = int(b.inter_mode == GLOBALMV_GLOBALMV) | \
+                (2 if (1 << b.inter_mode) & 0xBC else 0)
+            self.rf.splat_mv(by, bx, bw4, bh4, b.ref[0] + 1, b.ref[1] + 1,
+                             b.mv[0], b.mv[1], bs, mf)
+        else:
+            mf = int(b.inter_mode == GLOBALMV and min(bw4, bh4) >= 2) | \
+                (2 if b.inter_mode == NEWMV else 0)
+            self.rf.splat_mv(by, bx, bw4, bh4, b.ref[0] + 1,
+                             0 if b.interintra_type else -1,
+                             b.mv[0], (0, 0), bs, mf)
+
+        # context updates (dav1d decode.c:1949-1973)
+        l.seg_pred[by4:by4 + bh4] = seg_pred
+        a.seg_pred[bx4:bx4 + bw4] = seg_pred
+        l.skip_mode[by4:by4 + bh4] = b.skip_mode
+        a.skip_mode[bx4:bx4 + bw4] = b.skip_mode
+        l.intra[by4:by4 + bh4] = 0
+        a.intra[bx4:bx4 + bw4] = 0
+        l.skip[by4:by4 + bh4] = b.skip
+        a.skip[bx4:bx4 + bw4] = b.skip
+        l.pal_sz[by4:by4 + bh4] = 0
+        a.pal_sz[bx4:bx4 + bw4] = 0
+        l.tx_intra[by4:by4 + bh4] = int(b_dim[3])
+        a.tx_intra[bx4:bx4 + bw4] = int(b_dim[2])
+        l.comp_type[by4:by4 + bh4] = b.comp_type
+        a.comp_type[bx4:bx4 + bw4] = b.comp_type
+        l.filter[0][by4:by4 + bh4] = filter01[0]
+        l.filter[1][by4:by4 + bh4] = filter01[1]
+        a.filter[0][bx4:bx4 + bw4] = filter01[0]
+        a.filter[1][bx4:bx4 + bw4] = filter01[1]
+        l.mode[by4:by4 + bh4] = b.inter_mode
+        a.mode[bx4:bx4 + bw4] = b.inter_mode
+        l.ref[0][by4:by4 + bh4] = b.ref[0]
+        a.ref[0][bx4:bx4 + bw4] = b.ref[0]
+        l.ref[1][by4:by4 + bh4] = b.ref[1]
+        a.ref[1][bx4:bx4 + bw4] = b.ref[1]
+        if has_chroma:
+            l.uvmode[cby4:cby4 + cbh4] = DC_PRED
+            a.uvmode[cbx4:cbx4 + cbw4] = DC_PRED
+
+    def _find_matching_ref(self, edge_flags, bw4, bh4, w4, h4, have_left,
+                           have_top, ref, bx, by):
+        """dav1d decode.c find_matching_ref:219. Returns masks[2]."""
+        rf = self.rf
+        masks = [0, 0]
+        count = 0
+        have_topleft = have_top and have_left
+        have_topright = (max(bw4, bh4) < 32 and have_top and
+                         bx + bw4 < self.col_end and (edge_flags & 1))
+
+        def matches(cy, cx):
+            return rf.ref[cy, cx, 0] == ref + 1 and rf.ref[cy, cx, 1] == -1
+
+        if have_top:
+            if matches(by - 1, bx):
+                masks[0] |= 1
+                count = 1
+            aw4 = int(T_BLOCK_DIM[rf.bs[by - 1, bx]][0])
+            if aw4 >= bw4:
+                off = bx & (aw4 - 1)
+                if off:
+                    have_topleft = 0
+                if aw4 - off > bw4:
+                    have_topright = 0
+            else:
+                mask = 1 << aw4
+                x = aw4
+                while x < w4:
+                    if matches(by - 1, bx + x):
+                        masks[0] |= mask
+                        count += 1
+                        if count >= 8:
+                            return masks
+                    aw4 = int(T_BLOCK_DIM[rf.bs[by - 1, bx + x]][0])
+                    mask <<= aw4
+                    x += aw4
+        if have_left:
+            if matches(by, bx - 1):
+                masks[1] |= 1
+                count += 1
+                if count >= 8:
+                    return masks
+            lh4 = int(T_BLOCK_DIM[rf.bs[by, bx - 1]][1])
+            if lh4 >= bh4:
+                if by & (lh4 - 1):
+                    have_topleft = 0
+            else:
+                mask = 1 << lh4
+                y = lh4
+                while y < h4:
+                    if matches(by + y, bx - 1):
+                        masks[1] |= mask
+                        count += 1
+                        if count >= 8:
+                            return masks
+                    lh4 = int(T_BLOCK_DIM[rf.bs[by + y, bx - 1]][1])
+                    mask <<= lh4
+                    y += lh4
+        if have_topleft and matches(by - 1, bx - 1):
+            masks[1] |= 1 << 32
+            count += 1
+            if count >= 8:
+                return masks
+        if have_topright and matches(by - 1, bx + bw4):
+            masks[0] |= 1 << 32
+        return masks
+
+    # ---- var-tx tree (dav1d decode.c read_vartx_tree:473/read_tx_tree:141)
+    def _read_vartx_tree(self, b, bs, bx4, by4, bx, by):
+        f = self.f
+        b_dim = T_BLOCK_DIM[bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        a = self._a(bx)
+        l = self.l
+        tx_split = [0, 0]
+        b.max_ytx = int(T_MAX_TX[bs][0])
+        lossless = f.segmentation_lossless[b.seg_id]
+        if not b.skip and (lossless or b.max_ytx == TX_4X4):
+            b.max_ytx = b.uvtx = TX_4X4
+            if f.txfm_mode == TX_SWITCHABLE:
+                l.tx[by4:by4 + bh4] = TX_4X4
+                a.tx[bx4:bx4 + bw4] = TX_4X4
+        elif f.txfm_mode != TX_SWITCHABLE or b.skip:
+            if f.txfm_mode == TX_SWITCHABLE:
+                l.tx[by4:by4 + bh4] = int(b_dim[3])
+                a.tx[bx4:bx4 + bw4] = int(b_dim[2])
+            b.uvtx = int(T_MAX_TX[bs][self.layout])
+        else:
+            assert bw4 <= 16 or bh4 <= 16 or b.max_ytx == TX_64X64
+            ytx = T_TXFM[b.max_ytx]
+            yw, yh = int(ytx[0]), int(ytx[1])
+            y_off = 0
+            yy = 0
+            while yy < bh4:
+                x_off = 0
+                xx = 0
+                while xx < bw4:
+                    self._read_tx_tree(b.max_ytx, 0, tx_split, x_off, y_off,
+                                       bx + xx, by + yy)
+                    xx += yw
+                    x_off += 1
+                yy += yh
+                y_off += 1
+            if self.dbg:
+                print(f"Post-vartxtree[{tx_split[0]:x}/{tx_split[1]:x}]: "
+                      f"r={self.ec.rng}")
+            b.uvtx = int(T_MAX_TX[bs][self.layout])
+        b.tx = b.max_ytx
+        assert not (tx_split[0] & ~0x33)
+        b.tx_split0 = tx_split[0]
+        b.tx_split1 = tx_split[1]
+
+    def _read_tx_tree(self, from_tx, depth, masks, x_off, y_off, bx, by):
+        t_dim = T_TXFM[from_tx]
+        tw, th = int(t_dim[0]), int(t_dim[1])
+        lw, lh = int(t_dim[2]), int(t_dim[3])
+        bx4, by4 = bx & 31, by & 31
+        a = self._a(bx)
+        l = self.l
+        is_split = 0
+        if depth < 2 and from_tx > TX_4X4:
+            cat = 2 * (TX_64X64 - int(t_dim[5])) - depth
+            actx = int(int(a.tx[bx4]) < lw)
+            lctx = int(int(l.tx[by4]) < lh)
+            is_split = self.ec.bool_adapt(
+                "txpart", self.cdf.m["txpart"][cat][actx + lctx])
+            if is_split:
+                masks[depth] |= 1 << (y_off * 4 + x_off)
+        if is_split and int(t_dim[5]) > TX_8X8:
+            sub = int(t_dim[6])
+            sub_t = T_TXFM[sub]
+            txsw, txsh = int(sub_t[0]), int(sub_t[1])
+            self._read_tx_tree(sub, depth + 1, masks, x_off * 2, y_off * 2,
+                               bx, by)
+            if tw >= th and bx + txsw < self.bw:
+                self._read_tx_tree(sub, depth + 1, masks, x_off * 2 + 1,
+                                   y_off * 2, bx + txsw, by)
+            if th >= tw and by + txsh < self.bh:
+                self._read_tx_tree(sub, depth + 1, masks, x_off * 2,
+                                   y_off * 2 + 1, bx, by + txsh)
+                if tw >= th and bx + txsw < self.bw:
+                    self._read_tx_tree(sub, depth + 1, masks, x_off * 2 + 1,
+                                       y_off * 2 + 1, bx + txsw, by + txsh)
+        else:
+            l.tx[by4:by4 + th] = TX_4X4 if is_split else lh
+            a.tx[bx4:bx4 + tw] = TX_4X4 if is_split else lw
+
+    # ---- mv residuals (dav1d decode.c read_mv_residual:120)
+    def _read_mv_component_diff(self, pfx, mv_cdf, have_fp):
+        ec = self.ec
+        have_hp = self.f.hp
+        sign = ec.bool_adapt("mv_sign", mv_cdf[pfx + ".sign"])
+        cl = ec.sym("mv_class", mv_cdf[pfx + ".classes"], 10)
+        if cl == 0:
+            up = ec.bool_adapt("mv_class0", mv_cdf[pfx + ".class0"])
+            if have_fp:
+                fp = ec.sym("mv_fp", mv_cdf[pfx + ".class0_fp"][up], 3)
+                hp = ec.bool_adapt("mv_hp", mv_cdf[pfx + ".class0_hp"]) \
+                    if have_hp else 1
+            else:
+                fp, hp = 3, 1
+        else:
+            up = 1 << cl
+            for n in range(cl):
+                up |= ec.bool_adapt("mv_classN",
+                                    mv_cdf[pfx + ".classN"][n]) << n
+            if have_fp:
+                fp = ec.sym("mv_fp", mv_cdf[pfx + ".classN_fp"], 3)
+                hp = ec.bool_adapt("mv_hp", mv_cdf[pfx + ".classN_hp"]) \
+                    if have_hp else 1
+            else:
+                fp, hp = 3, 1
+        diff = ((up << 3) | (fp << 1) | hp) + 1
+        return -diff if sign else diff
+
+    def _read_mv_residual(self, ref_mv, mv_cdf, have_fp):
+        from .refmvs import _s16
+        ec = self.ec
+        # dav1d quirk: the joint cdf always comes from cdf.mv (decode.c:123)
+        j = ec.sym("mv_joint", self.cdf.mv["joint"], 3)
+        y, x = ref_mv
+        if j == 3:      # MV_JOINT_HV
+            y = _s16(y + self._read_mv_component_diff("comp0", mv_cdf,
+                                                      have_fp))
+            x = _s16(x + self._read_mv_component_diff("comp1", mv_cdf,
+                                                      have_fp))
+        elif j == 1:    # MV_JOINT_H
+            x = _s16(x + self._read_mv_component_diff("comp1", mv_cdf,
+                                                      have_fp))
+        elif j == 2:    # MV_JOINT_V
+            y = _s16(y + self._read_mv_component_diff("comp0", mv_cdf,
+                                                      have_fp))
+        return (y, x)
+
+    # ---- inter luma coefficient tree (dav1d recon_tmpl.c read_coef_tree:726)
+    def _read_coef_tree(self, b, bs, ytx, depth, tx_split, x_off, y_off,
+                        bx, by):
+        t_dim = T_TXFM[ytx]
+        tw, th = int(t_dim[0]), int(t_dim[1])
+        if depth < 2 and tx_split[depth] and \
+                tx_split[depth] & (1 << (y_off * 4 + x_off)):
+            sub = int(t_dim[6])
+            sub_t = T_TXFM[sub]
+            txsw, txsh = int(sub_t[0]), int(sub_t[1])
+            self._read_coef_tree(b, bs, sub, depth + 1, tx_split,
+                                 x_off * 2, y_off * 2, bx, by)
+            if tw >= th and bx + txsw < self.bw:
+                self._read_coef_tree(b, bs, sub, depth + 1, tx_split,
+                                     x_off * 2 + 1, y_off * 2, bx + txsw, by)
+            if th >= tw and by + txsh < self.bh:
+                self._read_coef_tree(b, bs, sub, depth + 1, tx_split,
+                                     x_off * 2, y_off * 2 + 1, bx, by + txsh)
+                if tw >= th and bx + txsw < self.bw:
+                    self._read_coef_tree(b, bs, sub, depth + 1, tx_split,
+                                         x_off * 2 + 1, y_off * 2 + 1,
+                                         bx + txsw, by + txsh)
+        else:
+            bx4, by4 = bx & 31, by & 31
+            a = self._a(bx)
+            l = self.l
+            cf, eob, txtp, cf_ctx = self._decode_coefs(
+                b, ytx, bs, intra=0, plane=0, a_arr=a.lcoef, a_off=bx4,
+                l_arr=l.lcoef, l_off=by4)
+            if self.dbg:
+                print(f"Post-y-cf-blk[tx={ytx},txtp={txtp},eob={eob}]: "
+                      f"r={self.ec.rng}")
+            self.coefs.append(CoefBlock(0, bx, by, ytx, txtp, eob, cf))
+            nh = min(th, self.bh - by)
+            nw = min(tw, self.bw - bx)
+            l.lcoef[by4:by4 + nh] = cf_ctx
+            a.lcoef[bx4:bx4 + nw] = cf_ctx
+            self.txtp_map[by4:by4 + th, bx4:bx4 + tw] = txtp
 
     def _read_lr_for_sb(self, bx, by):
         f = self.f
@@ -837,7 +1766,9 @@ class TileCoder:
             self.lr_ref[p] = lr
         return lr
 
-    def _calc_lflvl(self, seg_id):
+    def _calc_lflvl(self, seg_id, ref1, mode1):
+        """dav1d lf_mask.c calc_lf_value:431. ref1: 0 = intra, else ref+1;
+        mode1: 0 if globalmv (inter only)."""
         f = self.f
         if not f.loopfilter_level_y[0] and not f.loopfilter_level_y[1]:
             return (0, 0, 0, 0)
@@ -853,7 +1784,11 @@ class TileCoder:
             if mr is None:
                 return base
             sh = 1 if base >= 32 else 0
-            return max(0, min(63, base + mr.ref_delta[0] * (1 << sh)))
+            if ref1 == 0:
+                delta = mr.ref_delta[0]
+            else:
+                delta = mr.mode_delta[mode1] + mr.ref_delta[ref1]
+            return max(0, min(63, base + delta * (1 << sh)))
 
         def calc_c(base_lvl, lf_delta, seg_delta):
             return 0 if not base_lvl else calc(base_lvl, lf_delta, seg_delta)
@@ -930,19 +1865,29 @@ class TileCoder:
                 l.ccoef[1][cby4:cby4 + cbh4] = 0x40
             return
 
-        t_dim = T_TXFM[b.tx]
+        t_dim = T_TXFM[b.tx if b.intra else b.max_ytx]
         uv_t_dim = T_TXFM[b.uvtx]
         tw, th = int(t_dim[0]), int(t_dim[1])
         ctw, cth = int(uv_t_dim[0]), int(uv_t_dim[1])
+        tx_split = (b.tx_split0, b.tx_split1) if not b.intra else None
 
         for init_y in range(0, h4, 16):
             sub_h4 = min(h4, 16 + init_y)
             for init_x in range(0, w4, 16):
                 sub_w4 = min(w4, init_x + 16)
                 y = init_y
+                y_off = 1 if init_y else 0
                 while y < sub_h4:
                     x = init_x
+                    x_off = 1 if init_x else 0
                     while x < sub_w4:
+                        if not b.intra:
+                            self._read_coef_tree(b, bs, b.max_ytx, 0,
+                                                 tx_split, x_off, y_off,
+                                                 bx + x, by + y)
+                            x += tw
+                            x_off += 1
+                            continue
                         cf, eob, txtp, cf_ctx = self._decode_coefs(
                             b, b.tx, bs, intra=1, plane=0,
                             a_arr=a.lcoef, a_off=bx4 + x,
@@ -958,6 +1903,7 @@ class TileCoder:
                         a.lcoef[bx4 + x:bx4 + x + nw] = cf_ctx
                         x += tw
                     y += th
+                    y_off += 1
 
                 if not has_chroma:
                     continue
@@ -968,10 +1914,14 @@ class TileCoder:
                     while y < sub_ch4:
                         x = init_x >> ss_hor
                         while x < sub_cw4:
+                            ytxtp = 0 if b.intra else int(
+                                self.txtp_map[by4 + (y << ss_ver),
+                                              bx4 + (x << ss_hor)])
                             cf, eob, txtp, cf_ctx = self._decode_coefs(
-                                b, b.uvtx, bs, intra=1, plane=1 + pl,
+                                b, b.uvtx, bs, intra=b.intra, plane=1 + pl,
                                 a_arr=a.ccoef[pl], a_off=cbx4 + x,
-                                l_arr=l.ccoef[pl], l_off=cby4 + y)
+                                l_arr=l.ccoef[pl], l_off=cby4 + y,
+                                ytxtp=ytxtp)
                             if self.dbg:
                                 print(f"Post-uv-cf-blk[pl={pl},tx={b.uvtx},"
                                       f"txtp={txtp},eob={eob}]: "
@@ -991,7 +1941,7 @@ class TileCoder:
                         y += cth
 
     def _decode_coefs(self, b, tx, bs, intra, plane, a_arr, a_off,
-                      l_arr, l_off):
+                      l_arr, l_off, ytxtp=0):
         """Returns (cf[sh4*4 x sw4*4 flat dav1d layout], eob, txtp, cf_ctx)"""
         ec = self.ec
         f = self.f
@@ -1018,7 +1968,7 @@ class TileCoder:
             txtp = DCT_DCT
         elif chroma:
             txtp = int(T_TXTP_FROM_UVMODE[b.uv_mode]) if intra else \
-                self._uv_inter_txtp(t_dim, b)
+                get_uv_inter_txtp(t_dim, ytxtp)
         elif not f.segmentation_qidx[b.seg_id]:
             txtp = DCT_DCT
         else:
@@ -1039,7 +1989,19 @@ class TileCoder:
                                  [y_mode_nofilt], 6)
                     txtp = int(T_TX_TYPES_PER_SET[idx + 5])
             else:
-                raise NotImplementedError("inter txtp")
+                # dav1d recon_tmpl.c decode_coefs:383-397
+                if f.reduced_txtp_set or t_max == TX_32X32:
+                    idx = ec.bool_adapt("txtp_inter3",
+                                        self.cdf.m["txtp_inter3"][t_min])
+                    txtp = DCT_DCT if idx else IDTX
+                elif t_min == TX_16X16:
+                    idx = ec.sym("txtp_inter2", self.cdf.m["txtp_inter2"],
+                                 11)
+                    txtp = int(T_TX_TYPES_PER_SET[idx + 12])
+                else:
+                    idx = ec.sym("txtp_inter1",
+                                 self.cdf.m["txtp_inter1"][t_min], 15)
+                    txtp = int(T_TX_TYPES_PER_SET[idx + 24])
 
         # eob
         tx2dszctx = min(lw, TX_32X32) + min(lh, TX_32X32)
@@ -1265,9 +2227,6 @@ class TileCoder:
         sh, sw = 4 * sh4, 4 * sw4
         return out[:sw * sh].reshape(sw, sh).T.copy()
 
-    def _uv_inter_txtp(self, uvt_dim, b):
-        raise NotImplementedError
-
     def _get_skip_ctx(self, t_dim, bs, a_arr, a_off, l_arr, l_off, chroma):
         b_dim = T_BLOCK_DIM[bs]
         lw, lh = int(t_dim[2]), int(t_dim[3])
@@ -1302,6 +2261,14 @@ class TileCoder:
             n += 1
         s -= n
         return (s != 0) + (s > 0)
+
+
+def _findoddzero(buf, off, ln):
+    """dav1d decode.c findoddzero:367 (any zero at odd offsets)."""
+    for n in range(ln):
+        if not buf[off + n * 2]:
+            return 1
+    return 0
 
 
 def _neg_deinterleave(diff, ref, max_):

@@ -15,9 +15,13 @@ from ..host import obu as obu_mod
 from ..host.ivf import parse_ivf, split_obus
 from ..host.msac import Msac
 from ..host.tilecoder import (TileCoder, DecodeSide, T_BLOCK_DIM, T_TXFM,
-                              CFL_PRED, FILTER_PRED)
+                              CFL_PRED, FILTER_PRED, COMP_INTER_NONE,
+                              COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG,
+                              COMP_INTER_SEG, COMP_INTER_WEDGE,
+                              MM_TRANSLATION, GLOBALMV)
 from ..data.tables import new_cdf_context, qcat_from_qidx
 from ..ops.ref import ipred as ip
+from ..ops.ref import mc as mcdsp
 from ..ops.ref.ipred_prepare import prepare_intra_edges
 from ..ops.ref.itx import inv_txfm_add_ref
 
@@ -53,14 +57,205 @@ class FrameBuffers:
         return out
 
 
-def recon_intra_frame(seq, fhdr, coders, bufs: FrameBuffers):
-    """coders: list of completed (entropy-decoded) TileCoders."""
+def recon_frame(seq, fhdr, coders, bufs: FrameBuffers, refs=None):
+    """coders: list of completed (entropy-decoded) TileCoders.
+    refs: 8-slot list of reference FrameBuffers (inter frames)."""
     for coder in coders:
-        _recon_tile(seq, fhdr, coder, bufs)
+        _recon_tile(seq, fhdr, coder, bufs, refs)
     return bufs
 
 
-def _recon_tile(seq, fhdr, coder, bufs):
+# backwards-compatible alias (intra-only callers)
+recon_intra_frame = recon_frame
+
+
+def _mc_put(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
+            filter2d, bd):
+    """Translational MC with edge emulation (dav1d recon_tmpl.c mc:957).
+
+    refplane: padded ref plane array; ref_w/ref_h: visible LUMA dims;
+    bx/by in (luma-scaled) 4px block units; mv in 1/8 luma px."""
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    mx = mvx & (15 >> (0 if ss_hor else 1))
+    my = mvy & (15 >> (0 if ss_ver else 1))
+    dx = bx * h_mul + (mvx >> (3 + ss_hor))
+    dy = by * v_mul + (mvy >> (3 + ss_ver))
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+    src = mcdsp.emu_edge(bw_px + 7, bh_px + 7, w, h, dx - 3, dy - 3,
+                         refplane[:h, :w])
+    return mcdsp.put_8tap(src, bw_px, bh_px, mx << (0 if ss_hor else 1),
+                          my << (0 if ss_ver else 1), filter2d, bd)
+
+
+def _mc_prep(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
+             filter2d, bd):
+    """Compound-path MC producing int16-domain "tmp" (dav1d mct)."""
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    mx = mvx & (15 >> (0 if ss_hor else 1))
+    my = mvy & (15 >> (0 if ss_ver else 1))
+    dx = bx * h_mul + (mvx >> (3 + ss_hor))
+    dy = by * v_mul + (mvy >> (3 + ss_ver))
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+    src = mcdsp.emu_edge(bw_px + 7, bh_px + 7, w, h, dx - 3, dy - 3,
+                         refplane[:h, :w])
+    return mcdsp.prep_8tap(src, bw_px, bh_px, mx << (0 if ss_hor else 1),
+                           my << (0 if ss_ver else 1), filter2d, bd)
+
+
+def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
+    """Inter block reconstruction (dav1d recon_tmpl.c
+    dav1d_recon_b_inter:1598). state: dict with 'tl_4x4_filter' and
+    'f2d_map' (per-4x4 filter2d of inter blocks, at block top-left)."""
+    bd = seq.bitdepth
+    ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
+    b_dim = T_BLOCK_DIM[b.bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    bx, by = b.bx, b.by
+    has_chroma = (len(bufs.planes) > 1 and
+                  (bw4 > ss_hor or bx & 1) and (bh4 > ss_ver or by & 1))
+    cur_w, cur_h = fhdr.width[0], fhdr.height
+    yplane = bufs.planes[0]
+
+    def refbufs(ri):
+        rb = refs[fhdr.refidx[ri]]
+        assert rb is not None, "missing reference frame"
+        assert rb.width == cur_w and rb.height == cur_h, \
+            "scaled references not yet supported"
+        return rb
+
+    if b.motion_mode != MM_TRANSLATION:
+        raise NotImplementedError("OBMC/warp reconstruction")
+    if b.interintra_type:
+        raise NotImplementedError("inter-intra reconstruction")
+
+    if b.comp_type == COMP_INTER_NONE:
+        if b.inter_mode == GLOBALMV and min(bw4, bh4) > 1 and \
+                fhdr.gmv[b.ref[0]].type > 1:
+            raise NotImplementedError("warped global motion")
+        refp = refbufs(b.ref[0])
+        pred = _mc_put(refp.planes[0], cur_w, cur_h, bw4, bh4, bx, by,
+                       0, 0, b.mv[0], b.filter2d, bd)
+        yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
+
+        if has_chroma:
+            rf = coder.rf
+            f2d = state["f2d_map"]
+            uvx, uvy = (bx >> ss_hor) * 4, (by >> ss_ver) * 4
+            is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+            if is_sub8x8:
+                assert ss_hor == 1
+                if bw4 == 1:
+                    is_sub8x8 &= rf.ref[by, bx - 1, 0] > 0
+                if bh4 == ss_ver:
+                    is_sub8x8 &= rf.ref[by - 1, bx, 0] > 0
+                if bw4 == 1 and bh4 == ss_ver:
+                    is_sub8x8 &= rf.ref[by - 1, bx - 1, 0] > 0
+            if is_sub8x8:
+                h_off = v_off = 0
+                cw, ch = bw4 * 4 >> ss_hor, bh4 * 4 >> ss_ver
+
+                def sub_mc(cy, cx, dst_yoff, dst_xoff, f2d_val):
+                    rref = int(rf.ref[cy, cx, 0]) - 1
+                    rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
+                    rb = refbufs(rref)
+                    for pl in (1, 2):
+                        p = _mc_put(rb.planes[pl], cur_w, cur_h, bw4, bh4,
+                                    cx, cy, ss_hor, ss_ver, rmv, f2d_val, bd)
+                        bufs.planes[pl][uvy + dst_yoff:uvy + dst_yoff + ch,
+                                        uvx + dst_xoff:uvx + dst_xoff + cw] \
+                            = p
+
+                if bw4 == 1 and bh4 == ss_ver:
+                    sub_mc(by - 1, bx - 1, 0, 0, state["tl_4x4_filter"])
+                    v_off, h_off = 2, 2
+                if bw4 == 1:
+                    sub_mc(by, bx - 1, v_off, 0, int(f2d[by, bx - 1]))
+                    h_off = 2
+                if bh4 == ss_ver:
+                    sub_mc(by - 1, bx, 0, h_off, int(f2d[by - 1, bx]))
+                    v_off = 2
+                for pl in (1, 2):
+                    p = _mc_put(refp.planes[pl], cur_w, cur_h, bw4, bh4,
+                                bx, by, ss_hor, ss_ver, b.mv[0], b.filter2d,
+                                bd)
+                    bufs.planes[pl][uvy + v_off:uvy + v_off + ch,
+                                    uvx + h_off:uvx + h_off + cw] = p
+            else:
+                cw = (bw4 << (bw4 == ss_hor)) * 4 >> ss_hor
+                ch = (bh4 << (bh4 == ss_ver)) * 4 >> ss_ver
+                for pl in (1, 2):
+                    p = _mc_put(refp.planes[pl], cur_w, cur_h,
+                                bw4 << (bw4 == ss_hor),
+                                bh4 << (bh4 == ss_ver),
+                                bx & ~ss_hor, by & ~ss_ver,
+                                ss_hor, ss_ver, b.mv[0], b.filter2d, bd)
+                    bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
+        state["tl_4x4_filter"] = b.filter2d
+        state["f2d_map"][by, bx] = b.filter2d
+    else:
+        # compound (dav1d recon_tmpl.c:1822-1907)
+        if b.inter_mode == 6 and any(fhdr.gmv[b.ref[i]].type > 1
+                                     for i in range(2)):
+            raise NotImplementedError("warped global compound")
+        tmp = []
+        for i in range(2):
+            rb = refbufs(b.ref[i])
+            tmp.append(_mc_prep(rb.planes[0], cur_w, cur_h, bw4, bh4,
+                                bx, by, 0, 0, b.mv[i], b.filter2d, bd))
+        mask_arr = None
+        if b.comp_type == COMP_INTER_AVG:
+            pred = mcdsp.avg(tmp[0], tmp[1], bd)
+        elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+            raise NotImplementedError("jnt-comp weights")
+        elif b.comp_type == COMP_INTER_SEG:
+            pred, mask_arr = mcdsp.w_mask(
+                tmp[b.mask_sign], tmp[1 - b.mask_sign],
+                bw4 * 4, bh4 * 4, b.mask_sign, ss_hor, ss_ver, bd)
+        else:
+            raise NotImplementedError("wedge masks")
+        yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
+        if has_chroma:
+            uvx, uvy = (bx >> ss_hor) * 4, (by >> ss_ver) * 4
+            cw, ch = bw4 * 4 >> ss_hor, bh4 * 4 >> ss_ver
+            for pl in (1, 2):
+                ctmp = []
+                for i in range(2):
+                    rb = refbufs(b.ref[i])
+                    ctmp.append(_mc_prep(rb.planes[pl], cur_w, cur_h,
+                                         bw4, bh4, bx, by, ss_hor, ss_ver,
+                                         b.mv[i], b.filter2d, bd))
+                if b.comp_type == COMP_INTER_AVG:
+                    cpred = mcdsp.avg(ctmp[0], ctmp[1], bd)
+                elif b.comp_type == COMP_INTER_SEG:
+                    cpred = mcdsp.mask(ctmp[b.mask_sign],
+                                       ctmp[1 - b.mask_sign], mask_arr, bd)
+                else:
+                    raise NotImplementedError
+                bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = cpred
+
+    # residuals: replay this block's coefficient blocks (any order is valid
+    # for inter since prediction does not depend on reconstructed pixels)
+    if not b.skip:
+        bitdepth = seq.bitdepth
+        for cb in coder.coefs[b.coef_lo:b.coef_hi]:
+            if cb.eob < 0:
+                continue
+            plane = bufs.planes[cb.plane]
+            t_dim = T_TXFM[cb.tx]
+            tw, th = int(t_dim[0]) * 4, int(t_dim[1]) * 4
+            py, px = cb.y * 4, cb.x * 4
+            patch = plane[py:py + th, px:px + tw]
+            plane[py:py + th, px:px + tw] = inv_txfm_add_ref(
+                patch, cb.cf, cb.eob, cb.tx, cb.txtp, bitdepth)
+
+
+def _recon_tile(seq, fhdr, coder, bufs, refs=None):
     bitdepth = seq.bitdepth
     bd_max = (1 << bitdepth) - 1
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
@@ -69,17 +264,20 @@ def _recon_tile(seq, fhdr, coder, bufs):
     ief = seq.intra_edge_filter
     ief_flag = ief << 10
     monochrome = seq.layout == h.PIXEL_LAYOUT_I400
+    keyframe = fhdr.frame_type in (0, 2)
 
     # recon-time neighbour mode state (for smoothness flags)
     a_mode = np.zeros(bw + 32, np.uint8)
-    a_intra = np.ones(bw + 32, np.uint8)
+    a_intra = np.full(bw + 32, 1 if keyframe else 0, np.uint8)
     a_uvmode = np.zeros(bw + 32, np.uint8)
     l_mode = np.zeros(32, np.uint8)
-    l_intra = np.ones(32, np.uint8)
+    l_intra = np.full(32, 1 if keyframe else 0, np.uint8)
     l_uvmode = np.zeros(32, np.uint8)
     cur_sbrow = [-1]
 
-    coef_iter = iter(coder.coefs)
+    # inter recon state (dav1d t->tl_4x4_filter + frame-thread filter map)
+    inter_state = {"tl_4x4_filter": 0,
+                   "f2d_map": np.zeros((bh, bw), np.uint8)}
 
     def sm_flag(mode_arr, intra_arr, idx):
         if not intra_arr[idx]:
@@ -95,8 +293,28 @@ def _recon_tile(seq, fhdr, coder, bufs):
         if sbrow != cur_sbrow[0]:
             cur_sbrow[0] = sbrow
             l_mode[:] = 0
-            l_intra[:] = 1
+            l_intra[:] = 1 if keyframe else 0
             l_uvmode[:] = 0
+
+        if not b.intra:
+            _recon_b_inter(seq, fhdr, coder, bufs, refs, b, inter_state)
+            b_dim_i = T_BLOCK_DIM[b.bs]
+            bw4_i, bh4_i = int(b_dim_i[0]), int(b_dim_i[1])
+            by4_i = b.by & 31
+            a_intra[b.bx:b.bx + bw4_i] = 0
+            l_intra[by4_i:by4_i + bh4_i] = 0
+            if len(bufs.planes) > 1:
+                cbw4_i = (bw4_i + ss_hor) >> ss_hor
+                cbh4_i = (bh4_i + ss_ver) >> ss_ver
+                has_chroma_i = ((bw4_i > ss_hor or b.bx & 1) and
+                                (bh4_i > ss_ver or b.by & 1))
+                if has_chroma_i:
+                    a_uvmode[(b.bx >> ss_hor):(b.bx >> ss_hor) + cbw4_i] = 0
+                    cby4_i = by4_i >> ss_ver
+                    l_uvmode[cby4_i:cby4_i + cbh4_i] = 0
+            continue
+
+        coef_iter = iter(coder.coefs[b.coef_lo:b.coef_hi])
 
         b_dim = T_BLOCK_DIM[b.bs]
         bw4, bh4 = int(b_dim[0]), int(b_dim[1])
@@ -428,11 +646,13 @@ def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
 
 
 def decode_ivf(data: bytes, use_tpu_filters: bool = False):
-    """Full intra-stream decode: returns list of plane tuples (visible).
-    use_tpu_filters routes the in-loop filter chain (deblock/CDEF/LR)
-    through the jitted device pipeline (models.tpu_filters)."""
+    """Full IVF stream decode (intra + inter): returns list of plane tuples
+    (visible). use_tpu_filters routes the in-loop filter chain
+    (deblock/CDEF/LR) through the jitted device pipeline
+    (models.tpu_filters)."""
     _, _, _, frames = parse_ivf(data)
     st = obu_mod.ObuState()
+    refs = [None] * 8  # decoded FrameBuffers per ref slot
     out = []
     for fr in frames:
         for _, obu_data in split_obus(fr.data):
@@ -441,6 +661,13 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             continue
         st.frame_ready = False
         seq, fhdr = st.seq_hdr, st.frame_hdr
+        keyframe = fhdr.frame_type in (0, 2)
+        rf = None
+        if not keyframe:
+            from ..host.refmvs import RefmvsFrame
+            bw4f = ((fhdr.width[0] + 7) >> 3) << 1
+            bh4f = ((fhdr.height + 7) >> 3) << 1
+            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f)
         coders = []
         t = fhdr.tiling
         for tile_row in range(t.rows):
@@ -453,24 +680,42 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                     seq, fhdr, cdf,
                     DecodeSide(Msac(data_t,
                                     bool(fhdr.disable_cdf_update))),
-                    tile_col=tile_col, tile_row=tile_row)
+                    tile_col=tile_col, tile_row=tile_row, rf=rf)
                 coder.code_tile()
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
-        recon_intra_frame(seq, fhdr, coders, bufs)
+        recon_frame(seq, fhdr, coders, bufs, refs)
         if use_tpu_filters:
             from .tpu_filters import apply_inloop_filters_tpu
             apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
         else:
             apply_inloop_filters(seq, fhdr, coders, bufs)
+        # reference slot update (dav1d decode.c:3713-3739); refs hold
+        # post-loopfilter, pre-film-grain planes
+        for i in range(8):
+            if (fhdr.refresh_frame_flags >> i) & 1:
+                refs[i] = bufs
+                st.refs[i] = fhdr
         if fhdr.film_grain_present:
             from ..ops.ref.filmgrain import apply_film_grain
-            bufs.planes = apply_film_grain(bufs.planes, seq, fhdr,
-                                           bufs.width, bufs.height)
-        out.append(tuple(bufs.visible()))
+            grained = apply_film_grain(bufs.planes, seq, fhdr,
+                                       bufs.width, bufs.height)
+            out.append(tuple(_visible(grained, bufs)))
+        else:
+            out.append(tuple(bufs.visible()))
         st.tiles = []
         st.n_tiles = 0
     return out
+
+
+def _visible(planes, bufs):
+    w, hgt = bufs.width, bufs.height
+    outp = [planes[0][:hgt, :w]]
+    if len(planes) > 1:
+        cw = (w + bufs.ss_hor) >> bufs.ss_hor
+        ch = (hgt + bufs.ss_ver) >> bufs.ss_ver
+        outp += [p[:ch, :cw] for p in planes[1:]]
+    return outp
 
 
 def _tile_payload(st, tile_idx, fhdr):

@@ -29,6 +29,14 @@ class RandomPolicy:
         r = self.rng
         if key == "skip":
             return int(r.random() < self.skip_p)
+        if key == "is_inter":
+            return int(r.random() < 0.85)  # 1 = inter block
+        if key == "mv_class":
+            return int(min(r.geometric(0.5) - 1, maxv, 6))
+        if key == "txpart":
+            return int(r.random() < 0.4)
+        if key == "skip_mode":
+            return 0
         if key in ("part", "part_split"):
             # bias toward not splitting forever
             return int(r.integers(0, maxv + 1))
@@ -111,11 +119,77 @@ def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
     return f
 
 
+def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
+                         loopfilter=(0, 0, 0, 0, 0), cdef_params=None,
+                         hp=1, switchable_filter=False, switchable_comp=False,
+                         switchable_motion=False, refresh=0xFF,
+                         frame_offset=0) -> h.FrameHeader:
+    f = h.FrameHeader()
+    f.frame_type = h.INTER
+    f.show_frame = 1
+    f.error_resilient_mode = 1          # => PRIMARY_REF_NONE, default CDFs
+    f.force_integer_mv = 0
+    f.width = [seq.max_width, seq.max_width]
+    f.height = seq.max_height
+    f.render_width = seq.max_width
+    f.render_height = seq.max_height
+    f.refidx = list(refidx) if refidx is not None else [0] * 7
+    f.refresh_frame_flags = refresh
+    f.hp = hp
+    f.subpel_filter_mode = h.FILTER_SWITCHABLE if switchable_filter \
+        else h.FILTER_8TAP_REGULAR
+    f.switchable_motion_mode = 1 if switchable_motion else 0
+    f.use_ref_frame_mvs = 0
+    f.primary_ref_frame = h.PRIMARY_REF_NONE
+    f.frame_offset = frame_offset
+    f.quant_yac = qidx
+    f.txfm_mode = txfm_mode if qidx else h.TX_4X4_ONLY
+    f.disable_cdf_update = 0
+    f.refresh_context = 1
+    ly0, ly1, lu, lv, sharp = loopfilter
+    f.loopfilter_level_y = [ly0, ly1]
+    f.loopfilter_level_u = lu
+    f.loopfilter_level_v = lv
+    f.loopfilter_sharpness = sharp
+    f.loopfilter_mode_ref_delta_enabled = 1
+    f.loopfilter_mode_ref_delta_update = 0
+    if cdef_params is not None:
+        f.cdef_damping = cdef_params["damping"]
+        f.cdef_n_bits = cdef_params["n_bits"]
+        for i, (ys, uvs) in enumerate(zip(cdef_params["y_strength"],
+                                          cdef_params["uv_strength"])):
+            f.cdef_y_strength[i] = ys
+            f.cdef_uv_strength[i] = uvs
+    f.switchable_comp_refs = 1 if switchable_comp else 0
+    f.skip_mode_enabled = 0
+    f.warp_motion = 0
+    from ..host.obu import compute_uniform_tiling, derive_lossless
+    compute_uniform_tiling(seq, f)
+    derive_lossless(f)
+    return f
+
+
 def gen_intra_frame(seq, fhdr, policy) -> tuple[bytes, TileCoder]:
     """Encode one intra frame's single tile; returns (tile payload, coder)."""
     cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
     enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
     coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy))
+    coder.code_tile()
+    return enc.finish(), coder
+
+
+def gen_inter_frame(seq, fhdr, policy) -> tuple[bytes, TileCoder]:
+    """Encode one inter frame's single tile; returns (tile payload, coder).
+    Symbol choices come from the policy; MV/mode derivation (refmvs
+    candidate stacks) evolves exactly as in the decoder, so the stream is
+    conformant by construction."""
+    from ..host.refmvs import RefmvsFrame
+    cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+    enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
+    bw4 = ((fhdr.width[0] + 7) >> 3) << 1
+    bh4 = ((fhdr.height + 7) >> 3) << 1
+    rf = RefmvsFrame(fhdr, seq, bw4, bh4)
+    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf)
     coder.code_tile()
     return enc.finish(), coder
 

@@ -1,0 +1,119 @@
+"""End-to-end: generated inter (KEY + INTER chain) streams decoded by our
+decoder vs the reference decoder, pixel-exact.
+
+Covers the single-ref inter path (NEWMV/NEARESTMV/NEARMV/GLOBALMV with
+refmvs candidate derivation), compound (AVG), var-tx trees, inter tx types,
+switchable interp filters, sub8x8 chroma MC, deblock/CDEF/LR on inter
+frames, and reference-slot rotation."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from dav1d_mirror_tpu.host import headers as h
+from dav1d_mirror_tpu.models.ref_decoder import decode_ivf
+from dav1d_mirror_tpu.testing.streamgen import (RandomPolicy, make_seq_hdr,
+                                                make_key_frame_hdr,
+                                                make_inter_frame_hdr,
+                                                gen_intra_frame,
+                                                gen_inter_frame, gen_ivf)
+
+CONFIGS = [
+    dict(),                                       # plain: largest-tx, 3 P
+    dict(txsw=True),
+    dict(lf=(32, 28, 20, 24, 2)),
+    dict(swfilter=True, txsw=True),
+    dict(hp=0),
+    dict(w=128, h=96, txsw=True, lf=(20, 20, 15, 15, 0)),
+    dict(w=72, h=36, txsw=True),                  # odd dims, sub8x8 paths
+    dict(w=128, h=128, sb128=1, txsw=True),
+    dict(q=20, txsw=True, swfilter=True, lf=(40, 40, 40, 40, 4)),
+    dict(comp=True, txsw=True),                   # compound AVG
+    dict(comp=True, swfilter=True, lf=(25, 25, 20, 20, 1)),
+    dict(cdef=dict(damping=5, n_bits=2, y_strength=[9, 0, 63, 17],
+                   uv_strength=[5, 12, 0, 33])),
+    dict(rotate_refs=True, n_inter=4),
+    dict(lr=(2, 3, 1), lf=(18, 18, 12, 12, 0), txsw=True),
+]
+
+
+def build_stream(cfg, seed):
+    w, hh = cfg.get("w", 64), cfg.get("h", 64)
+    q = cfg.get("q", 100)
+    n_inter = cfg.get("n_inter", 3)
+    cdef = cfg.get("cdef")
+    seq = make_seq_hdr(w, hh, sb128=cfg.get("sb128", 0),
+                       cdef=1 if cdef else 0,
+                       restoration=1 if cfg.get("lr") else 0)
+    txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
+    lf = cfg.get("lf", (0, 0, 0, 0, 0))
+    kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
+                            cdef_params=cdef)
+    if cfg.get("lr"):
+        kf.restoration_type = list(cfg["lr"])
+        kf.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
+    frames = [(kf, gen_intra_frame(seq, kf, RandomPolicy(seed))[0])]
+    for i in range(n_inter):
+        if cfg.get("rotate_refs"):
+            slot = 1 + (i % 2)
+            refidx = [(1 + ((i + 1) % 2)) if i else 0] * 7
+            refresh = 1 << slot
+        else:
+            refidx, refresh = [0] * 7, 0xFF
+        fi = make_inter_frame_hdr(
+            seq, qidx=q, txfm_mode=txm, loopfilter=lf,
+            switchable_filter=cfg.get("swfilter", False),
+            switchable_comp=cfg.get("comp", False),
+            cdef_params=cdef, hp=cfg.get("hp", 1),
+            refidx=refidx, refresh=refresh)
+        if cfg.get("lr"):
+            fi.restoration_type = list(cfg["lr"])
+            fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
+        frames.append((fi, gen_inter_frame(seq, fi,
+                                           RandomPolicy(seed + 1 + i))[0]))
+    return seq, gen_ivf(seq, frames), 1 + n_inter
+
+
+def oracle_decode_frames(oracle_bin, ivf, tmp_path, seq, n_frames):
+    p = tmp_path / "t.ivf"
+    o = tmp_path / "out.yuv"
+    p.write_bytes(ivf)
+    r = subprocess.run([oracle_bin, "-i", str(p), "--muxer", "yuv",
+                        "-o", str(o), "-q"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"oracle failed: {r.stderr}"
+    raw = np.frombuffer(o.read_bytes(), np.uint8)
+    w, hgt = seq.max_width, seq.max_height
+    cw, ch = (w + 1) >> 1, (hgt + 1) >> 1
+    fsz = w * hgt + 2 * cw * ch
+    assert len(raw) == fsz * n_frames
+    out = []
+    off = 0
+    for _ in range(n_frames):
+        planes = [raw[off:off + w * hgt].reshape(hgt, w)]
+        off += w * hgt
+        for _ in range(2):
+            planes.append(raw[off:off + cw * ch].reshape(ch, cw))
+            off += cw * ch
+        out.append(planes)
+    return out
+
+
+@pytest.mark.parametrize("ci", range(len(CONFIGS)))
+def test_e2e_inter_pixel_exact(ci, oracle_bin, tmp_path):
+    cfg = CONFIGS[ci]
+    seq, ivf, n_frames = build_stream(cfg, seed=31000 + 137 * ci)
+    ref_frames = oracle_decode_frames(oracle_bin, ivf, tmp_path, seq,
+                                      n_frames)
+    got_frames = decode_ivf(ivf)
+    assert len(got_frames) == n_frames
+    for fi, (got, ref) in enumerate(zip(got_frames, ref_frames)):
+        for pl, (g, r) in enumerate(zip(got, ref)):
+            assert g.shape == r.shape, (fi, pl, g.shape, r.shape)
+            if not np.array_equal(g, r):
+                bad = np.argwhere(g.astype(np.int32) != r.astype(np.int32))
+                y0, x0 = bad[0]
+                raise AssertionError(
+                    f"cfg{ci} frame {fi} plane {pl}: {len(bad)} mismatches, "
+                    f"first at ({y0},{x0}): got {g[y0, x0]} "
+                    f"want {r[y0, x0]}")
