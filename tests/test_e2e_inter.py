@@ -34,6 +34,14 @@ CONFIGS = [
                    uv_strength=[5, 12, 0, 33])),
     dict(rotate_refs=True, n_inter=4),
     dict(lr=(2, 3, 1), lf=(18, 18, 12, 12, 0), txsw=True),
+    dict(bitdepth=10, lf=(20, 20, 15, 15, 1), txsw=True),
+    dict(layout=h.PIXEL_LAYOUT_I444, txsw=True),
+    dict(mono=1, txsw=True),
+    dict(bitdepth=10, layout=h.PIXEL_LAYOUT_I444, comp=True),
+    dict(fg=dict(seed=4321, num_y_points=3,
+                 y_points=[(0, 40), (80, 90), (255, 20)], ar_coeff_lag=1,
+                 ar_coeffs_y=[3, -7, 12, 5], scaling_shift=8,
+                 overlap_flag=1)),
 ]
 
 
@@ -42,7 +50,11 @@ def build_stream(cfg, seed):
     q = cfg.get("q", 100)
     n_inter = cfg.get("n_inter", 3)
     cdef = cfg.get("cdef")
+    fg = cfg.get("fg")
     seq = make_seq_hdr(w, hh, sb128=cfg.get("sb128", 0),
+                       bitdepth=cfg.get("bitdepth", 8),
+                       layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
+                       monochrome=cfg.get("mono", 0),
                        cdef=1 if cdef else 0,
                        restoration=1 if cfg.get("lr") else 0)
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
@@ -52,6 +64,11 @@ def build_stream(cfg, seed):
     if cfg.get("lr"):
         kf.restoration_type = list(cfg["lr"])
         kf.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
+    if fg:
+        seq.film_grain_present = 1
+        kf.film_grain_present = 1
+        for k, v in fg.items():
+            setattr(kf.film_grain_data, k, v)
     frames = [(kf, gen_intra_frame(seq, kf, RandomPolicy(seed))[0])]
     for i in range(n_inter):
         if cfg.get("rotate_refs"):
@@ -69,6 +86,11 @@ def build_stream(cfg, seed):
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
+        if fg:
+            fi.film_grain_present = 1
+            for k, v in fg.items():
+                setattr(fi.film_grain_data, k, v)
+            fi.film_grain_data.seed = fg["seed"] + 11 * (i + 1)
         frames.append((fi, gen_inter_frame(seq, fi,
                                            RandomPolicy(seed + 1 + i))[0]))
     return seq, gen_ivf(seq, frames), 1 + n_inter
@@ -82,19 +104,23 @@ def oracle_decode_frames(oracle_bin, ivf, tmp_path, seq, n_frames):
                         "-o", str(o), "-q"],
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, f"oracle failed: {r.stderr}"
-    raw = np.frombuffer(o.read_bytes(), np.uint8)
+    dt = np.uint8 if seq.bitdepth == 8 else np.uint16
+    raw = np.frombuffer(o.read_bytes(), dt)
     w, hgt = seq.max_width, seq.max_height
-    cw, ch = (w + 1) >> 1, (hgt + 1) >> 1
-    fsz = w * hgt + 2 * cw * ch
+    ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
+    ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
+    cw, ch = (w + ss_hor) >> ss_hor, (hgt + ss_ver) >> ss_ver
+    fsz = w * hgt + (0 if seq.monochrome else 2 * cw * ch)
     assert len(raw) == fsz * n_frames
     out = []
     off = 0
     for _ in range(n_frames):
         planes = [raw[off:off + w * hgt].reshape(hgt, w)]
         off += w * hgt
-        for _ in range(2):
-            planes.append(raw[off:off + cw * ch].reshape(ch, cw))
-            off += cw * ch
+        if not seq.monochrome:
+            for _ in range(2):
+                planes.append(raw[off:off + cw * ch].reshape(ch, cw))
+                off += cw * ch
         out.append(planes)
     return out
 
