@@ -97,6 +97,10 @@ def iclip_u8(v):
     return max(0, min(255, v))
 
 
+def iclip_u8_range(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
 # ------------------------------------------------------------------
 # EC adapters: one tile coder, two directions
 # ------------------------------------------------------------------
@@ -479,7 +483,7 @@ class Av1Block:
                  "inter_mode", "drl_idx", "ref", "mv", "comp_type",
                  "motion_mode", "interintra_type", "interintra_mode",
                  "wedge_idx", "mask_sign", "filter2d", "max_ytx",
-                 "tx_split0", "tx_split1", "coef_lo", "coef_hi")
+                 "tx_split0", "tx_split1", "coef_lo", "coef_hi", "warp")
 
     def __init__(self):
         self.pal_sz = [0, 0]
@@ -497,6 +501,7 @@ class Av1Block:
         self.filter2d = 0
         self.tx_split0 = 0
         self.tx_split1 = 0
+        self.warp = None
 
 
 class CoefBlock:
@@ -1373,7 +1378,8 @@ class TileCoder:
                     b.motion_mode = ec.bool_adapt("obmc", cdfm["obmc"][bs])
                 if b.motion_mode == MM_WARP:
                     has_subpel_filter = 0
-                    raise NotImplementedError("warp motion derivation")
+                    b.warp = self._derive_warpmv(bw4, bh4, masks, b.mv[0],
+                                                 bx, by)
                 if self.dbg:
                     print(f"Post-motionmode[{b.motion_mode}]: r={ec.rng}")
             else:
@@ -1455,6 +1461,68 @@ class TileCoder:
         if has_chroma:
             l.uvmode[cby4:cby4 + cbh4] = DC_PRED
             a.uvmode[cbx4:cbx4 + cbw4] = DC_PRED
+
+    def _derive_warpmv(self, bw4, bh4, masks, mv_yx, bx, by):
+        """dav1d decode.c derive_warpmv:292."""
+        from .warpmv import WarpParams, find_affine_int, get_shear_params
+        rf = self.rf
+        pts = []
+
+        def add_sample(dx, dy, sx, sy, cy, cx):
+            cbs = T_BLOCK_DIM[rf.bs[cy, cx]]
+            ix = 16 * (2 * dx + sx * int(cbs[0])) - 8
+            iy = 16 * (2 * dy + sy * int(cbs[1])) - 8
+            ox = ix + int(rf.mv[cy, cx, 0, 1])
+            oy = iy + int(rf.mv[cy, cx, 0, 0])
+            pts.append(((ix, iy), (ox, oy)))
+
+        if (masks[0] & 0xFFFFFFFF) == 1 and not (masks[1] >> 32):
+            off = bx & (int(T_BLOCK_DIM[rf.bs[by - 1, bx]][0]) - 1)
+            add_sample(-off, 0, 1, -1, by - 1, bx)
+        else:
+            off = 0
+            xmask = masks[0] & 0xFFFFFFFF
+            while len(pts) < 8 and xmask:
+                tz = (xmask & -xmask).bit_length() - 1
+                off += tz
+                xmask >>= tz
+                add_sample(off, 0, 1, -1, by - 1, bx + off)
+                xmask &= ~1
+        if len(pts) < 8 and masks[1] == 1:
+            off = by & (int(T_BLOCK_DIM[rf.bs[by, bx - 1]][1]) - 1)
+            add_sample(0, -off, -1, 1, by - off, bx - 1)
+        else:
+            off = 0
+            ymask = masks[1] & 0xFFFFFFFF
+            while len(pts) < 8 and ymask:
+                tz = (ymask & -ymask).bit_length() - 1
+                off += tz
+                ymask >>= tz
+                add_sample(0, off, -1, 1, by + off, bx - 1)
+                ymask &= ~1
+        if len(pts) < 8 and (masks[1] >> 32):  # top/left
+            add_sample(0, 0, -1, -1, by - 1, bx - 1)
+        if len(pts) < 8 and (masks[0] >> 32):  # top/right
+            add_sample(bw4, 0, 1, -1, by - 1, bx + bw4)
+        assert 0 < len(pts) <= 8
+
+        # threshold selection (decode.c:336-357); the LS sums are
+        # order-independent so keeping the valid subset is equivalent to
+        # dav1d's in-place compaction
+        mvy, mvx = mv_yx
+        thresh = 4 * iclip_u8_range(max(bw4, bh4), 4, 28)
+        valid = [p for p in pts
+                 if abs(p[1][0] - p[0][0] - mvx) +
+                 abs(p[1][1] - p[0][1] - mvy) <= thresh]
+        if not valid:
+            valid = [pts[0]]
+        wm = WarpParams()
+        if not find_affine_int(valid, len(valid), bw4, bh4, mv_yx, wm,
+                               bx, by) and not get_shear_params(wm):
+            wm.type = 3  # WM_TYPE_AFFINE
+        else:
+            wm.type = 0  # WM_TYPE_IDENTITY
+        return wm
 
     def _find_matching_ref(self, edge_flags, bw4, bh4, w4, h4, have_left,
                            have_top, ref, bx, by):

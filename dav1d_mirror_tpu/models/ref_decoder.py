@@ -108,10 +108,106 @@ def _mc_prep(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
                            my << (0 if ss_ver else 1), filter2d, bd)
 
 
+def _warp_affine(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver,
+                 wm, bd, prep=False):
+    """Affine warp over 8x8 sub-blocks (dav1d recon_tmpl.c
+    warp_affine:1134)."""
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    assert not ((bw4 * h_mul) & 7) and not ((bh4 * v_mul) & 7)
+    mat = wm.matrix
+    width = (ref_w + ss_hor) >> ss_hor
+    height = (ref_h + ss_ver) >> ss_ver
+    abcd = (wm.alpha, wm.beta, wm.gamma, wm.delta)
+    out = np.zeros((bh4 * v_mul, bw4 * h_mul), np.int32)
+    for y in range(0, bh4 * v_mul, 8):
+        src_y = by * 4 + ((y + 4) << ss_ver)
+        mat3_y = mat[3] * src_y + mat[0]
+        mat5_y = mat[5] * src_y + mat[1]
+        for x in range(0, bw4 * h_mul, 8):
+            src_x = bx * 4 + ((x + 4) << ss_hor)
+            mvx = (mat[2] * src_x + mat3_y) >> ss_hor
+            mvy = (mat[4] * src_x + mat5_y) >> ss_ver
+            dx = (mvx >> 16) - 4
+            mx = ((mvx & 0xFFFF) - wm.alpha * 4 - wm.beta * 7) & ~0x3F
+            dy = (mvy >> 16) - 4
+            my = ((mvy & 0xFFFF) - wm.gamma * 4 - wm.delta * 4) & ~0x3F
+            src = mcdsp.emu_edge(15, 15, width, height, dx - 3, dy - 3,
+                                 refplane[:height, :width])
+            blk = mcdsp.warp8x8t(src, abcd, mx, my, bd) if prep else \
+                mcdsp.warp8x8(src, abcd, mx, my, bd)
+            out[y:y + 8, x:x + 8] = blk
+    return out
+
+
+def _obmc(seq, fhdr, coder, bufs, refs, b, state, pl, ss_hor, ss_ver,
+          dst_y, dst_x):
+    """Overlapped block MC (dav1d recon_tmpl.c obmc:1071). dst_y/dst_x:
+    top-left of this block in the plane (pixels)."""
+    bd = seq.bitdepth
+    rf = coder.rf
+    f2d = state["f2d_map"]
+    b_dim = T_BLOCK_DIM[b.bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    bx, by = b.bx, b.by
+    w4 = min(bw4, coder.bw - bx)
+    h4 = min(bh4, coder.bh - by)
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    cur_w, cur_h = fhdr.width[0], fhdr.height
+    plane = bufs.planes[pl]
+
+    if by > coder.row_start and (pl == 0 or
+                                 bw4 * h_mul + bh4 * v_mul >= 16):
+        i = 0
+        x = 0
+        while x < w4 and i < min(int(b_dim[2]), 4):
+            # only odd blocks are considered for overlap handling, hence +1
+            cy, cx = by - 1, bx + x + 1
+            step4 = max(2, min(16, int(T_BLOCK_DIM[rf.bs[cy, cx]][0])))
+            if rf.ref[cy, cx, 0] > 0:
+                ow4 = min(step4, bw4)
+                oh4 = min(bh4, 16) >> 1
+                rb = refs[fhdr.refidx[int(rf.ref[cy, cx, 0]) - 1]]
+                rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
+                lap = _mc_put(rb.planes[pl], cur_w, cur_h, ow4,
+                              (oh4 * 3 + 3) >> 2, bx + x, by,
+                              ss_hor, ss_ver, rmv, int(f2d[cy, cx]), bd)
+                region = plane[dst_y:dst_y + v_mul * oh4,
+                               dst_x + x * h_mul:
+                               dst_x + x * h_mul + h_mul * ow4]
+                plane[dst_y:dst_y + v_mul * oh4,
+                      dst_x + x * h_mul:dst_x + x * h_mul + h_mul * ow4] = \
+                    mcdsp.blend_h(region, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            x += step4
+
+    if bx > coder.col_start:
+        i = 0
+        y = 0
+        while y < h4 and i < min(int(b_dim[3]), 4):
+            cy, cx = by + y + 1, bx - 1
+            step4 = max(2, min(16, int(T_BLOCK_DIM[rf.bs[cy, cx]][1])))
+            if rf.ref[cy, cx, 0] > 0:
+                ow4 = min(bw4, 16) >> 1
+                oh4 = min(step4, bh4)
+                rb = refs[fhdr.refidx[int(rf.ref[cy, cx, 0]) - 1]]
+                rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
+                lap = _mc_put(rb.planes[pl], cur_w, cur_h, ow4, oh4,
+                              bx, by + y, ss_hor, ss_ver, rmv,
+                              int(f2d[cy, cx]), bd)
+                region = plane[dst_y + y * v_mul:
+                               dst_y + y * v_mul + v_mul * oh4,
+                               dst_x:dst_x + h_mul * ow4]
+                plane[dst_y + y * v_mul:dst_y + y * v_mul + v_mul * oh4,
+                      dst_x:dst_x + h_mul * ow4] = \
+                    mcdsp.blend_v(region, lap, h_mul * ow4, v_mul * oh4)
+                i += 1
+            y += step4
+
+
 def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
     """Inter block reconstruction (dav1d recon_tmpl.c
     dav1d_recon_b_inter:1598). state: dict with 'tl_4x4_filter' and
-    'f2d_map' (per-4x4 filter2d of inter blocks, at block top-left)."""
+    'f2d_map' (per-4x4 filter2d splatted over each inter block extent)."""
     bd = seq.bitdepth
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     b_dim = T_BLOCK_DIM[b.bs]
@@ -129,8 +225,6 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             "scaled references not yet supported"
         return rb
 
-    if b.motion_mode != MM_TRANSLATION:
-        raise NotImplementedError("OBMC/warp reconstruction")
     if b.interintra_type:
         raise NotImplementedError("inter-intra reconstruction")
 
@@ -139,9 +233,18 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                 fhdr.gmv[b.ref[0]].type > 1:
             raise NotImplementedError("warped global motion")
         refp = refbufs(b.ref[0])
-        pred = _mc_put(refp.planes[0], cur_w, cur_h, bw4, bh4, bx, by,
-                       0, 0, b.mv[0], b.filter2d, bd)
+        use_warp = (min(bw4, bh4) > 1 and b.motion_mode == 2 and
+                    b.warp is not None and b.warp.type > 1)
+        if use_warp:
+            pred = _warp_affine(refp.planes[0], cur_w, cur_h, bw4, bh4,
+                                bx, by, 0, 0, b.warp, bd)
+        else:
+            pred = _mc_put(refp.planes[0], cur_w, cur_h, bw4, bh4, bx, by,
+                           0, 0, b.mv[0], b.filter2d, bd)
         yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
+        if not use_warp and b.motion_mode == 1:  # MM_OBMC
+            _obmc(seq, fhdr, coder, bufs, refs, b, state, 0, 0, 0,
+                  by * 4, bx * 4)
 
         if has_chroma:
             rf = coder.rf
@@ -187,17 +290,29 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                     bufs.planes[pl][uvy + v_off:uvy + v_off + ch,
                                     uvx + h_off:uvx + h_off + cw] = p
             else:
+                cbw4 = (bw4 + ss_hor) >> ss_hor
+                cbh4 = (bh4 + ss_ver) >> ss_ver
                 cw = (bw4 << (bw4 == ss_hor)) * 4 >> ss_hor
                 ch = (bh4 << (bh4 == ss_ver)) * 4 >> ss_ver
-                for pl in (1, 2):
-                    p = _mc_put(refp.planes[pl], cur_w, cur_h,
-                                bw4 << (bw4 == ss_hor),
-                                bh4 << (bh4 == ss_ver),
-                                bx & ~ss_hor, by & ~ss_ver,
-                                ss_hor, ss_ver, b.mv[0], b.filter2d, bd)
-                    bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
+                if use_warp and min(cbw4, cbh4) > 1:
+                    for pl in (1, 2):
+                        p = _warp_affine(refp.planes[pl], cur_w, cur_h,
+                                         bw4, bh4, bx, by, ss_hor, ss_ver,
+                                         b.warp, bd)
+                        bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
+                else:
+                    for pl in (1, 2):
+                        p = _mc_put(refp.planes[pl], cur_w, cur_h,
+                                    bw4 << (bw4 == ss_hor),
+                                    bh4 << (bh4 == ss_ver),
+                                    bx & ~ss_hor, by & ~ss_ver,
+                                    ss_hor, ss_ver, b.mv[0], b.filter2d, bd)
+                        bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
+                        if b.motion_mode == 1:  # MM_OBMC
+                            _obmc(seq, fhdr, coder, bufs, refs, b, state,
+                                  pl, ss_hor, ss_ver, uvy, uvx)
         state["tl_4x4_filter"] = b.filter2d
-        state["f2d_map"][by, bx] = b.filter2d
+        state["f2d_map"][by:by + bh4, bx:bx + bw4] = b.filter2d
     else:
         # compound (dav1d recon_tmpl.c:1822-1907)
         if b.inter_mode == 6 and any(fhdr.gmv[b.ref[i]].type > 1

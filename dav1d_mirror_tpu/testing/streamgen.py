@@ -59,8 +59,13 @@ class RandomPolicy:
 
 def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
                  sb128=0, filter_intra=0, cdef=0, restoration=0,
-                 monochrome=0) -> h.SequenceHeader:
+                 monochrome=0, warped_motion=0, inter_intra=0,
+                 masked_compound=0, dual_filter=0) -> h.SequenceHeader:
     s = h.SequenceHeader()
+    s.warped_motion = warped_motion
+    s.inter_intra = inter_intra
+    s.masked_compound = masked_compound
+    s.dual_filter = dual_filter
     s.max_width, s.max_height = width, height
     s.width_n_bits = max(1, (width - 1).bit_length())
     s.height_n_bits = max(1, (height - 1).bit_length())
@@ -123,11 +128,16 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          loopfilter=(0, 0, 0, 0, 0), cdef_params=None,
                          hp=1, switchable_filter=False, switchable_comp=False,
                          switchable_motion=False, refresh=0xFF,
-                         frame_offset=0) -> h.FrameHeader:
+                         frame_offset=0, warp=False) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
-    f.error_resilient_mode = 1          # => PRIMARY_REF_NONE, default CDFs
+    # warp_motion is only coded when !error_resilient (obu.c:622); keep
+    # PRIMARY_REF_NONE explicitly so default CDFs are still used
+    f.error_resilient_mode = 0 if warp else 1
+    f.warp_motion = 1 if warp else 0
+    if warp:
+        switchable_motion = True
     f.force_integer_mv = 0
     f.width = [seq.max_width, seq.max_width]
     f.height = seq.max_height
@@ -162,7 +172,6 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
             f.cdef_uv_strength[i] = uvs
     f.switchable_comp_refs = 1 if switchable_comp else 0
     f.skip_mode_enabled = 0
-    f.warp_motion = 0
     from ..host.obu import compute_uniform_tiling, derive_lossless
     compute_uniform_tiling(seq, f)
     derive_lossless(f)

@@ -42,6 +42,11 @@ CONFIGS = [
                  y_points=[(0, 40), (80, 90), (255, 20)], ar_coeff_lag=1,
                  ar_coeffs_y=[3, -7, 12, 5], scaling_shift=8,
                  overlap_flag=1)),
+    dict(swmotion=True, txsw=True),                      # OBMC
+    dict(swmotion=True, lf=(28, 28, 20, 20, 2)),
+    dict(warp=True, txsw=True),                          # warped motion
+    dict(warp=True, swfilter=True, lf=(20, 20, 15, 15, 0)),
+    dict(w=128, h=96, warp=True, txsw=True),
 ]
 
 
@@ -56,7 +61,8 @@ def build_stream(cfg, seed):
                        layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
                        monochrome=cfg.get("mono", 0),
                        cdef=1 if cdef else 0,
-                       restoration=1 if cfg.get("lr") else 0)
+                       restoration=1 if cfg.get("lr") else 0,
+                       warped_motion=1 if cfg.get("warp") else 0)
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
@@ -81,6 +87,8 @@ def build_stream(cfg, seed):
             seq, qidx=q, txfm_mode=txm, loopfilter=lf,
             switchable_filter=cfg.get("swfilter", False),
             switchable_comp=cfg.get("comp", False),
+            switchable_motion=cfg.get("swmotion", False),
+            warp=cfg.get("warp", False),
             cdef_params=cdef, hp=cfg.get("hp", 1),
             refidx=refidx, refresh=refresh)
         if cfg.get("lr"):
