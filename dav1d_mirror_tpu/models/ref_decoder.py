@@ -225,9 +225,6 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             "scaled references not yet supported"
         return rb
 
-    if b.interintra_type:
-        raise NotImplementedError("inter-intra reconstruction")
-
     if b.comp_type == COMP_INTER_NONE:
         if b.inter_mode == GLOBALMV and min(bw4, bh4) > 1 and \
                 fhdr.gmv[b.ref[0]].type > 1:
@@ -245,6 +242,22 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
         if not use_warp and b.motion_mode == 1:  # MM_OBMC
             _obmc(seq, fhdr, coder, bufs, refs, b, state, 0, 0, 0,
                   by * 4, bx * 4)
+        if b.interintra_type:
+            # dav1d recon_tmpl.c:1658-1681
+            from ..ops.ref.wedge import ii_mask
+            m = 9 if b.interintra_mode == 3 else b.interintra_mode  # SMOOTH
+            m2, _, tl, cols = prepare_intra_edges(
+                bx, bx > coder.col_start, by, by > coder.row_start,
+                coder.col_end, coder.row_end, 0, yplane, bx * 4, by * 4,
+                m, 0, bw4, bh4, 0, bd)
+            ipred = ip.intra_pred_ref(m2, tl, cols, bw4 * 4, bh4 * 4, 0,
+                                      0, 0, bd)
+            msk = ii_mask(0, b.bs, b.interintra_type, b.interintra_mode,
+                          b.wedge_idx)[:bh4 * 4, :bw4 * 4]
+            region = yplane[by * 4:by * 4 + bh4 * 4,
+                            bx * 4:bx * 4 + bw4 * 4]
+            yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = \
+                mcdsp.blend(region, ipred, msk)
 
         if has_chroma:
             rf = coder.rf
@@ -311,6 +324,29 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                         if b.motion_mode == 1:  # MM_OBMC
                             _obmc(seq, fhdr, coder, bufs, refs, b, state,
                                   pl, ss_hor, ss_ver, uvy, uvx)
+                if b.interintra_type:
+                    # dav1d recon_tmpl.c:1779-1817
+                    from ..ops.ref.wedge import ii_mask
+                    chr_idx = ss_hor + ss_ver
+                    msk = ii_mask(chr_idx, b.bs, b.interintra_type,
+                                  b.interintra_mode,
+                                  b.wedge_idx)[:cbh4 * 4, :cbw4 * 4]
+                    m = 9 if b.interintra_mode == 3 else b.interintra_mode
+                    for pl in (1, 2):
+                        plane = bufs.planes[pl]
+                        xpos, ypos = bx >> ss_hor, by >> ss_ver
+                        m2, _, tl, cols = prepare_intra_edges(
+                            xpos, xpos > (coder.col_start >> ss_hor),
+                            ypos, ypos > (coder.row_start >> ss_ver),
+                            coder.col_end >> ss_hor,
+                            coder.row_end >> ss_ver, 0, plane,
+                            xpos * 4, ypos * 4, m, 0, cbw4, cbh4, 0, bd)
+                        ipred = ip.intra_pred_ref(m2, tl, cols, cbw4 * 4,
+                                                  cbh4 * 4, 0, 0, 0, bd)
+                        region = plane[uvy:uvy + cbh4 * 4,
+                                       uvx:uvx + cbw4 * 4]
+                        plane[uvy:uvy + cbh4 * 4, uvx:uvx + cbw4 * 4] = \
+                            mcdsp.blend(region, ipred, msk)
         state["tl_4x4_filter"] = b.filter2d
         state["f2d_map"][by:by + bh4, bx:bx + bw4] = b.filter2d
     else:
@@ -332,8 +368,13 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             pred, mask_arr = mcdsp.w_mask(
                 tmp[b.mask_sign], tmp[1 - b.mask_sign],
                 bw4 * 4, bh4 * 4, b.mask_sign, ss_hor, ss_ver, bd)
-        else:
-            raise NotImplementedError("wedge masks")
+        else:  # COMP_INTER_WEDGE
+            from ..ops.ref.wedge import wedge_mask
+            pred = mcdsp.mask(tmp[b.mask_sign], tmp[1 - b.mask_sign],
+                              wedge_mask(0, b.bs, 0, b.wedge_idx), bd)
+            if has_chroma:
+                mask_arr = wedge_mask(ss_hor + ss_ver, b.bs, b.mask_sign,
+                                      b.wedge_idx)
         yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
         if has_chroma:
             uvx, uvy = (bx >> ss_hor) * 4, (by >> ss_ver) * 4
@@ -347,11 +388,11 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                                          b.mv[i], b.filter2d, bd))
                 if b.comp_type == COMP_INTER_AVG:
                     cpred = mcdsp.avg(ctmp[0], ctmp[1], bd)
-                elif b.comp_type == COMP_INTER_SEG:
+                elif b.comp_type in (COMP_INTER_SEG, COMP_INTER_WEDGE):
                     cpred = mcdsp.mask(ctmp[b.mask_sign],
                                        ctmp[1 - b.mask_sign], mask_arr, bd)
                 else:
-                    raise NotImplementedError
+                    raise NotImplementedError("jnt-comp weights")
                 bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = cpred
 
     # residuals: replay this block's coefficient blocks (any order is valid

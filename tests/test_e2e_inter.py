@@ -47,6 +47,11 @@ CONFIGS = [
     dict(warp=True, txsw=True),                          # warped motion
     dict(warp=True, swfilter=True, lf=(20, 20, 15, 15, 0)),
     dict(w=128, h=96, warp=True, txsw=True),
+    dict(comp=True, masked=1, txsw=True),                # wedge/seg compound
+    dict(comp=True, masked=1, lf=(25, 25, 18, 18, 1)),
+    dict(comp=True, masked=1, layout=h.PIXEL_LAYOUT_I444),
+    dict(interintra=1, txsw=True),                       # inter-intra blend
+    dict(comp=True, masked=1, interintra=1, txsw=True),
 ]
 
 
@@ -62,7 +67,9 @@ def build_stream(cfg, seed):
                        monochrome=cfg.get("mono", 0),
                        cdef=1 if cdef else 0,
                        restoration=1 if cfg.get("lr") else 0,
-                       warped_motion=1 if cfg.get("warp") else 0)
+                       warped_motion=1 if cfg.get("warp") else 0,
+                       masked_compound=cfg.get("masked", 0),
+                       inter_intra=cfg.get("interintra", 0))
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
