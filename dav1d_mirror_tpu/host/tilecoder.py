@@ -502,6 +502,9 @@ class Av1Block:
         self.tx_split0 = 0
         self.tx_split1 = 0
         self.warp = None
+        self.wedge_idx = 0
+        self.mask_sign = 0
+        self.interintra_mode = 0
 
 
 class CoefBlock:
