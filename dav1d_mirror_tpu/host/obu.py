@@ -745,8 +745,85 @@ def _short_ref_signaling(st: ObuState, gb: GetBits):
     raise ParseError("frame_ref_short_signaling not yet supported")
 
 
+def get_poc_diff(order_hint_n_bits: int, poc0: int, poc1: int) -> int:
+    """dav1d env.h get_poc_diff:237 (wrapped order-hint difference)."""
+    if not order_hint_n_bits:
+        return 0
+    mask = 1 << (order_hint_n_bits - 1)
+    diff = poc0 - poc1
+    return (diff & (mask - 1)) - (diff & mask)
+
+
+def derive_skip_mode(seq: h.SequenceHeader, hdr: h.FrameHeader, refs):
+    """dav1d obu.c:980-1035: find nearest fwd+bwd (or two nearest fwd)
+    refs; sets hdr.skip_mode_allowed/skip_mode_refs. refs: 8 FrameHeaders."""
+    hdr.skip_mode_allowed = 0
+    poc = hdr.frame_offset
+    nb = seq.order_hint_n_bits
+    off_before = off_after = None
+    off_before_idx = off_after_idx = -1
+    for i in range(7):
+        rh = refs[hdr.refidx[i]]
+        if rh is None:
+            raise ParseError("skip mode ref missing")
+        refpoc = rh.frame_offset
+        diff = get_poc_diff(nb, refpoc, poc)
+        if diff > 0:
+            if off_after is None or get_poc_diff(nb, off_after, refpoc) > 0:
+                off_after, off_after_idx = refpoc, i
+        elif diff < 0 and (off_before is None or
+                           get_poc_diff(nb, refpoc, off_before) > 0):
+            off_before, off_before_idx = refpoc, i
+    if off_before is not None and off_after is not None:
+        hdr.skip_mode_refs = [min(off_before_idx, off_after_idx),
+                              max(off_before_idx, off_after_idx)]
+        hdr.skip_mode_allowed = 1
+    elif off_before is not None:
+        off_before2 = None
+        off_before2_idx = -1
+        for i in range(7):
+            rh = refs[hdr.refidx[i]]
+            if rh is None:
+                raise ParseError("skip mode ref missing")
+            refpoc = rh.frame_offset
+            if get_poc_diff(nb, refpoc, off_before) < 0:
+                if off_before2 is None or \
+                        get_poc_diff(nb, refpoc, off_before2) > 0:
+                    off_before2, off_before2_idx = refpoc, i
+        if off_before2 is not None:
+            hdr.skip_mode_refs = [min(off_before_idx, off_before2_idx),
+                                  max(off_before_idx, off_before2_idx)]
+            hdr.skip_mode_allowed = 1
+
+
+def compute_jnt_weights(seq: h.SequenceHeader, hdr: h.FrameHeader,
+                        ref_poc):
+    """dav1d decode.c:3132-3163: distance-weighted compound weights.
+    ref_poc: frame_offset of the 7 refidx-resolved references."""
+    qdw = ((2, 3), (2, 5), (2, 7))
+    qdlt = ((9, 7), (11, 5), (12, 4), (13, 3))
+    nb = seq.order_hint_n_bits
+    poc = hdr.frame_offset
+    w = [[0] * 7 for _ in range(7)]
+    for i in range(7):
+        for j in range(i + 1, 7):
+            d1 = min(abs(get_poc_diff(nb, ref_poc[i], poc)), 31)
+            d0 = min(abs(get_poc_diff(nb, ref_poc[j], poc)), 31)
+            order = int(d0 <= d1)
+            for k in range(3):
+                c0 = qdw[k][order]
+                c1 = qdw[k][1 - order]
+                if (d0 > d1 and d0 * c0 < d1 * c1) or \
+                        (d0 <= d1 and d0 * c0 > d1 * c1):
+                    break
+            else:
+                k = 3
+            w[i][j] = qdlt[k][order]
+    return w
+
+
 def _derive_skip_mode_refs(st: ObuState, gb: GetBits):
-    raise ParseError("skip mode ref derivation not yet supported")
+    derive_skip_mode(st.seq_hdr, st.frame_hdr, st.refs)
 
 
 def parse_obus(st: ObuState, data: bytes) -> int:

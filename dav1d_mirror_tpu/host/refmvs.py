@@ -103,7 +103,7 @@ class RefmvsFrame:
     bs, mf (bit0: globalmv-candidate, bit1: newmv).
     """
 
-    def __init__(self, fhdr, seq, iw4, ih4, use_ref_frame_mvs=0):
+    def __init__(self, fhdr, seq, iw4, ih4, ref_poc=None):
         self.frm_hdr = fhdr
         self.iw8 = (fhdr.width[0] + 7) >> 3
         self.ih8 = (fhdr.height + 7) >> 3
@@ -120,6 +120,16 @@ class RefmvsFrame:
         self.use_ref_frame_mvs = 0  # temporal MVs wired in later
         self.sign_bias = [0] * 7
         self.pocdiff = [0] * 7
+        if ref_poc is not None and seq.order_hint:
+            # dav1d refmvs.c dav1d_refmvs_init_frame:837-845
+            from .obu import get_poc_diff
+            nb = seq.order_hint_n_bits
+            poc = fhdr.frame_offset
+            for i in range(7):
+                self.sign_bias[i] = int(get_poc_diff(nb, ref_poc[i],
+                                                     poc) > 0)
+                self.pocdiff[i] = iclip(get_poc_diff(nb, poc, ref_poc[i]),
+                                        -31, 31)
 
     def splat_mv(self, by4, bx4, bw4, bh4, ref0, ref1, mv0, mv1, bs, mf):
         """dav1d refmvs.c splat_mv_c:909 (block fill)."""

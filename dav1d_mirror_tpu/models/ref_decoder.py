@@ -19,7 +19,7 @@ from ..host.tilecoder import (TileCoder, DecodeSide, T_BLOCK_DIM, T_TXFM,
                               COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG,
                               COMP_INTER_SEG, COMP_INTER_WEDGE,
                               MM_TRANSLATION, GLOBALMV)
-from ..data.tables import new_cdf_context, qcat_from_qidx
+from ..data.tables import new_cdf_context, qcat_from_qidx, cdf_thread_update
 from ..ops.ref import ipred as ip
 from ..ops.ref import mc as mcdsp
 from ..ops.ref.ipred_prepare import prepare_intra_edges
@@ -57,11 +57,12 @@ class FrameBuffers:
         return out
 
 
-def recon_frame(seq, fhdr, coders, bufs: FrameBuffers, refs=None):
+def recon_frame(seq, fhdr, coders, bufs: FrameBuffers, refs=None,
+                jnt_weights=None):
     """coders: list of completed (entropy-decoded) TileCoders.
     refs: 8-slot list of reference FrameBuffers (inter frames)."""
     for coder in coders:
-        _recon_tile(seq, fhdr, coder, bufs, refs)
+        _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights)
     return bufs
 
 
@@ -360,10 +361,12 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             tmp.append(_mc_prep(rb.planes[0], cur_w, cur_h, bw4, bh4,
                                 bx, by, 0, 0, b.mv[i], b.filter2d, bd))
         mask_arr = None
+        jnt_weight = 0
         if b.comp_type == COMP_INTER_AVG:
             pred = mcdsp.avg(tmp[0], tmp[1], bd)
         elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
-            raise NotImplementedError("jnt-comp weights")
+            jnt_weight = state["jnt_weights"][b.ref[0]][b.ref[1]]
+            pred = mcdsp.w_avg(tmp[0], tmp[1], jnt_weight, bd)
         elif b.comp_type == COMP_INTER_SEG:
             pred, mask_arr = mcdsp.w_mask(
                 tmp[b.mask_sign], tmp[1 - b.mask_sign],
@@ -388,11 +391,11 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                                          b.mv[i], b.filter2d, bd))
                 if b.comp_type == COMP_INTER_AVG:
                     cpred = mcdsp.avg(ctmp[0], ctmp[1], bd)
-                elif b.comp_type in (COMP_INTER_SEG, COMP_INTER_WEDGE):
+                elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                    cpred = mcdsp.w_avg(ctmp[0], ctmp[1], jnt_weight, bd)
+                else:
                     cpred = mcdsp.mask(ctmp[b.mask_sign],
                                        ctmp[1 - b.mask_sign], mask_arr, bd)
-                else:
-                    raise NotImplementedError("jnt-comp weights")
                 bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = cpred
 
     # residuals: replay this block's coefficient blocks (any order is valid
@@ -411,7 +414,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                 patch, cb.cf, cb.eob, cb.tx, cb.txtp, bitdepth)
 
 
-def _recon_tile(seq, fhdr, coder, bufs, refs=None):
+def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
     bitdepth = seq.bitdepth
     bd_max = (1 << bitdepth) - 1
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
@@ -433,7 +436,8 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None):
 
     # inter recon state (dav1d t->tl_4x4_filter + frame-thread filter map)
     inter_state = {"tl_4x4_filter": 0,
-                   "f2d_map": np.zeros((bh, bw), np.uint8)}
+                   "f2d_map": np.zeros((bh, bw), np.uint8),
+                   "jnt_weights": jnt_weights}
 
     def sm_flag(mode_arr, intra_arr, idx):
         if not intra_arr[idx]:
@@ -806,9 +810,12 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
     (visible). use_tpu_filters routes the in-loop filter chain
     (deblock/CDEF/LR) through the jitted device pipeline
     (models.tpu_filters)."""
+    import copy as _copy
+
     _, _, _, frames = parse_ivf(data)
     st = obu_mod.ObuState()
-    refs = [None] * 8  # decoded FrameBuffers per ref slot
+    refs = [None] * 8      # decoded FrameBuffers per ref slot
+    ref_cdfs = [None] * 8  # saved CDF contexts per ref slot
     out = []
     for fr in frames:
         for _, obu_data in split_obus(fr.data):
@@ -819,11 +826,26 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
         seq, fhdr = st.seq_hdr, st.frame_hdr
         keyframe = fhdr.frame_type in (0, 2)
         rf = None
+        ref_poc = None
+        jnt_weights = None
         if not keyframe:
             from ..host.refmvs import RefmvsFrame
+            ref_poc = [st.refs[fhdr.refidx[i]].frame_offset
+                       if st.refs[fhdr.refidx[i]] is not None else 0
+                       for i in range(7)]
             bw4f = ((fhdr.width[0] + 7) >> 3) << 1
             bh4f = ((fhdr.height + 7) >> 3) << 1
-            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f)
+            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f, ref_poc=ref_poc)
+            if fhdr.switchable_comp_refs:
+                jnt_weights = obu_mod.compute_jnt_weights(seq, fhdr,
+                                                          ref_poc)
+        # CDF selection (dav1d decode.c:3536-3545)
+        if fhdr.primary_ref_frame == h.PRIMARY_REF_NONE:
+            cdf_in = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+        else:
+            src = ref_cdfs[fhdr.refidx[fhdr.primary_ref_frame]]
+            assert src is not None, "missing primary-ref CDFs"
+            cdf_in = src
         coders = []
         t = fhdr.tiling
         for tile_row in range(t.rows):
@@ -831,16 +853,17 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                 ti = tile_row * t.cols + tile_col
                 # tile data: with a single tile group holding all tiles
                 data_t, start, end = _tile_payload(st, ti, fhdr)
-                cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+                cdf = cdf_in.copy()
                 coder = TileCoder(
                     seq, fhdr, cdf,
                     DecodeSide(Msac(data_t,
                                     bool(fhdr.disable_cdf_update))),
-                    tile_col=tile_col, tile_row=tile_row, rf=rf)
+                    tile_col=tile_col, tile_row=tile_row, rf=rf,
+                    ref_poc=ref_poc)
                 coder.code_tile()
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
-        recon_frame(seq, fhdr, coders, bufs, refs)
+        recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
         if use_tpu_filters:
             from .tpu_filters import apply_inloop_filters_tpu
             apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
@@ -848,10 +871,14 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             apply_inloop_filters(seq, fhdr, coders, bufs)
         # reference slot update (dav1d decode.c:3713-3739); refs hold
         # post-loopfilter, pre-film-grain planes
+        out_cdf = cdf_thread_update(cdf_in, coders[fhdr.tiling.update].cdf,
+                                    keyframe) if fhdr.refresh_context \
+            else cdf_in
         for i in range(8):
             if (fhdr.refresh_frame_flags >> i) & 1:
                 refs[i] = bufs
                 st.refs[i] = fhdr
+                ref_cdfs[i] = out_cdf
         if fhdr.film_grain_present:
             from ..ops.ref.filmgrain import apply_film_grain
             grained = apply_film_grain(bufs.planes, seq, fhdr,

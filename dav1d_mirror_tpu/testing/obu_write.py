@@ -110,9 +110,10 @@ def write_seq_hdr(s: h.SequenceHeader) -> bytes:
 
 
 def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
-                    standalone: bool = True) -> bytes:
+                    standalone: bool = True, ref_hdrs=None) -> bytes:
     """standalone=True -> OBU_FRAME_HDR payload (with trailing bits);
-    False -> the header part of an OBU_FRAME (byte-aligned, no trailing)."""
+    False -> the header part of an OBU_FRAME (byte-aligned, no trailing).
+    ref_hdrs: 8-slot FrameHeader state (required with order_hint inter)."""
     w = BitWriter()
     assert not seq.reduced_still_picture_header
     w.put_bit(hdr.show_existing_frame)
@@ -150,7 +151,8 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
         w.put_bits(hdr.refresh_frame_flags, 8)
         if hdr.error_resilient_mode and seq.order_hint:
             for i in range(8):
-                w.put_bits(0, seq.order_hint_n_bits)  # ref order hints
+                assert ref_hdrs is not None and ref_hdrs[i] is not None
+                w.put_bits(ref_hdrs[i].frame_offset, seq.order_hint_n_bits)
         if seq.order_hint:
             w.put_bit(hdr.frame_ref_short_signaling)
             assert not hdr.frame_ref_short_signaling
@@ -338,8 +340,14 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
         w.put_bit(1 if hdr.txfm_mode == h.TX_SWITCHABLE else 0)
     if h.is_inter_or_switch(hdr):
         w.put_bit(hdr.switchable_comp_refs)
-        assert not (hdr.switchable_comp_refs and seq.order_hint), \
-            "skip mode derivation unsupported in writer"
+        if hdr.switchable_comp_refs and seq.order_hint:
+            from ..host.obu import derive_skip_mode
+            assert ref_hdrs is not None
+            derive_skip_mode(seq, hdr, ref_hdrs)
+        if hdr.skip_mode_allowed:
+            w.put_bit(hdr.skip_mode_enabled)
+        else:
+            hdr.skip_mode_enabled = 0
         if not hdr.error_resilient_mode and seq.warped_motion:
             w.put_bit(hdr.warp_motion)
     w.put_bit(hdr.reduced_txtp_set)

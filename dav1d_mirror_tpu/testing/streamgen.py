@@ -36,7 +36,7 @@ class RandomPolicy:
         if key == "txpart":
             return int(r.random() < 0.4)
         if key == "skip_mode":
-            return 0
+            return int(r.random() < 0.35)
         if key in ("part", "part_split"):
             # bias toward not splitting forever
             return int(r.integers(0, maxv + 1))
@@ -60,12 +60,16 @@ class RandomPolicy:
 def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
                  sb128=0, filter_intra=0, cdef=0, restoration=0,
                  monochrome=0, warped_motion=0, inter_intra=0,
-                 masked_compound=0, dual_filter=0) -> h.SequenceHeader:
+                 masked_compound=0, dual_filter=0, order_hint=0,
+                 order_hint_bits=7, jnt_comp=0) -> h.SequenceHeader:
     s = h.SequenceHeader()
     s.warped_motion = warped_motion
     s.inter_intra = inter_intra
     s.masked_compound = masked_compound
     s.dual_filter = dual_filter
+    s.order_hint = order_hint
+    s.order_hint_n_bits = order_hint_bits if order_hint else 0
+    s.jnt_comp = jnt_comp
     s.max_width, s.max_height = width, height
     s.width_n_bits = max(1, (width - 1).bit_length())
     s.height_n_bits = max(1, (height - 1).bit_length())
@@ -128,16 +132,20 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          loopfilter=(0, 0, 0, 0, 0), cdef_params=None,
                          hp=1, switchable_filter=False, switchable_comp=False,
                          switchable_motion=False, refresh=0xFF,
-                         frame_offset=0, warp=False) -> h.FrameHeader:
+                         frame_offset=0, warp=False, primary_ref=None,
+                         skip_mode=False) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
-    # warp_motion is only coded when !error_resilient (obu.c:622); keep
-    # PRIMARY_REF_NONE explicitly so default CDFs are still used
-    f.error_resilient_mode = 0 if warp else 1
+    # warp_motion and primary_ref_frame are only coded when
+    # !error_resilient (obu.c:622, :358)
+    f.error_resilient_mode = 0 if (warp or primary_ref is not None) else 1
     f.warp_motion = 1 if warp else 0
     if warp:
         switchable_motion = True
+    if primary_ref is not None:
+        f.primary_ref_frame = primary_ref
+    f.skip_mode_enabled = 1 if skip_mode else 0
     f.force_integer_mv = 0
     f.width = [seq.max_width, seq.max_width]
     f.height = seq.max_height
@@ -150,7 +158,6 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
         else h.FILTER_8TAP_REGULAR
     f.switchable_motion_mode = 1 if switchable_motion else 0
     f.use_ref_frame_mvs = 0
-    f.primary_ref_frame = h.PRIMARY_REF_NONE
     f.frame_offset = frame_offset
     f.quant_yac = qidx
     f.txfm_mode = txfm_mode if qidx else h.TX_4X4_ONLY
@@ -178,40 +185,51 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
     return f
 
 
-def gen_intra_frame(seq, fhdr, policy) -> tuple[bytes, TileCoder]:
+def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
     """Encode one intra frame's single tile; returns (tile payload, coder)."""
-    cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+    if cdf is None:
+        cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
     enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
     coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy))
     coder.code_tile()
     return enc.finish(), coder
 
 
-def gen_inter_frame(seq, fhdr, policy) -> tuple[bytes, TileCoder]:
+def gen_inter_frame(seq, fhdr, policy, cdf=None,
+                    ref_poc=None) -> tuple[bytes, TileCoder]:
     """Encode one inter frame's single tile; returns (tile payload, coder).
     Symbol choices come from the policy; MV/mode derivation (refmvs
     candidate stacks) evolves exactly as in the decoder, so the stream is
-    conformant by construction."""
+    conformant by construction. cdf: inherited CDF context (CDF forward
+    adaptation); ref_poc: frame_offset per refidx slot (order-hint
+    streams)."""
     from ..host.refmvs import RefmvsFrame
-    cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+    if cdf is None:
+        cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
     enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
     bw4 = ((fhdr.width[0] + 7) >> 3) << 1
     bh4 = ((fhdr.height + 7) >> 3) << 1
-    rf = RefmvsFrame(fhdr, seq, bw4, bh4)
-    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf)
+    rf = RefmvsFrame(fhdr, seq, bw4, bh4, ref_poc=ref_poc)
+    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf,
+                      ref_poc=ref_poc)
     coder.code_tile()
     return enc.finish(), coder
 
 
 def gen_ivf(seq, frames) -> bytes:
-    """frames: list of (fhdr, tile_payload). Returns a full IVF stream."""
+    """frames: list of (fhdr, tile_payload) or (fhdr, tile_payload,
+    ref_hdrs snapshot). Returns a full IVF stream."""
     out_frames = []
-    for i, (fhdr, tile) in enumerate(frames):
+    for i, entry in enumerate(frames):
+        fhdr, tile = entry[0], entry[1]
+        ref_hdrs = entry[2] if len(entry) > 2 else None
         obus = ow.write_obu(h.OBU_TD, b"")
         if i == 0:
             obus += ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq))
         obus += ow.write_obu(
-            h.OBU_FRAME_HDR, ow.write_frame_hdr(fhdr, seq, standalone=True))
+            h.OBU_FRAME_HDR,
+            ow.write_frame_hdr(fhdr, seq, standalone=True,
+                               ref_hdrs=ref_hdrs))
         obus += ow.write_obu(h.OBU_TILE_GRP, ow.write_tile_group(tile))
         out_frames.append(obus)
     return ow.write_ivf(out_frames, seq.max_width, seq.max_height)

@@ -11,6 +11,9 @@ import numpy as np
 import pytest
 
 from dav1d_mirror_tpu.host import headers as h
+from dav1d_mirror_tpu.host import obu as obu_mod
+from dav1d_mirror_tpu.data.tables import (new_cdf_context, qcat_from_qidx,
+                                          cdf_thread_update)
 from dav1d_mirror_tpu.models.ref_decoder import decode_ivf
 from dav1d_mirror_tpu.testing.streamgen import (RandomPolicy, make_seq_hdr,
                                                 make_key_frame_hdr,
@@ -52,6 +55,12 @@ CONFIGS = [
     dict(comp=True, masked=1, layout=h.PIXEL_LAYOUT_I444),
     dict(interintra=1, txsw=True),                       # inter-intra blend
     dict(comp=True, masked=1, interintra=1, txsw=True),
+    dict(primary=True, txsw=True),                       # CDF inheritance
+    dict(order_hint=1, txsw=True),
+    dict(order_hint=1, comp=True, jnt=1, txsw=True),     # dist-wtd compound
+    dict(order_hint=1, comp=True, skipmode=True, txsw=True),
+    dict(order_hint=1, comp=True, jnt=1, skipmode=True, primary=True,
+         txsw=True, lf=(22, 22, 16, 16, 1)),
 ]
 
 
@@ -61,6 +70,7 @@ def build_stream(cfg, seed):
     n_inter = cfg.get("n_inter", 3)
     cdef = cfg.get("cdef")
     fg = cfg.get("fg")
+    order_hint = cfg.get("order_hint", 0)
     seq = make_seq_hdr(w, hh, sb128=cfg.get("sb128", 0),
                        bitdepth=cfg.get("bitdepth", 8),
                        layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
@@ -69,7 +79,8 @@ def build_stream(cfg, seed):
                        restoration=1 if cfg.get("lr") else 0,
                        warped_motion=1 if cfg.get("warp") else 0,
                        masked_compound=cfg.get("masked", 0),
-                       inter_intra=cfg.get("interintra", 0))
+                       inter_intra=cfg.get("interintra", 0),
+                       order_hint=order_hint, jnt_comp=cfg.get("jnt", 0))
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
@@ -82,12 +93,30 @@ def build_stream(cfg, seed):
         kf.film_grain_present = 1
         for k, v in fg.items():
             setattr(kf.film_grain_data, k, v)
-    frames = [(kf, gen_intra_frame(seq, kf, RandomPolicy(seed))[0])]
+    kf_cdf_in = new_cdf_context(qcat_from_qidx(kf.quant_yac))
+    tile, coder = gen_intra_frame(seq, kf, RandomPolicy(seed),
+                                  cdf=kf_cdf_in.copy())
+    frames = [(kf, tile, None)]
+    ref_hdrs = [kf] * 8
+    ref_cdfs = [cdf_thread_update(kf_cdf_in, coder.cdf, True)] * 8
+    # ref plan for order-hint configs: pocs 4, 2, 3 across slots 1-3 so
+    # both forward and backward references exist (skip-mode/jnt coverage)
+    oh_plan = [(4, [0] * 7, 1, 0), (2, [0, 0, 0, 0, 1, 1, 1], 2, 4),
+               (3, [0, 0, 0, 2, 1, 1, 1], 3, 0)]
     for i in range(n_inter):
+        prim = None
+        poc = 0
         if cfg.get("rotate_refs"):
             slot = 1 + (i % 2)
             refidx = [(1 + ((i + 1) % 2)) if i else 0] * 7
             refresh = 1 << slot
+        elif order_hint or cfg.get("primary"):
+            poc, refidx, slot, prim_idx = oh_plan[i % len(oh_plan)]
+            refresh = 1 << slot
+            if not order_hint:
+                poc = 0
+            if cfg.get("primary"):
+                prim = prim_idx
         else:
             refidx, refresh = [0] * 7, 0xFF
         fi = make_inter_frame_hdr(
@@ -97,7 +126,8 @@ def build_stream(cfg, seed):
             switchable_motion=cfg.get("swmotion", False),
             warp=cfg.get("warp", False),
             cdef_params=cdef, hp=cfg.get("hp", 1),
-            refidx=refidx, refresh=refresh)
+            refidx=refidx, refresh=refresh, frame_offset=poc,
+            primary_ref=prim, skip_mode=cfg.get("skipmode", False))
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
@@ -106,8 +136,23 @@ def build_stream(cfg, seed):
             for k, v in fg.items():
                 setattr(fi.film_grain_data, k, v)
             fi.film_grain_data.seed = fg["seed"] + 11 * (i + 1)
-        frames.append((fi, gen_inter_frame(seq, fi,
-                                           RandomPolicy(seed + 1 + i))[0]))
+        if fi.switchable_comp_refs and seq.order_hint:
+            obu_mod.derive_skip_mode(seq, fi, ref_hdrs)
+            fi.skip_mode_enabled &= fi.skip_mode_allowed
+        ref_poc = [ref_hdrs[fi.refidx[k]].frame_offset for k in range(7)]
+        if fi.primary_ref_frame != h.PRIMARY_REF_NONE:
+            cdf_in = ref_cdfs[fi.refidx[fi.primary_ref_frame]]
+        else:
+            cdf_in = new_cdf_context(qcat_from_qidx(fi.quant_yac))
+        tile, coder = gen_inter_frame(seq, fi, RandomPolicy(seed + 1 + i),
+                                      cdf=cdf_in.copy(), ref_poc=ref_poc)
+        frames.append((fi, tile, list(ref_hdrs)))
+        out_cdf = cdf_thread_update(cdf_in, coder.cdf, False) \
+            if fi.refresh_context else cdf_in
+        for s in range(8):
+            if (fi.refresh_frame_flags >> s) & 1:
+                ref_hdrs[s] = fi
+                ref_cdfs[s] = out_cdf
     return seq, gen_ivf(seq, frames), 1 + n_inter
 
 
