@@ -96,6 +96,14 @@ def mv_projection(mv, num, den):
             iclip((x + 8192 + (-1 if x < 0 else 0)) >> 14, -0x3FFF, 0x3FFF))
 
 
+class TemporalMvs:
+    """Per-frame saved 8x8-granularity MVs (dav1d refmvs_temporal_block)."""
+
+    def __init__(self, ih8, w8pad):
+        self.mv = np.zeros((ih8, w8pad, 2), np.int16)   # (y, x)
+        self.ref = np.zeros((ih8, w8pad), np.uint8)     # 0 = invalid
+
+
 class RefmvsFrame:
     """Per-frame refmvs context (dav1d refmvs_frame, spatial part).
 
@@ -120,16 +128,155 @@ class RefmvsFrame:
         self.use_ref_frame_mvs = 0  # temporal MVs wired in later
         self.sign_bias = [0] * 7
         self.pocdiff = [0] * 7
+        self.mfmv_sign = [0] * 7
+        self.mfmv_ref = []
+        self.mfmv_ref2cur = []
+        self.mfmv_ref2ref = []
+        self.rp_ref = [None] * 7
+        # padded 8x8-granularity stride (dav1d rp_stride = r_stride >> 1)
+        self.w8pad = ((fhdr.width[0] + 127) & ~127) >> 3
+        self.rp = TemporalMvs(self.ih8, self.w8pad)
+        self.rp_proj_mv = np.full((ih4 >> 1, self.w8pad, 2), INVALID,
+                                  np.int16)
+        self.rp_proj_ref = np.zeros((ih4 >> 1, self.w8pad), np.uint8)
         if ref_poc is not None and seq.order_hint:
             # dav1d refmvs.c dav1d_refmvs_init_frame:837-845
             from .obu import get_poc_diff
             nb = seq.order_hint_n_bits
             poc = fhdr.frame_offset
             for i in range(7):
-                self.sign_bias[i] = int(get_poc_diff(nb, ref_poc[i],
-                                                     poc) > 0)
+                diff = get_poc_diff(nb, ref_poc[i], poc)
+                self.sign_bias[i] = int(diff > 0)
+                self.mfmv_sign[i] = int(diff < 0)
                 self.pocdiff[i] = iclip(get_poc_diff(nb, poc, ref_poc[i]),
                                         -31, 31)
+
+    def setup_temporal(self, seq, fhdr, ref_poc, ref_ref_poc, rp_ref):
+        """dav1d refmvs.c dav1d_refmvs_init_frame:847-892 (motion-field MV
+        source selection). rp_ref: 7 TemporalMvs (refidx-resolved) or None;
+        ref_ref_poc: 7x7 pocs of each reference's own references."""
+        from .obu import get_poc_diff
+        self.rp_ref = list(rp_ref)
+        self.mfmv_ref = []
+        self.mfmv_ref2cur = []
+        self.mfmv_ref2ref = []
+        nb = seq.order_hint_n_bits
+        if not (fhdr.use_ref_frame_mvs and nb):
+            self.use_ref_frame_mvs = 0
+            return
+        total = 2
+        if rp_ref[0] is not None and ref_ref_poc[0][6] != ref_poc[3]:
+            self.mfmv_ref.append(0)  # last
+            total = 3
+        if rp_ref[4] is not None and \
+                get_poc_diff(nb, ref_poc[4], fhdr.frame_offset) > 0:
+            self.mfmv_ref.append(4)  # bwd
+        if rp_ref[5] is not None and \
+                get_poc_diff(nb, ref_poc[5], fhdr.frame_offset) > 0:
+            self.mfmv_ref.append(5)  # altref2
+        if len(self.mfmv_ref) < total and rp_ref[6] is not None and \
+                get_poc_diff(nb, ref_poc[6], fhdr.frame_offset) > 0:
+            self.mfmv_ref.append(6)  # altref
+        if len(self.mfmv_ref) < total and rp_ref[1] is not None:
+            self.mfmv_ref.append(1)  # last2
+        for r in self.mfmv_ref:
+            rpoc = ref_poc[r]
+            diff1 = get_poc_diff(nb, rpoc, fhdr.frame_offset)
+            if abs(diff1) > 31:
+                self.mfmv_ref2cur.append(None)  # INT_MIN
+                self.mfmv_ref2ref.append([0] * 7)
+            else:
+                self.mfmv_ref2cur.append(-diff1 if r < 4 else diff1)
+                r2r = []
+                for m in range(7):
+                    diff2 = get_poc_diff(nb, rpoc, ref_ref_poc[r][m])
+                    r2r.append(0 if diff2 < 0 or diff2 > 31 else diff2)
+                self.mfmv_ref2ref.append(r2r)
+        self.use_ref_frame_mvs = int(len(self.mfmv_ref) > 0)
+
+    def save_tmvs_frame(self):
+        """dav1d refmvs.h dav1d_refmvs_save_tmvs:140 + save_tmvs_c:763,
+        over the whole frame (equivalent to per-sbrow calls since the
+        spatial arrays are final)."""
+        for y in range(self.ih8):
+            x = 0
+            while x < self.iw8:
+                cy, cx = 2 * y + 1, 2 * x + 1
+                bw8 = (int(T_BLOCK_DIM[self.bs[cy, cx]][0]) + 1) >> 1
+                r1 = int(self.ref[cy, cx, 1])
+                r0 = int(self.ref[cy, cx, 0])
+                if r1 > 0 and self.mfmv_sign[r1 - 1] and \
+                        (abs(int(self.mv[cy, cx, 1, 0])) |
+                         abs(int(self.mv[cy, cx, 1, 1]))) < 4096:
+                    mvv, refv = self.mv[cy, cx, 1], r1
+                elif r0 > 0 and self.mfmv_sign[r0 - 1] and \
+                        (abs(int(self.mv[cy, cx, 0, 0])) |
+                         abs(int(self.mv[cy, cx, 0, 1]))) < 4096:
+                    mvv, refv = self.mv[cy, cx, 0], r0
+                else:
+                    mvv, refv = (0, 0), 0
+                self.rp.mv[y, x:x + bw8] = mvv
+                self.rp.ref[y, x:x + bw8] = refv
+                x += bw8
+
+    def load_tmvs_rows(self, col_start8, col_end8, row_start8, row_end8):
+        """dav1d refmvs.c load_tmvs_c:690: project reference motion fields
+        into rp_proj for one superblock row band."""
+        row_end8 = min(row_end8, self.ih8)
+        col_start8i = max(col_start8 - 8, 0)
+        col_end8i = min(col_end8 + 8, self.iw8)
+        self.rp_proj_mv[row_start8:row_end8, col_start8:col_end8] = INVALID
+        for n, ref in enumerate(self.mfmv_ref):
+            ref2cur = self.mfmv_ref2cur[n]
+            if ref2cur is None:
+                continue
+            ref_sign = ref - 4
+            rp = self.rp_ref[ref]
+            r2r = self.mfmv_ref2ref[n]
+            for y in range(row_start8, row_end8):
+                y_sb_align = y & ~7
+                y_proj_start = max(y_sb_align, row_start8)
+                y_proj_end = min(y_sb_align + 8, row_end8)
+                x = col_start8i
+                while x < col_end8i:
+                    b_ref = int(rp.ref[y, x])
+                    if not b_ref:
+                        x += 1
+                        continue
+                    ref2ref = r2r[b_ref - 1]
+                    if not ref2ref:
+                        x += 1
+                        continue
+                    b_mv = (int(rp.mv[y, x, 0]), int(rp.mv[y, x, 1]))
+                    offy, offx = mv_projection(b_mv, ref2cur, ref2ref)
+                    pos_x = x + apply_sign(abs(offx) >> 6,
+                                           -offx if ref_sign < 0 else offx)
+                    pos_y = y + apply_sign(abs(offy) >> 6,
+                                           -offy if ref_sign < 0 else offy)
+                    if y_proj_start <= pos_y < y_proj_end:
+                        while True:
+                            x_sb_align = x & ~7
+                            if max(x_sb_align - 8, col_start8) <= pos_x < \
+                                    min(x_sb_align + 16, col_end8):
+                                self.rp_proj_mv[pos_y, pos_x] = b_mv
+                                self.rp_proj_ref[pos_y, pos_x] = ref2ref
+                            x += 1
+                            if x >= col_end8i:
+                                break
+                            if int(rp.ref[y, x]) != b_ref or \
+                                    (int(rp.mv[y, x, 0]),
+                                     int(rp.mv[y, x, 1])) != b_mv:
+                                break
+                            pos_x += 1
+                    else:
+                        while True:
+                            x += 1
+                            if x >= col_end8i:
+                                break
+                            if int(rp.ref[y, x]) != b_ref or \
+                                    (int(rp.mv[y, x, 0]),
+                                     int(rp.mv[y, x, 1])) != b_mv:
+                                break
 
     def splat_mv(self, by4, bx4, bw4, bh4, ref0, ref1, mv0, mv1, bs, mf):
         """dav1d refmvs.c splat_mv_c:909 (block fill)."""
@@ -235,6 +382,40 @@ def _scan_col(stack, rf, ref, gmv, cy0, cx, bh4, h4, max_cols, step):
             return 1, have_newmv, have_refmv
         cand_bh4 = int(T_BLOCK_DIM[rf.bs[cy0 + y, cx]][1])
         ln = max(step, cand_bh4)
+
+
+def _add_temporal_candidate(stack, rf, cy, cx, ref, tgmv, want_gctx):
+    """dav1d refmvs.c add_temporal_candidate:193. Returns globalmv_ctx or
+    None if not computed."""
+    my = int(rf.rp_proj_mv[cy, cx, 0])
+    mx = int(rf.rp_proj_mv[cy, cx, 1])
+    if my == INVALID and mx == INVALID:
+        return None
+    bref = int(rf.rp_proj_ref[cy, cx])
+    mv0 = mv_projection((my, mx), rf.pocdiff[ref[0] - 1], bref)
+    mv0 = fix_mv_precision(rf.frm_hdr, mv0)
+    gctx = None
+    if ref[1] == -1:
+        if want_gctx:
+            gctx = int((abs(mv0[1] - tgmv[0][1]) |
+                        abs(mv0[0] - tgmv[0][0])) >= 16)
+        for c in stack:
+            if c.mv[0] == mv0:
+                c.weight += 2
+                return gctx
+        if len(stack) < 8:
+            stack.append(_Cand((mv0, None), 2))
+        return gctx
+    mv1 = mv_projection((my, mx), rf.pocdiff[ref[1] - 1], bref)
+    mv1 = fix_mv_precision(rf.frm_hdr, mv1)
+    pair = (mv0, mv1)
+    for c in stack:
+        if c.mv == pair:
+            c.weight += 2
+            return gctx
+    if len(stack) < 8:
+        stack.append(_Cand(pair, 2))
+    return gctx
 
 
 def _add_single_extended(stack, rf, cy, cx, sign, sign_bias):
@@ -365,10 +546,36 @@ def refmvs_find(rf: RefmvsFrame, tile, ref, bs, edge_flags, by4, bx4):
     for c in stack:
         c.weight += 640
 
-    # temporal candidates
+    # temporal candidates (dav1d refmvs.c:417-452)
     globalmv_ctx = hdr.use_ref_frame_mvs
     if rf.use_ref_frame_mvs:
-        raise NotImplementedError("temporal MVs")
+        by8, bx8 = by4 >> 1, bx4 >> 1
+        step_h = 2 if bw4 >= 16 else 1
+        step_v = 2 if bh4 >= 16 else 1
+        w8 = min((w4 + 1) >> 1, 8)
+        h8 = min((h4 + 1) >> 1, 8)
+        for y in range(0, h8, step_v):
+            for x in range(0, w8, step_h):
+                g = _add_temporal_candidate(stack, rf, by8 + y, bx8 + x,
+                                            ref, tgmv, not (x | y))
+                if g is not None:
+                    globalmv_ctx = g
+        if min(bw4, bh4) >= 2 and max(bw4, bh4) < 16:
+            bh8, bw8 = bh4 >> 1, bw4 >> 1
+            has_bottom = by8 + bh8 < min(tile_row_end >> 1,
+                                         (by8 & ~7) + 8)
+            if has_bottom and bx8 - 1 >= max(tile.col_start >> 1,
+                                             bx8 & ~7):
+                _add_temporal_candidate(stack, rf, by8 + bh8, bx8 - 1,
+                                        ref, None, False)
+            if bx8 + bw8 < min(tile_col_end >> 1, (bx8 & ~7) + 8):
+                if has_bottom:
+                    _add_temporal_candidate(stack, rf, by8 + bh8,
+                                            bx8 + bw8, ref, None, False)
+                if by8 + bh8 - 1 < min(tile_row_end >> 1, (by8 & ~7) + 8):
+                    _add_temporal_candidate(stack, rf, by8 + bh8 - 1,
+                                            bx8 + bw8, ref, None, False)
+    assert len(stack) <= 8
 
     # top/left ("secondary")
     if n_rows != -1 and n_cols != -1:

@@ -623,6 +623,11 @@ class TileCoder:
     def code_sbrow(self):
         self.l.reset(self.keyframe)
         by = self.by
+        if self.rf is not None and self.rf.use_ref_frame_mvs:
+            # dav1d decode.c:3263 (single-thread per-sbrow motion-field load;
+            # idempotent across tile columns)
+            self.rf.load_tmvs_rows(0, self.rf.iw8, by >> 1,
+                                   (by + self.sb_step) >> 1)
         for bx in range(self.col_start, self.col_end, self.sb_step):
             self.bx = bx
             self.cur_sb_cdef_idx = [-1, -1, -1, -1]

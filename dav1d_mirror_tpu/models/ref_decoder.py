@@ -816,6 +816,8 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
     st = obu_mod.ObuState()
     refs = [None] * 8      # decoded FrameBuffers per ref slot
     ref_cdfs = [None] * 8  # saved CDF contexts per ref slot
+    ref_tmvs = [None] * 8  # saved temporal MVs (TemporalMvs) per slot
+    ref_refpoc = [[0] * 7 for _ in range(8)]
     out = []
     for fr in frames:
         for _, obu_data in split_obus(fr.data):
@@ -836,6 +838,10 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             bw4f = ((fhdr.width[0] + 7) >> 3) << 1
             bh4f = ((fhdr.height + 7) >> 3) << 1
             rf = RefmvsFrame(fhdr, seq, bw4f, bh4f, ref_poc=ref_poc)
+            rf.setup_temporal(
+                seq, fhdr, ref_poc,
+                [ref_refpoc[fhdr.refidx[i]] for i in range(7)],
+                [ref_tmvs[fhdr.refidx[i]] for i in range(7)])
             if fhdr.switchable_comp_refs:
                 jnt_weights = obu_mod.compute_jnt_weights(seq, fhdr,
                                                           ref_poc)
@@ -874,11 +880,19 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
         out_cdf = cdf_thread_update(cdf_in, coders[fhdr.tiling.update].cdf,
                                     keyframe) if fhdr.refresh_context \
             else cdf_in
+        cur_tmvs = None
+        cur_refpoc = [0] * 7
+        if not keyframe:
+            rf.save_tmvs_frame()
+            cur_tmvs = rf.rp
+            cur_refpoc = ref_poc
         for i in range(8):
             if (fhdr.refresh_frame_flags >> i) & 1:
                 refs[i] = bufs
                 st.refs[i] = fhdr
                 ref_cdfs[i] = out_cdf
+                ref_tmvs[i] = cur_tmvs
+                ref_refpoc[i] = cur_refpoc
         if fhdr.film_grain_present:
             from ..ops.ref.filmgrain import apply_film_grain
             grained = apply_film_grain(bufs.planes, seq, fhdr,

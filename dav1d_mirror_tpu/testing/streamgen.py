@@ -61,7 +61,8 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
                  sb128=0, filter_intra=0, cdef=0, restoration=0,
                  monochrome=0, warped_motion=0, inter_intra=0,
                  masked_compound=0, dual_filter=0, order_hint=0,
-                 order_hint_bits=7, jnt_comp=0) -> h.SequenceHeader:
+                 order_hint_bits=7, jnt_comp=0,
+                 ref_frame_mvs=0) -> h.SequenceHeader:
     s = h.SequenceHeader()
     s.warped_motion = warped_motion
     s.inter_intra = inter_intra
@@ -70,6 +71,7 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
     s.order_hint = order_hint
     s.order_hint_n_bits = order_hint_bits if order_hint else 0
     s.jnt_comp = jnt_comp
+    s.ref_frame_mvs = ref_frame_mvs
     s.max_width, s.max_height = width, height
     s.width_n_bits = max(1, (width - 1).bit_length())
     s.height_n_bits = max(1, (height - 1).bit_length())
@@ -133,13 +135,15 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          hp=1, switchable_filter=False, switchable_comp=False,
                          switchable_motion=False, refresh=0xFF,
                          frame_offset=0, warp=False, primary_ref=None,
-                         skip_mode=False) -> h.FrameHeader:
+                         skip_mode=False, use_ref_frame_mvs=False
+                         ) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
-    # warp_motion and primary_ref_frame are only coded when
-    # !error_resilient (obu.c:622, :358)
-    f.error_resilient_mode = 0 if (warp or primary_ref is not None) else 1
+    # warp_motion, primary_ref_frame and use_ref_frame_mvs are only coded
+    # when !error_resilient (obu.c:622, :358, :377)
+    f.error_resilient_mode = 0 if (warp or primary_ref is not None or
+                                   use_ref_frame_mvs) else 1
     f.warp_motion = 1 if warp else 0
     if warp:
         switchable_motion = True
@@ -157,7 +161,7 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
     f.subpel_filter_mode = h.FILTER_SWITCHABLE if switchable_filter \
         else h.FILTER_8TAP_REGULAR
     f.switchable_motion_mode = 1 if switchable_motion else 0
-    f.use_ref_frame_mvs = 0
+    f.use_ref_frame_mvs = 1 if use_ref_frame_mvs else 0
     f.frame_offset = frame_offset
     f.quant_yac = qidx
     f.txfm_mode = txfm_mode if qidx else h.TX_4X4_ONLY
@@ -195,14 +199,15 @@ def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
     return enc.finish(), coder
 
 
-def gen_inter_frame(seq, fhdr, policy, cdf=None,
-                    ref_poc=None) -> tuple[bytes, TileCoder]:
+def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
+                    temporal=None) -> tuple[bytes, TileCoder]:
     """Encode one inter frame's single tile; returns (tile payload, coder).
     Symbol choices come from the policy; MV/mode derivation (refmvs
     candidate stacks) evolves exactly as in the decoder, so the stream is
     conformant by construction. cdf: inherited CDF context (CDF forward
     adaptation); ref_poc: frame_offset per refidx slot (order-hint
-    streams)."""
+    streams); temporal: (ref_ref_poc 7x7, rp_ref 7-list) for
+    use_ref_frame_mvs streams."""
     from ..host.refmvs import RefmvsFrame
     if cdf is None:
         cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
@@ -210,6 +215,9 @@ def gen_inter_frame(seq, fhdr, policy, cdf=None,
     bw4 = ((fhdr.width[0] + 7) >> 3) << 1
     bh4 = ((fhdr.height + 7) >> 3) << 1
     rf = RefmvsFrame(fhdr, seq, bw4, bh4, ref_poc=ref_poc)
+    if temporal is not None:
+        ref_ref_poc, rp_ref = temporal
+        rf.setup_temporal(seq, fhdr, ref_poc, ref_ref_poc, rp_ref)
     coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf,
                       ref_poc=ref_poc)
     coder.code_tile()

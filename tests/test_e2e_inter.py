@@ -61,6 +61,10 @@ CONFIGS = [
     dict(order_hint=1, comp=True, skipmode=True, txsw=True),
     dict(order_hint=1, comp=True, jnt=1, skipmode=True, primary=True,
          txsw=True, lf=(22, 22, 16, 16, 1)),
+    dict(order_hint=1, tmvs=True, txsw=True),            # temporal MVs
+    dict(order_hint=1, tmvs=True, comp=True, skipmode=True, txsw=True),
+    dict(order_hint=1, tmvs=True, comp=True, primary=True, n_inter=4,
+         w=128, h=96, txsw=True, lf=(20, 20, 14, 14, 1)),
 ]
 
 
@@ -71,6 +75,7 @@ def build_stream(cfg, seed):
     cdef = cfg.get("cdef")
     fg = cfg.get("fg")
     order_hint = cfg.get("order_hint", 0)
+    tmvs = cfg.get("tmvs", False)
     seq = make_seq_hdr(w, hh, sb128=cfg.get("sb128", 0),
                        bitdepth=cfg.get("bitdepth", 8),
                        layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
@@ -80,7 +85,8 @@ def build_stream(cfg, seed):
                        warped_motion=1 if cfg.get("warp") else 0,
                        masked_compound=cfg.get("masked", 0),
                        inter_intra=cfg.get("interintra", 0),
-                       order_hint=order_hint, jnt_comp=cfg.get("jnt", 0))
+                       order_hint=order_hint, jnt_comp=cfg.get("jnt", 0),
+                       ref_frame_mvs=1 if tmvs else 0)
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
@@ -99,10 +105,13 @@ def build_stream(cfg, seed):
     frames = [(kf, tile, None)]
     ref_hdrs = [kf] * 8
     ref_cdfs = [cdf_thread_update(kf_cdf_in, coder.cdf, True)] * 8
+    ref_tmvs = [None] * 8
+    ref_refpoc = [[0] * 7 for _ in range(8)]
     # ref plan for order-hint configs: pocs 4, 2, 3 across slots 1-3 so
     # both forward and backward references exist (skip-mode/jnt coverage)
     oh_plan = [(4, [0] * 7, 1, 0), (2, [0, 0, 0, 0, 1, 1, 1], 2, 4),
-               (3, [0, 0, 0, 2, 1, 1, 1], 3, 0)]
+               (3, [0, 0, 0, 2, 1, 1, 1], 3, 0),
+               (5, [2, 0, 3, 2, 1, 1, 1], 4, 2)]
     for i in range(n_inter):
         prim = None
         poc = 0
@@ -127,7 +136,8 @@ def build_stream(cfg, seed):
             warp=cfg.get("warp", False),
             cdef_params=cdef, hp=cfg.get("hp", 1),
             refidx=refidx, refresh=refresh, frame_offset=poc,
-            primary_ref=prim, skip_mode=cfg.get("skipmode", False))
+            primary_ref=prim, skip_mode=cfg.get("skipmode", False),
+            use_ref_frame_mvs=tmvs)
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
@@ -144,15 +154,22 @@ def build_stream(cfg, seed):
             cdf_in = ref_cdfs[fi.refidx[fi.primary_ref_frame]]
         else:
             cdf_in = new_cdf_context(qcat_from_qidx(fi.quant_yac))
+        temporal = ([ref_refpoc[fi.refidx[k]] for k in range(7)],
+                    [ref_tmvs[fi.refidx[k]] for k in range(7)]) \
+            if tmvs else None
         tile, coder = gen_inter_frame(seq, fi, RandomPolicy(seed + 1 + i),
-                                      cdf=cdf_in.copy(), ref_poc=ref_poc)
+                                      cdf=cdf_in.copy(), ref_poc=ref_poc,
+                                      temporal=temporal)
         frames.append((fi, tile, list(ref_hdrs)))
+        coder.rf.save_tmvs_frame()
         out_cdf = cdf_thread_update(cdf_in, coder.cdf, False) \
             if fi.refresh_context else cdf_in
         for s in range(8):
             if (fi.refresh_frame_flags >> s) & 1:
                 ref_hdrs[s] = fi
                 ref_cdfs[s] = out_cdf
+                ref_tmvs[s] = coder.rf.rp
+                ref_refpoc[s] = ref_poc
     return seq, gen_ivf(seq, frames), 1 + n_inter
 
 
