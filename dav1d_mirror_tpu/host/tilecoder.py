@@ -590,6 +590,12 @@ class TileCoder:
         self.cur_sb_cdef_idx = [-1, -1, -1, -1]
         self.seg_map = np.zeros((self.bh, self.bw), np.uint8) \
             if fhdr.segmentation_enabled else None
+        # palette above/left caches (dav1d t->al_pal / t->pal_sz_uv),
+        # full-frame dense equivalents of the 32-entry rings
+        self.al_pal = [np.zeros((self.bw, 3, 8), np.uint16),
+                       np.zeros((self.bh, 3, 8), np.uint16)]
+        self.pal_sz_uv = [np.zeros(self.bw, np.uint8),
+                          np.zeros(self.bh, np.uint8)]
         self.bx = 0
         self.by = 0
         self.dbg = False
@@ -964,11 +970,25 @@ class TileCoder:
             b.uv_mode = DC_PRED
             b.uv_angle = 0
 
-        # palette
+        # palette (dav1d decode.c:1155-1179)
         b.pal_sz = [0, 0]
         if f.allow_screen_content_tools and max(bw4, bh4) <= 16 and \
                 bw4 + bh4 >= 4:
-            raise NotImplementedError("palette coding TODO")
+            sz_ctx = int(b_dim[2]) + int(b_dim[3]) - 2
+            if b.y_mode == DC_PRED:
+                pal_ctx = int(a.pal_sz[bx4] > 0) + int(l.pal_sz[by4] > 0)
+                if ec.bool_adapt("pal_y", cdfm["pal_y"][sz_ctx][pal_ctx]):
+                    self._read_pal_plane(b, 0, sz_ctx, bx, by)
+                if self.dbg:
+                    print(f"Post-y_pal[{int(b.pal_sz[0] > 0)}]: r={ec.rng}")
+            if has_chroma and b.uv_mode == DC_PRED:
+                pal_ctx = int(b.pal_sz[0] > 0)
+                if ec.bool_adapt("pal_uv", cdfm["pal_uv"][pal_ctx]):
+                    self._read_pal_plane(b, 1, sz_ctx, bx, by)
+                    self._read_pal_v(b)
+                if self.dbg:
+                    print(f"Post-uv_pal[{int(b.pal_sz[1] > 0)}]: "
+                          f"r={ec.rng}")
 
         # filter intra
         if b.y_mode == DC_PRED and not b.pal_sz[0] and \
@@ -980,6 +1000,19 @@ class TileCoder:
                 b.y_mode = FILTER_PRED
                 b.y_angle = ec.sym("filter_intra_mode",
                                    cdfm["filter_intra"], 4)
+
+        # palette index maps (dav1d decode.c:1196-1222)
+        if b.pal_sz[0]:
+            b.pal_idx_y = self._read_pal_indices(b, 0, w4, h4, bw4, bh4)
+            if self.dbg:
+                print(f"Post-y-pal-indices: r={ec.rng}")
+        if has_chroma and b.pal_sz[1]:
+            cw4_ = (w4 + ss_hor) >> ss_hor
+            ch4_ = (h4 + ss_ver) >> ss_ver
+            b.pal_idx_uv = self._read_pal_indices(b, 1, cw4_, ch4_,
+                                                  cbw4, cbh4)
+            if self.dbg:
+                print(f"Post-uv-pal-indices: r={ec.rng}")
 
         # tx size
         lossless = f.segmentation_lossless[b.seg_id]
@@ -1017,6 +1050,16 @@ class TileCoder:
         a.mode[bx4:bx4 + bw4] = y_mode_nofilt
         l.pal_sz[by4:by4 + bh4] = b.pal_sz[0]
         a.pal_sz[bx4:bx4 + bw4] = b.pal_sz[0]
+        self.pal_sz_uv[0][bx:bx + bw4] = b.pal_sz[1] if has_chroma else 0
+        self.pal_sz_uv[1][by:by + bh4] = b.pal_sz[1] if has_chroma else 0
+        if b.pal_sz[0]:
+            # dav1d recon copy_pal_block_y (al_pal splat over block extent)
+            self.al_pal[0][bx:bx + bw4, 0] = b.pal[0]
+            self.al_pal[1][by:by + bh4, 0] = b.pal[0]
+        if has_chroma and b.pal_sz[1]:
+            for pl in (1, 2):
+                self.al_pal[0][bx:bx + bw4, pl] = b.pal[pl]
+                self.al_pal[1][by:by + bh4, pl] = b.pal[pl]
         l.seg_pred[by4:by4 + bh4] = seg_pred
         a.seg_pred[bx4:bx4 + bw4] = seg_pred
         l.skip_mode[by4:by4 + bh4] = 0
@@ -1078,6 +1121,190 @@ class TileCoder:
         if seg_id > last_active or seg_id >= 8:
             seg_id = 0
         return seg_id
+
+    # ---- palette (dav1d recon_tmpl.c dav1d_read_pal_plane:2223,
+    # dav1d_read_pal_uv:2329; decode.c read_pal_indices:442)
+    def _read_pal_plane(self, b, pl, sz_ctx, bx, by):
+        ec = self.ec
+        pal_sz = ec.sym("pal_sz", self.cdf.m["pal_sz"][pl][sz_ctx], 6) + 2
+        b.pal_sz[pl] = pal_sz
+        bpc = self.seq.bitdepth
+        l_cache = int(self.pal_sz_uv[1][by]) if pl else \
+            int(self.l.pal_sz[by & 31])
+        a_cache = 0
+        if by & 15:
+            a_cache = int(self.pal_sz_uv[0][bx]) if pl else \
+                int(self._a(bx).pal_sz[bx & 31])
+        lpal = self.al_pal[1][by, pl]
+        apal = self.al_pal[0][bx, pl]
+
+        cache = []
+        li = ai = 0
+        while l_cache and a_cache:
+            lv, av = int(lpal[li]), int(apal[ai])
+            if lv < av:
+                if not cache or cache[-1] != lv:
+                    cache.append(lv)
+                li += 1
+                l_cache -= 1
+            else:
+                if av == lv:
+                    li += 1
+                    l_cache -= 1
+                if not cache or cache[-1] != av:
+                    cache.append(av)
+                ai += 1
+                a_cache -= 1
+        while l_cache > 0:
+            v = int(lpal[li])
+            li += 1
+            l_cache -= 1
+            if not cache or cache[-1] != v:
+                cache.append(v)
+        while a_cache > 0:
+            v = int(apal[ai])
+            ai += 1
+            a_cache -= 1
+            if not cache or cache[-1] != v:
+                cache.append(v)
+
+        used = []
+        for v in cache:
+            if len(used) >= pal_sz:
+                break
+            if ec.equi("pal_use_cache"):
+                used.append(v)
+        n_used = len(used)
+
+        if n_used < pal_sz:
+            newv = []
+            prev = ec.bools("pal_color", bpc)
+            newv.append(prev)
+            i = n_used + 1
+            if i < pal_sz:
+                bits = bpc - 3 + ec.bools("pal_delta_bits", 2)
+                mx = (1 << bpc) - 1
+                add1 = 0 if pl else 1
+                while i < pal_sz:
+                    delta = ec.bools("pal_delta", bits)
+                    prev = min(prev + delta + add1, mx)
+                    newv.append(prev)
+                    i += 1
+                    if prev + add1 >= mx:
+                        while i < pal_sz:
+                            newv.append(mx)
+                            i += 1
+                        break
+                    from ..utils.intops import ulog2
+                    bits = min(bits, 1 + ulog2(mx - prev - add1))
+            # sorted merge of reused cache entries and new entries
+            out = []
+            n = m = 0
+            for _ in range(pal_sz):
+                if n < n_used and (m >= len(newv) or used[n] <= newv[m]):
+                    out.append(used[n])
+                    n += 1
+                else:
+                    out.append(newv[m])
+                    m += 1
+        else:
+            out = used
+        pal = np.zeros(8, np.uint16)
+        pal[:len(out)] = out
+        b.pal[pl] = pal
+        if self.dbg:
+            print(f"Post-pal[pl={pl},sz={pal_sz}]: r={ec.rng}, "
+                  f"pal={out}")
+
+    def _read_pal_v(self, b):
+        ec = self.ec
+        bpc = self.seq.bitdepth
+        pal_sz = b.pal_sz[1]
+        out = []
+        if ec.equi("pal_v_use_delta"):
+            bits = bpc - 4 + ec.bools("pal_delta_bits", 2)
+            prev = ec.bools("pal_color", bpc)
+            out.append(prev)
+            mx = (1 << bpc) - 1
+            for _ in range(1, pal_sz):
+                delta = ec.bools("pal_delta", bits)
+                if delta and ec.equi("pal_v_sign"):
+                    delta = -delta
+                prev = (prev + delta) & mx
+                out.append(prev)
+        else:
+            for _ in range(pal_sz):
+                out.append(ec.bools("pal_color", bpc))
+        pal = np.zeros(8, np.uint16)
+        pal[:len(out)] = out
+        b.pal[2] = pal
+        if self.dbg:
+            print(f"Post-pal[pl=2]: r={ec.rng} {out}")
+
+    def _read_pal_indices(self, b, pl, w4, h4, bw4, bh4):
+        ec = self.ec
+        pal_sz = b.pal_sz[pl]
+        tmp = np.zeros((bh4 * 4, bw4 * 4), np.uint8)
+        tmp[0, 0] = ec.uniform("pal_idx0", pal_sz)
+        cmap_cdf = self.cdf.m["color_map"][pl][pal_sz - 2]
+        for i in range(1, 4 * (w4 + h4) - 1):
+            first = min(i, w4 * 4 - 1)
+            last = max(0, i - h4 * 4 + 1)
+            have_top = i > first
+            m = 0
+            for j in range(first, last - 1, -1):
+                have_left = j > 0
+                y, x = i - j, j
+                order = []
+                mask = 0
+
+                def add(v):
+                    nonlocal mask
+                    order.append(int(v))
+                    mask |= 1 << int(v)
+
+                if not have_left:
+                    ctx = 0
+                    add(tmp[y - 1, x])
+                elif not have_top:
+                    ctx = 0
+                    add(tmp[y, x - 1])
+                else:
+                    lv = int(tmp[y, x - 1])
+                    tv = int(tmp[y - 1, x])
+                    tl = int(tmp[y - 1, x - 1])
+                    same_t_l = tv == lv
+                    same_t_tl = tv == tl
+                    same_l_tl = lv == tl
+                    if same_t_l and same_t_tl and same_l_tl:
+                        ctx = 4
+                        add(tv)
+                    elif same_t_l:
+                        ctx = 3
+                        add(tv)
+                        add(tl)
+                    elif same_t_tl or same_l_tl:
+                        ctx = 2
+                        add(tl)
+                        add(lv if same_t_tl else tv)
+                    else:
+                        ctx = 1
+                        add(min(tv, lv))
+                        add(max(tv, lv))
+                        add(tl)
+                for bit in range(8):
+                    if not (mask & (1 << bit)):
+                        order.append(bit)
+                color_idx = ec.sym("color_map", cmap_cdf[ctx], pal_sz - 1)
+                tmp[y, x] = order[color_idx]
+                m += 1
+                have_top = True
+        # dav1d pal.c pal_idx_finish: replicate last col/row into padding
+        if w4 < bw4:
+            tmp[:, w4 * 4:] = tmp[:, w4 * 4 - 1:w4 * 4]
+        if h4 < bh4:
+            tmp[h4 * 4:, :] = tmp[h4 * 4 - 1:h4 * 4, :]
+        return tmp
 
     def _prev_seg_id(self, bx, by, w4, h4):
         """dav1d decode.c get_prev_frame_segid:528 (min over the block)."""
@@ -1452,6 +1679,8 @@ class TileCoder:
         a.skip[bx4:bx4 + bw4] = b.skip
         l.pal_sz[by4:by4 + bh4] = 0
         a.pal_sz[bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx:bx + bw4] = 0
+        self.pal_sz_uv[1][by:by + bh4] = 0
         l.tx_intra[by4:by4 + bh4] = int(b_dim[3])
         a.tx_intra[bx4:bx4 + bw4] = int(b_dim[2])
         l.comp_type[by4:by4 + bh4] = b.comp_type

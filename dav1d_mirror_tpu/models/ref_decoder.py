@@ -508,12 +508,32 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
                 sb_has_bl = 0 if init_x else 1 if init_y + 16 < h4 else \
                     (b.edge_flags & 8)  # EDGE_I444_LEFT_HAS_BOTTOM
 
+                # ---- luma palette (dav1d recon_tmpl.c:1228-1247) ----
+                if b.pal_sz[0] and not init_x and not init_y:
+                    yplane[4 * by:4 * by + bh4 * 4,
+                           4 * bx:4 * bx + bw4 * 4] = \
+                        b.pal[0][b.pal_idx_y].astype(yplane.dtype)
+
                 # ---- luma ----
                 y = init_y
                 while y < sub_h4:
                     x = init_x
                     while x < sub_w4:
                         px, py = 4 * (bx + x), 4 * (by + y)
+                        if b.pal_sz[0]:
+                            x += tw
+                            if not b.skip:
+                                cb = next(coef_iter)
+                                assert cb.plane == 0
+                                if cb.eob >= 0:
+                                    patch = yplane[py:py + th * 4,
+                                                   px:px + tw * 4]
+                                    yplane[py:py + th * 4,
+                                           px:px + tw * 4] = \
+                                        inv_txfm_add_ref(patch, cb.cf,
+                                                         cb.eob, b.tx,
+                                                         cb.txtp, bitdepth)
+                            continue
                         angle = b.y_angle
                         edge_flags = (
                             (0 if ((y > init_y or not sb_has_tr) and
@@ -583,6 +603,13 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
                                                cth * 4, bitdepth)
                         plane[ypos * 4:ypos * 4 + cth * 4,
                               xpos * 4:xpos * 4 + ctw * 4] = pred
+                elif b.pal_sz[1]:
+                    # chroma palette (dav1d recon_tmpl.c:1424-1446)
+                    uvx, uvy = (bx >> ss_hor) * 4, (by >> ss_ver) * 4
+                    for pl in (1, 2):
+                        bufs.planes[pl][uvy:uvy + cbh4 * 4,
+                                        uvx:uvx + cbw4 * 4] = \
+                            b.pal[pl][b.pal_idx_uv].astype(yplane.dtype)
 
                 sm_uv_fl = (sm_uv_flag(a_uvmode, (bx + init_x) >> ss_hor) |
                             sm_uv_flag(l_uvmode, cby4 + (init_y >> ss_ver)))

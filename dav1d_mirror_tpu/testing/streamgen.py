@@ -37,6 +37,10 @@ class RandomPolicy:
             return int(r.random() < 0.4)
         if key == "skip_mode":
             return int(r.random() < 0.35)
+        if key in ("pal_y", "pal_uv"):
+            return int(r.random() < 0.5)
+        if key == "pal_use_cache":
+            return int(r.random() < 0.5)
         if key in ("part", "part_split"):
             # bias toward not splitting forever
             return int(r.integers(0, maxv + 1))
@@ -62,8 +66,9 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
                  monochrome=0, warped_motion=0, inter_intra=0,
                  masked_compound=0, dual_filter=0, order_hint=0,
                  order_hint_bits=7, jnt_comp=0,
-                 ref_frame_mvs=0) -> h.SequenceHeader:
+                 ref_frame_mvs=0, screen_content=0) -> h.SequenceHeader:
     s = h.SequenceHeader()
+    s.screen_content_tools = screen_content  # 1 = fixed-enabled
     s.warped_motion = warped_motion
     s.inter_intra = inter_intra
     s.masked_compound = masked_compound
@@ -101,6 +106,8 @@ def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
     f = h.FrameHeader()
     f.frame_type = h.KEY
     f.show_frame = 1
+    f.allow_screen_content_tools = 1 if seq.screen_content_tools else 0
+    f.force_integer_mv = 1
     f.error_resilient_mode = 1
     f.width = [seq.max_width, seq.max_width]
     f.height = seq.max_height
@@ -140,6 +147,7 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
+    f.allow_screen_content_tools = 1 if seq.screen_content_tools else 0
     # warp_motion, primary_ref_frame and use_ref_frame_mvs are only coded
     # when !error_resilient (obu.c:622, :358, :377)
     f.error_resilient_mode = 0 if (warp or primary_ref is not None or

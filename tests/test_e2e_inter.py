@@ -65,6 +65,7 @@ CONFIGS = [
     dict(order_hint=1, tmvs=True, comp=True, skipmode=True, txsw=True),
     dict(order_hint=1, tmvs=True, comp=True, primary=True, n_inter=4,
          w=128, h=96, txsw=True, lf=(20, 20, 14, 14, 1)),
+    dict(scc=1, txsw=True),                              # palette on inter
 ]
 
 
@@ -86,7 +87,8 @@ def build_stream(cfg, seed):
                        masked_compound=cfg.get("masked", 0),
                        inter_intra=cfg.get("interintra", 0),
                        order_hint=order_hint, jnt_comp=cfg.get("jnt", 0),
-                       ref_frame_mvs=1 if tmvs else 0)
+                       ref_frame_mvs=1 if tmvs else 0,
+                       screen_content=cfg.get("scc", 0))
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,

@@ -79,6 +79,11 @@ CONFIGS = [
                  chroma_scaling_from_luma=1, ar_coeff_lag=0,
                  scaling_shift=10, overlap_flag=0,
                  grain_scale_shift=1)),
+    # palette (screen content tools)
+    dict(w=64, h=64, q=100, scc=1, txsw=True),
+    dict(w=96, h=64, q=120, scc=1, lf=(28, 28, 20, 20, 1), txsw=True),
+    dict(w=64, h=64, q=100, scc=1, bitdepth=10, txsw=True),
+    dict(w=64, h=64, q=90, scc=1, layout=h.PIXEL_LAYOUT_I444, txsw=True),
 ]
 
 
@@ -87,7 +92,8 @@ def build_stream(cfg, seed):
                        layout=cfg.get("layout", h.PIXEL_LAYOUT_I420),
                        sb128=cfg.get("sb128", 0),
                        filter_intra=cfg.get("fi", 0),
-                       monochrome=cfg.get("mono", 0))
+                       monochrome=cfg.get("mono", 0),
+                       screen_content=cfg.get("scc", 0))
     seq.intra_edge_filter = cfg.get("ief", 0)
     if cfg.get("cdef"):
         seq.cdef = 1
