@@ -808,7 +808,6 @@ class TileCoder:
         a = self._a(bx)
         l = self.l
 
-        assert not f.allow_intrabc, "intrabc not yet supported"
         inter_frame = not self.keyframe
 
         # segment_id (dav1d decode.c:851-906)
@@ -904,12 +903,30 @@ class TileCoder:
                 b.intra = 1 - ec.bool_adapt("is_inter", cdfm["intra"][ictx])
                 if self.dbg:
                     print(f"Post-intra[{b.intra}]: r={ec.rng}")
+        elif f.allow_intrabc:
+            if ec.is_decode:
+                b.intra = 1 - ec.bool_adapt("intrabc", cdfm["intrabc"])
+            else:
+                # encode: only choose intrabc when the zero-residual
+                # prediction is clippable to a valid source area
+                want = ec.policy("intrabc", 1) and \
+                    self._intrabc_clip(
+                        self._intrabc_pred_mv(bs, bx, by, edge_flags),
+                        bs, bx, by, has_chroma) is not None
+                ec.e.put_bool_adapt(1 if want else 0, cdfm["intrabc"])
+                b.intra = 0 if want else 1
+            if self.dbg:
+                print(f"Post-intrabcflag[{b.intra}]: r={ec.rng}")
         else:
             b.intra = 1
 
         if not b.intra:
-            self._inter_block(b, bl, bs, bx, by, w4, h4, edge_flags, seg,
-                              seg_pred, have_top, have_left)
+            if self.keyframe:
+                self._intrabc_block(b, bs, bx, by, w4, h4, edge_flags,
+                                    seg_pred, has_chroma)
+            else:
+                self._inter_block(b, bl, bs, bx, by, w4, h4, edge_flags,
+                                  seg, seg_pred, have_top, have_left)
             self.blocks.append(b)
             return 0
 
@@ -1082,7 +1099,7 @@ class TileCoder:
         if has_chroma:
             l.uvmode[cby4:cby4 + cbh4] = b.uv_mode
             a.uvmode[cbx4:cbx4 + cbw4] = b.uv_mode
-        if inter_frame:
+        if inter_frame or f.allow_intrabc:
             # dav1d decode.c splat_intraref:596
             from .refmvs import INVALID
             self.rf.splat_mv(by, bx, bw4, bh4, 0, -1,
@@ -1907,6 +1924,174 @@ class TileCoder:
         else:
             l.tx[by4:by4 + th] = TX_4X4 if is_split else lh
             a.tx[bx4:bx4 + tw] = TX_4X4 if is_split else lw
+
+    # ---- intra block copy (dav1d decode.c:1304-1420) ----
+    def _intrabc_clip(self, mv, bs, bx, by, has_chroma):
+        """Clip an intrabc MV to the decoded area; returns clipped mv or
+        None if it cannot be made valid (decode error)."""
+        b_dim = T_BLOCK_DIM[bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        border_left = self.col_start * 4
+        border_top = self.row_start * 4
+        if has_chroma:
+            if bw4 < 2 and self.ss_hor:
+                border_left += 4
+            if bh4 < 2 and self.ss_ver:
+                border_top += 4
+        src_left = bx * 4 + (mv[1] >> 3)
+        src_top = by * 4 + (mv[0] >> 3)
+        src_right = src_left + bw4 * 4
+        src_bottom = src_top + bh4 * 4
+        border_right = ((self.col_end + (bw4 - 1)) & ~(bw4 - 1)) * 4
+        if src_left < border_left:
+            src_right += border_left - src_left
+            src_left = border_left
+        elif src_right > border_right:
+            src_left -= src_right - border_right
+            src_right = border_right
+        if src_top < border_top:
+            src_bottom += border_top - src_top
+            src_top = border_top
+        sbx = (bx >> (4 + self.sb128)) << (6 + self.sb128)
+        sby = (by >> (4 + self.sb128)) << (6 + self.sb128)
+        sb_size = 1 << (6 + self.sb128)
+        if src_bottom > sby and src_right > sbx:
+            if src_top - border_top >= src_bottom - sby:
+                src_top -= src_bottom - sby
+                src_bottom = sby
+            elif src_left - border_left >= src_right - sbx:
+                src_left -= src_right - sbx
+                src_right = sbx
+        if src_bottom > sby + sb_size:
+            src_top -= src_bottom - (sby + sb_size)
+            src_bottom = sby + sb_size
+        if src_bottom > sby and src_right > sbx:
+            return None
+        return ((src_top - by * 4) * 8, (src_left - bx * 4) * 8)
+
+    def _intrabc_pred_mv(self, bs, bx, by, edge_flags):
+        """The intrabc prediction MV (mvstack fallback chain)."""
+        from .refmvs import refmvs_find
+        stack, n_mvs, _ = refmvs_find(self.rf, self, (0, -1), bs,
+                                      edge_flags, by, bx)
+        if stack[0][0] != (0, 0):
+            return stack[0][0]
+        if stack[1][0] != (0, 0):
+            return stack[1][0]
+        if by - (16 << self.sb128) < self.row_start:
+            return (0, -(512 << self.sb128) - 2048)
+        return (-(512 << self.sb128), 0)
+
+    def _intrabc_block(self, b, bs, bx, by, w4, h4, edge_flags, seg_pred,
+                       has_chroma):
+        ec = self.ec
+        b_dim = T_BLOCK_DIM[bs]
+        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+        bx4, by4 = bx & 31, by & 31
+        pred = self._intrabc_pred_mv(bs, bx, by, edge_flags)
+        if ec.is_decode:
+            mv = self._read_mv_residual(pred, self.cdf.dmv, 0)
+        else:
+            # pick a valid full-pel target (validity probed via the clip)
+            mv = self._pick_intrabc_target(pred, bs, bx, by, has_chroma)
+            self._put_mv_residual_exact(pred, mv, self.cdf.dmv, 0)
+        clipped = self._intrabc_clip(mv, bs, bx, by, has_chroma)
+        if clipped is None:
+            raise ValueError("invalid intrabc mv")
+        b.mv = [clipped, (0, 0)]
+        b.ref = [-1, -1]
+        b.comp_type = COMP_INTER_NONE
+        b.inter_mode = 0
+        b.filter2d = 9  # FILTER_2D_BILINEAR
+        if self.dbg:
+            print(f"Post-dmv[{b.mv[0][0]}/{b.mv[0][1]},"
+                  f"ref={pred[0]}/{pred[1]}]: r={ec.rng}")
+        self._read_vartx_tree(b, bs, bx4, by4, bx, by)
+        b.coef_lo = len(self.coefs)
+        self._read_coef_blocks(b, bs, bx, by, w4, h4, has_chroma)
+        b.coef_hi = len(self.coefs)
+        b.lflvl4 = self._calc_lflvl(b.seg_id, 0, 0)
+        # splat_intrabc_mv (decode.c:564)
+        self.rf.splat_mv(by, bx, bw4, bh4, 0, -1, b.mv[0], (0, 0), bs, 0)
+        # context updates (decode.c:1401-1419)
+        a = self._a(bx)
+        l = self.l
+        ss_ver, ss_hor = self.ss_ver, self.ss_hor
+        cbx4, cby4 = bx4 >> ss_hor, by4 >> ss_ver
+        cbw4 = (bw4 + ss_hor) >> ss_hor
+        cbh4 = (bh4 + ss_ver) >> ss_ver
+        l.tx_intra[by4:by4 + bh4] = int(b_dim[3])
+        a.tx_intra[bx4:bx4 + bw4] = int(b_dim[2])
+        l.mode[by4:by4 + bh4] = DC_PRED
+        a.mode[bx4:bx4 + bw4] = DC_PRED
+        l.pal_sz[by4:by4 + bh4] = 0
+        a.pal_sz[bx4:bx4 + bw4] = 0
+        self.pal_sz_uv[0][bx:bx + bw4] = 0
+        self.pal_sz_uv[1][by:by + bh4] = 0
+        l.seg_pred[by4:by4 + bh4] = seg_pred
+        a.seg_pred[bx4:bx4 + bw4] = seg_pred
+        l.skip_mode[by4:by4 + bh4] = 0
+        a.skip_mode[bx4:bx4 + bw4] = 0
+        l.intra[by4:by4 + bh4] = 0
+        a.intra[bx4:bx4 + bw4] = 0
+        l.skip[by4:by4 + bh4] = b.skip
+        a.skip[bx4:bx4 + bw4] = b.skip
+        if has_chroma:
+            l.uvmode[cby4:cby4 + cbh4] = DC_PRED
+            a.uvmode[cbx4:cbx4 + cbw4] = DC_PRED
+
+    def _pick_intrabc_target(self, pred, bs, bx, by, has_chroma):
+        """Encode-side: choose a valid full-pel intrabc MV near the
+        prediction (falls back to the prediction itself)."""
+        r = self.ec.policy
+        dy = (r("intrabc_dy", 16) - 8) * 8
+        dx = (r("intrabc_dx", 16) - 8) * 8
+        from .refmvs import _s16
+        cand = (_s16(pred[0] + dy), _s16(pred[1] + dx))
+        if self._intrabc_clip(cand, bs, bx, by, has_chroma) is not None:
+            return cand
+        return pred
+
+    def _put_mv_component_diff_exact(self, pfx, mv_cdf, diff, have_fp):
+        """Encoder mirror of _read_mv_component_diff for an exact diff."""
+        e = self.ec.e
+        have_hp = self.f.hp
+        sign = 1 if diff < 0 else 0
+        a = abs(diff) - 1
+        hp = a & 1
+        fp = (a >> 1) & 3
+        up = a >> 3
+        if not have_fp:
+            assert fp == 3 and hp == 1, "dmv diffs must be full-pel"
+        e.put_bool_adapt(sign, mv_cdf[pfx + ".sign"])
+        if up < 2:
+            e.put_symbol_adapt(0, mv_cdf[pfx + ".classes"], 10)
+            e.put_bool_adapt(up, mv_cdf[pfx + ".class0"])
+            if have_fp:
+                e.put_symbol_adapt(fp, mv_cdf[pfx + ".class0_fp"][up], 3)
+                if have_hp:
+                    e.put_bool_adapt(hp, mv_cdf[pfx + ".class0_hp"])
+        else:
+            cl = up.bit_length() - 1
+            assert cl <= 10
+            e.put_symbol_adapt(cl, mv_cdf[pfx + ".classes"], 10)
+            for n in range(cl):
+                e.put_bool_adapt((up >> n) & 1, mv_cdf[pfx + ".classN"][n])
+            if have_fp:
+                e.put_symbol_adapt(fp, mv_cdf[pfx + ".classN_fp"], 3)
+                if have_hp:
+                    e.put_bool_adapt(hp, mv_cdf[pfx + ".classN_hp"])
+
+    def _put_mv_residual_exact(self, ref_mv, target, mv_cdf, have_fp):
+        e = self.ec.e
+        dy = target[0] - ref_mv[0]
+        dx = target[1] - ref_mv[1]
+        joint = (1 if dx else 0) | (2 if dy else 0)
+        e.put_symbol_adapt(joint, self.cdf.mv["joint"], 3)
+        if dy:
+            self._put_mv_component_diff_exact("comp0", mv_cdf, dy, have_fp)
+        if dx:
+            self._put_mv_component_diff_exact("comp1", mv_cdf, dx, have_fp)
 
     # ---- mv residuals (dav1d decode.c read_mv_residual:120)
     def _read_mv_component_diff(self, pfx, mv_cdf, have_fp):

@@ -87,6 +87,10 @@ def _mc_put(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
     bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
     src = mcdsp.emu_edge(bw_px + 7, bh_px + 7, w, h, dx - 3, dy - 3,
                          refplane[:h, :w])
+    if filter2d == mcdsp.FILTER_2D_BILINEAR:
+        return mcdsp.put_bilin(src[3:, 3:], bw_px, bh_px,
+                               mx << (0 if ss_hor else 1),
+                               my << (0 if ss_ver else 1), bd)
     return mcdsp.put_8tap(src, bw_px, bh_px, mx << (0 if ss_hor else 1),
                           my << (0 if ss_ver else 1), filter2d, bd)
 
@@ -226,7 +230,24 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             "scaled references not yet supported"
         return rb
 
-    if b.comp_type == COMP_INTER_NONE:
+    if fhdr.frame_type in (0, 2):
+        # intra block copy from the current frame (recon_tmpl.c:1624-1636);
+        # bounds are the padded 4x4-aligned frame dims
+        w_pad, h_pad = coder.bw * 4, coder.bh * 4
+        pred = _mc_put(yplane, w_pad, h_pad, bw4, bh4, bx, by, 0, 0,
+                       b.mv[0], 9, bd)
+        yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
+        if has_chroma:
+            uvx, uvy = (bx >> ss_hor) * 4, (by >> ss_ver) * 4
+            cw = (bw4 << (bw4 == ss_hor)) * 4 >> ss_hor
+            ch = (bh4 << (bh4 == ss_ver)) * 4 >> ss_ver
+            for pl in (1, 2):
+                p = _mc_put(bufs.planes[pl], w_pad, h_pad,
+                            bw4 << (bw4 == ss_hor), bh4 << (bh4 == ss_ver),
+                            bx & ~ss_hor, by & ~ss_ver, ss_hor, ss_ver,
+                            b.mv[0], 9, bd)
+                bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
+    elif b.comp_type == COMP_INTER_NONE:
         if b.inter_mode == GLOBALMV and min(bw4, bh4) > 1 and \
                 fhdr.gmv[b.ref[0]].type > 1:
             raise NotImplementedError("warped global motion")
@@ -857,6 +878,11 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
         rf = None
         ref_poc = None
         jnt_weights = None
+        if keyframe and fhdr.allow_intrabc:
+            from ..host.refmvs import RefmvsFrame
+            bw4f = ((fhdr.width[0] + 7) >> 3) << 1
+            bh4f = ((fhdr.height + 7) >> 3) << 1
+            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f)
         if not keyframe:
             from ..host.refmvs import RefmvsFrame
             ref_poc = [st.refs[fhdr.refidx[i]].frame_offset

@@ -102,11 +102,13 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
 
 def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
                        disable_cdf_update=0, cdef_params=None,
-                       loopfilter=(0, 0, 0, 0, 0)) -> h.FrameHeader:
+                       loopfilter=(0, 0, 0, 0, 0),
+                       intrabc=False) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.KEY
     f.show_frame = 1
     f.allow_screen_content_tools = 1 if seq.screen_content_tools else 0
+    f.allow_intrabc = 1 if intrabc else 0
     f.force_integer_mv = 1
     f.error_resilient_mode = 1
     f.width = [seq.max_width, seq.max_width]
@@ -202,7 +204,13 @@ def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
     if cdf is None:
         cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
     enc = MsacEncoder(allow_update_cdf=not fhdr.disable_cdf_update)
-    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy))
+    rf = None
+    if fhdr.allow_intrabc:
+        from ..host.refmvs import RefmvsFrame
+        bw4 = ((fhdr.width[0] + 7) >> 3) << 1
+        bh4 = ((fhdr.height + 7) >> 3) << 1
+        rf = RefmvsFrame(fhdr, seq, bw4, bh4)
+    coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf)
     coder.code_tile()
     return enc.finish(), coder
 

@@ -84,6 +84,10 @@ CONFIGS = [
     dict(w=96, h=64, q=120, scc=1, lf=(28, 28, 20, 20, 1), txsw=True),
     dict(w=64, h=64, q=100, scc=1, bitdepth=10, txsw=True),
     dict(w=64, h=64, q=90, scc=1, layout=h.PIXEL_LAYOUT_I444, txsw=True),
+    # intra block copy
+    dict(w=64, h=64, q=100, scc=1, intrabc=True, txsw=True),
+    dict(w=128, h=96, q=120, scc=1, intrabc=True, txsw=True),
+    dict(w=64, h=64, q=100, scc=1, intrabc=True, bitdepth=10, txsw=True),
 ]
 
 
@@ -103,7 +107,8 @@ def build_stream(cfg, seed):
         seq, qidx=cfg["q"],
         txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST,
         loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)),
-        cdef_params=cfg.get("cdef"))
+        cdef_params=cfg.get("cdef"),
+        intrabc=cfg.get("intrabc", False))
     if cfg.get("lr"):
         fhdr.restoration_type = list(cfg["lr"])
         us = cfg.get("lr_us", (6 + seq.sb128, 6 + seq.sb128))
