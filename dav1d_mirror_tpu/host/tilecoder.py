@@ -523,7 +523,7 @@ class CoefBlock:
 class TileCoder:
     def __init__(self, seq: SequenceHeader, fhdr: FrameHeader,
                  cdf: CdfContext, ec, tile_col: int = 0, tile_row: int = 0,
-                 rf=None, prev_segmap=None, ref_poc=None):
+                 rf=None, prev_segmap=None, ref_poc=None, ref_scaled=None):
         self.seq = seq
         self.f = fhdr
         self.cdf = cdf
@@ -531,6 +531,7 @@ class TileCoder:
         self.rf = rf                  # host.refmvs.RefmvsFrame (inter frames)
         self.prev_segmap = prev_segmap
         self.ref_poc = ref_poc or [0] * 7
+        self.ref_scaled = ref_scaled or [False] * 7
         self.txtp_map = np.zeros((32, 32), np.uint8)
         t = fhdr.tiling
         sbsz_log2 = 6 + seq.sb128
@@ -1621,7 +1622,8 @@ class TileCoder:
                 masks = self._find_matching_ref(edge_flags, bw4, bh4, w4, h4,
                                                 have_left, have_top,
                                                 b.ref[0], bx, by)
-                allow_warp = (not f.force_integer_mv and f.warp_motion and
+                allow_warp = (not self.ref_scaled[b.ref[0]] and
+                              not f.force_integer_mv and f.warp_motion and
                               (masks[0] | masks[1]))
                 if allow_warp:
                     b.motion_mode = ec.sym("motion_mode",
@@ -2183,7 +2185,6 @@ class TileCoder:
         f = self.f
         if not self.restore_planes:
             return
-        assert f.width[0] == f.width[1], "super-res LR not yet supported"
         for p in range(3):
             if not ((self.restore_planes >> p) & 1):
                 continue
@@ -2198,6 +2199,23 @@ class TileCoder:
                 continue
             half = unit_size >> 1
             if y and y + half > hh:
+                continue
+            if f.width[0] != f.width[1]:
+                # super-res: units live on the upscaled grid
+                # (dav1d decode.c:2726-2743)
+                ww = (f.width[1] + ss_hor) >> ss_hor
+                n_units = max(1, (ww + half) >> us_log2)
+                d = f.super_res_width_scale_denominator
+                rnd = unit_size * 8 - 1
+                shift = us_log2 + 3
+                x0 = (((4 * bx * d) >> ss_hor) + rnd) >> shift
+                x1 = ((((4 * (bx + self.sb_step)) * d) >> ss_hor) + rnd) \
+                    >> shift
+                for x in range(x0, min(x1, n_units)):
+                    px_x = x << (us_log2 + ss_hor)
+                    lr = self._read_restoration_info(
+                        p, f.restoration_type[p])
+                    self.lr_units[(p, (by * 4) >> 6, px_x >> 6)] = lr
                 continue
             x = (4 * bx) >> ss_hor
             if x & mask_:

@@ -30,14 +30,15 @@ ANGLE_SMOOTH_EDGE_FLAG = 512
 
 
 class FrameBuffers:
-    def __init__(self, seq: h.SequenceHeader, fhdr: h.FrameHeader):
+    def __init__(self, seq: h.SequenceHeader, fhdr: h.FrameHeader,
+                 width=None):
         self.seq = seq
         self.fhdr = fhdr
         self.bitdepth = seq.bitdepth
         dt = np.uint8 if self.bitdepth == 8 else np.uint16
         self.ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
         self.ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
-        w, hgt = fhdr.width[0], fhdr.height
+        w, hgt = width if width is not None else fhdr.width[0], fhdr.height
         aw = (w + 127) & ~127
         ah = (hgt + 127) & ~127
         self.width, self.height = w, hgt
@@ -113,6 +114,39 @@ def _mc_prep(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
                            my << (0 if ss_ver else 1), filter2d, bd)
 
 
+def _scale_fac(ref_sz, this_sz):
+    return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
+
+
+def _scale_mv(val, scale):
+    """dav1d recon_tmpl.c mc scale_mv macro:1015."""
+    tmp = val * scale + (scale - 0x4000) * 8
+    v = (abs(tmp) + 128) >> 8
+    return (-v if tmp < 0 else v) + 32
+
+
+def _mc_scaled(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver,
+               mv, filter2d, bd, scale, step, prep):
+    """Scaled-reference MC (dav1d recon_tmpl.c mc:1010-1065)."""
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    orig_x = (bx * h_mul << 4) + mvx * (1 << (0 if ss_hor else 1))
+    orig_y = (by * v_mul << 4) + mvy * (1 << (0 if ss_ver else 1))
+    pos_x = _scale_mv(orig_x, scale[0])
+    pos_y = _scale_mv(orig_y, scale[1])
+    left, top = pos_x >> 10, pos_y >> 10
+    bw_px, bh_px = bw4 * h_mul, bh4 * v_mul
+    right = ((pos_x + (bw_px - 1) * step[0]) >> 10) + 1
+    bottom = ((pos_y + (bh_px - 1) * step[1]) >> 10) + 1
+    w = (ref_w + ss_hor) >> ss_hor
+    h = (ref_h + ss_ver) >> ss_ver
+    src = mcdsp.emu_edge(right - left + 7, bottom - top + 7, w, h,
+                         left - 3, top - 3, refplane[:h, :w])
+    fn = mcdsp.prep_8tap_scaled if prep else mcdsp.put_8tap_scaled
+    return fn(src, bw_px, bh_px, pos_x & 0x3FF, pos_y & 0x3FF,
+              step[0], step[1], filter2d, bd)
+
+
 def _warp_affine(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver,
                  wm, bd, prep=False):
     """Affine warp over 8x8 sub-blocks (dav1d recon_tmpl.c
@@ -173,7 +207,7 @@ def _obmc(seq, fhdr, coder, bufs, refs, b, state, pl, ss_hor, ss_ver,
                 oh4 = min(bh4, 16) >> 1
                 rb = refs[fhdr.refidx[int(rf.ref[cy, cx, 0]) - 1]]
                 rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
-                lap = _mc_put(rb.planes[pl], cur_w, cur_h, ow4,
+                lap = _mc_any(rb, pl, cur_w, cur_h, ow4,
                               (oh4 * 3 + 3) >> 2, bx + x, by,
                               ss_hor, ss_ver, rmv, int(f2d[cy, cx]), bd)
                 region = plane[dst_y:dst_y + v_mul * oh4,
@@ -196,7 +230,7 @@ def _obmc(seq, fhdr, coder, bufs, refs, b, state, pl, ss_hor, ss_ver,
                 oh4 = min(step4, bh4)
                 rb = refs[fhdr.refidx[int(rf.ref[cy, cx, 0]) - 1]]
                 rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
-                lap = _mc_put(rb.planes[pl], cur_w, cur_h, ow4, oh4,
+                lap = _mc_any(rb, pl, cur_w, cur_h, ow4, oh4,
                               bx, by + y, ss_hor, ss_ver, rmv,
                               int(f2d[cy, cx]), bd)
                 region = plane[dst_y + y * v_mul:
@@ -207,6 +241,20 @@ def _obmc(seq, fhdr, coder, bufs, refs, b, state, pl, ss_hor, ss_ver,
                     mcdsp.blend_v(region, lap, h_mul * ow4, v_mul * oh4)
                 i += 1
             y += step4
+
+
+def _mc_any(rb, pl, cur_w, cur_h, bw4, bh4, bx, by, ssh, ssv, mv, f2d, bd,
+            prep=False):
+    """Dispatch to same-size or scaled-reference MC (dav1d mc:974)."""
+    if rb.width == cur_w and rb.height == cur_h:
+        fn = _mc_prep if prep else _mc_put
+        return fn(rb.planes[pl], cur_w, cur_h, bw4, bh4, bx, by, ssh, ssv,
+                  mv, f2d, bd)
+    sx = _scale_fac(rb.width, cur_w)
+    sy = _scale_fac(rb.height, cur_h)
+    return _mc_scaled(rb.planes[pl], rb.width, rb.height, bw4, bh4, bx, by,
+                      ssh, ssv, mv, f2d, bd, (sx, sy),
+                      ((sx + 8) >> 4, (sy + 8) >> 4), prep)
 
 
 def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
@@ -226,8 +274,6 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
     def refbufs(ri):
         rb = refs[fhdr.refidx[ri]]
         assert rb is not None, "missing reference frame"
-        assert rb.width == cur_w and rb.height == cur_h, \
-            "scaled references not yet supported"
         return rb
 
     if fhdr.frame_type in (0, 2):
@@ -258,7 +304,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
             pred = _warp_affine(refp.planes[0], cur_w, cur_h, bw4, bh4,
                                 bx, by, 0, 0, b.warp, bd)
         else:
-            pred = _mc_put(refp.planes[0], cur_w, cur_h, bw4, bh4, bx, by,
+            pred = _mc_any(refp, 0, cur_w, cur_h, bw4, bh4, bx, by,
                            0, 0, b.mv[0], b.filter2d, bd)
         yplane[by * 4:by * 4 + bh4 * 4, bx * 4:bx * 4 + bw4 * 4] = pred
         if not use_warp and b.motion_mode == 1:  # MM_OBMC
@@ -303,7 +349,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                     rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
                     rb = refbufs(rref)
                     for pl in (1, 2):
-                        p = _mc_put(rb.planes[pl], cur_w, cur_h, bw4, bh4,
+                        p = _mc_any(rb, pl, cur_w, cur_h, bw4, bh4,
                                     cx, cy, ss_hor, ss_ver, rmv, f2d_val, bd)
                         bufs.planes[pl][uvy + dst_yoff:uvy + dst_yoff + ch,
                                         uvx + dst_xoff:uvx + dst_xoff + cw] \
@@ -319,7 +365,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                     sub_mc(by - 1, bx, 0, h_off, int(f2d[by - 1, bx]))
                     v_off = 2
                 for pl in (1, 2):
-                    p = _mc_put(refp.planes[pl], cur_w, cur_h, bw4, bh4,
+                    p = _mc_any(refp, pl, cur_w, cur_h, bw4, bh4,
                                 bx, by, ss_hor, ss_ver, b.mv[0], b.filter2d,
                                 bd)
                     bufs.planes[pl][uvy + v_off:uvy + v_off + ch,
@@ -337,7 +383,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                         bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
                 else:
                     for pl in (1, 2):
-                        p = _mc_put(refp.planes[pl], cur_w, cur_h,
+                        p = _mc_any(refp, pl, cur_w, cur_h,
                                     bw4 << (bw4 == ss_hor),
                                     bh4 << (bh4 == ss_ver),
                                     bx & ~ss_hor, by & ~ss_ver,
@@ -379,8 +425,9 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
         tmp = []
         for i in range(2):
             rb = refbufs(b.ref[i])
-            tmp.append(_mc_prep(rb.planes[0], cur_w, cur_h, bw4, bh4,
-                                bx, by, 0, 0, b.mv[i], b.filter2d, bd))
+            tmp.append(_mc_any(rb, 0, cur_w, cur_h, bw4, bh4,
+                               bx, by, 0, 0, b.mv[i], b.filter2d, bd,
+                               prep=True))
         mask_arr = None
         jnt_weight = 0
         if b.comp_type == COMP_INTER_AVG:
@@ -407,9 +454,9 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                 ctmp = []
                 for i in range(2):
                     rb = refbufs(b.ref[i])
-                    ctmp.append(_mc_prep(rb.planes[pl], cur_w, cur_h,
-                                         bw4, bh4, bx, by, ss_hor, ss_ver,
-                                         b.mv[i], b.filter2d, bd))
+                    ctmp.append(_mc_any(rb, pl, cur_w, cur_h,
+                                        bw4, bh4, bx, by, ss_hor, ss_ver,
+                                        b.mv[i], b.filter2d, bd, prep=True))
                 if b.comp_type == COMP_INTER_AVG:
                     cpred = mcdsp.avg(ctmp[0], ctmp[1], bd)
                 elif b.comp_type == COMP_INTER_WEIGHTED_AVG:
@@ -764,10 +811,54 @@ def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
         apply_cdef_frame(bufs.planes, seq, fhdr, cdef_idx_map, noskip,
                          bw4, bh4, bufs.ss_hor, bufs.ss_ver)
 
+    # super-resolution (dav1d recon_tmpl.c filter_sbrow_resize:2104;
+    # whole-frame equivalent of the per-sbrow bands)
+    if fhdr.width[0] != fhdr.width[1]:
+        sr = _apply_super_res(seq, fhdr, coders, bufs)
+        if restore_planes:
+            pre_cdef = _apply_super_res(seq, fhdr, coders, bufs,
+                                        planes=pre_cdef).planes
+        bufs = sr
+
     # loop restoration
     if restore_planes:
         apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes)
     return bufs
+
+
+def _ctrunc_div(a, b):
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _resize_params(in_w, out_w):
+    """dav1d decode.c scale_fac:3517 + get_upscale_x0:3365 (C truncating
+    division semantics)."""
+    step = ((in_w << 14) + (out_w >> 1)) // out_w
+    err = out_w * step - (in_w << 14)
+    x0 = _ctrunc_div(-((out_w - in_w) << 13) + (out_w >> 1), out_w) + \
+        128 - _ctrunc_div(err, 2)
+    return step, x0 & 0x3FFF
+
+
+def _apply_super_res(seq, fhdr, coders, bufs, planes=None):
+    from ..ops.ref.mc import resize
+    out = FrameBuffers(seq, fhdr, width=fhdr.width[1])
+    bd = seq.bitdepth
+    src_planes = planes if planes is not None else bufs.planes
+    bw4f = ((fhdr.width[0] + 7) >> 3) << 1
+    for pl, plane in enumerate(src_planes):
+        ss_hor = bufs.ss_hor if pl else 0
+        ss_ver = bufs.ss_ver if pl else 0
+        in_w = (fhdr.width[0] + ss_hor) >> ss_hor
+        out_w = (fhdr.width[1] + ss_hor) >> ss_hor
+        step, start = _resize_params(in_w, out_w)
+        src_w = (4 * bw4f + ss_hor) >> ss_hor
+        h_vis = (fhdr.height + ss_ver) >> ss_ver
+        res = resize(plane[:h_vis].astype(np.int32), out_w, h_vis, src_w,
+                     step, start, bd)
+        out.planes[pl][:h_vis, :out_w] = res.astype(out.planes[pl].dtype)
+    return out
 
 
 def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
@@ -878,6 +969,7 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
         rf = None
         ref_poc = None
         jnt_weights = None
+        ref_scaled = None
         if keyframe and fhdr.allow_intrabc:
             from ..host.refmvs import RefmvsFrame
             bw4f = ((fhdr.width[0] + 7) >> 3) << 1
@@ -898,6 +990,11 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             if fhdr.switchable_comp_refs:
                 jnt_weights = obu_mod.compute_jnt_weights(seq, fhdr,
                                                           ref_poc)
+            ref_scaled = [
+                refs[fhdr.refidx[i]] is not None and
+                (refs[fhdr.refidx[i]].width != fhdr.width[0] or
+                 refs[fhdr.refidx[i]].height != fhdr.height)
+                for i in range(7)]
         # CDF selection (dav1d decode.c:3536-3545)
         if fhdr.primary_ref_frame == h.PRIMARY_REF_NONE:
             cdf_in = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
@@ -918,16 +1015,18 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                     DecodeSide(Msac(data_t,
                                     bool(fhdr.disable_cdf_update))),
                     tile_col=tile_col, tile_row=tile_row, rf=rf,
-                    ref_poc=ref_poc)
+                    ref_poc=ref_poc, ref_scaled=ref_scaled)
                 coder.code_tile()
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
         recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
         if use_tpu_filters:
+            assert fhdr.width[0] == fhdr.width[1], \
+                "super-res not yet routed through the device pipeline"
             from .tpu_filters import apply_inloop_filters_tpu
             apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
         else:
-            apply_inloop_filters(seq, fhdr, coders, bufs)
+            bufs = apply_inloop_filters(seq, fhdr, coders, bufs)
         # reference slot update (dav1d decode.c:3713-3739); refs hold
         # post-loopfilter, pre-film-grain planes
         out_cdf = cdf_thread_update(cdf_in, coders[fhdr.tiling.update].cdf,

@@ -66,9 +66,11 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
                  monochrome=0, warped_motion=0, inter_intra=0,
                  masked_compound=0, dual_filter=0, order_hint=0,
                  order_hint_bits=7, jnt_comp=0,
-                 ref_frame_mvs=0, screen_content=0) -> h.SequenceHeader:
+                 ref_frame_mvs=0, screen_content=0,
+                 super_res=0) -> h.SequenceHeader:
     s = h.SequenceHeader()
     s.screen_content_tools = screen_content  # 1 = fixed-enabled
+    s.super_res = super_res
     s.warped_motion = warped_motion
     s.inter_intra = inter_intra
     s.masked_compound = masked_compound
@@ -103,15 +105,24 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
 def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
                        disable_cdf_update=0, cdef_params=None,
                        loopfilter=(0, 0, 0, 0, 0),
-                       intrabc=False) -> h.FrameHeader:
+                       intrabc=False, superres_denom=None) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.KEY
     f.show_frame = 1
+    if superres_denom is not None:
+        f.super_res_enabled = 1
+        f.super_res_width_scale_denominator = superres_denom
     f.allow_screen_content_tools = 1 if seq.screen_content_tools else 0
     f.allow_intrabc = 1 if intrabc else 0
     f.force_integer_mv = 1
     f.error_resilient_mode = 1
-    f.width = [seq.max_width, seq.max_width]
+    w1 = seq.max_width
+    if superres_denom is not None:
+        d = superres_denom
+        w0 = max((w1 * 8 + (d >> 1)) // d, min(16, w1))
+    else:
+        w0 = w1
+    f.width = [w0, w1]
     f.height = seq.max_height
     f.render_width = seq.max_width
     f.render_height = seq.max_height
@@ -144,8 +155,8 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          hp=1, switchable_filter=False, switchable_comp=False,
                          switchable_motion=False, refresh=0xFF,
                          frame_offset=0, warp=False, primary_ref=None,
-                         skip_mode=False, use_ref_frame_mvs=False
-                         ) -> h.FrameHeader:
+                         skip_mode=False, use_ref_frame_mvs=False,
+                         superres_denom=None) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
@@ -173,6 +184,12 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
     f.switchable_motion_mode = 1 if switchable_motion else 0
     f.use_ref_frame_mvs = 1 if use_ref_frame_mvs else 0
     f.frame_offset = frame_offset
+    if superres_denom is not None:
+        f.super_res_enabled = 1
+        f.super_res_width_scale_denominator = superres_denom
+        d = superres_denom
+        f.width = [max((f.width[1] * 8 + (d >> 1)) // d,
+                       min(16, f.width[1])), f.width[1]]
     f.quant_yac = qidx
     f.txfm_mode = txfm_mode if qidx else h.TX_4X4_ONLY
     f.disable_cdf_update = 0
@@ -216,7 +233,8 @@ def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
 
 
 def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
-                    temporal=None) -> tuple[bytes, TileCoder]:
+                    temporal=None, ref_scaled=None
+                    ) -> tuple[bytes, TileCoder]:
     """Encode one inter frame's single tile; returns (tile payload, coder).
     Symbol choices come from the policy; MV/mode derivation (refmvs
     candidate stacks) evolves exactly as in the decoder, so the stream is
@@ -235,7 +253,7 @@ def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
         ref_ref_poc, rp_ref = temporal
         rf.setup_temporal(seq, fhdr, ref_poc, ref_ref_poc, rp_ref)
     coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf,
-                      ref_poc=ref_poc)
+                      ref_poc=ref_poc, ref_scaled=ref_scaled)
     coder.code_tile()
     return enc.finish(), coder
 

@@ -66,6 +66,8 @@ CONFIGS = [
     dict(order_hint=1, tmvs=True, comp=True, primary=True, n_inter=4,
          w=128, h=96, txsw=True, lf=(20, 20, 14, 14, 1)),
     dict(scc=1, txsw=True),                              # palette on inter
+    dict(sr=12, txsw=True),                              # super-res + scaled MC
+    dict(sr=16, w=128, h=96, comp=True, lf=(24, 24, 16, 16, 1)),
 ]
 
 
@@ -88,11 +90,13 @@ def build_stream(cfg, seed):
                        inter_intra=cfg.get("interintra", 0),
                        order_hint=order_hint, jnt_comp=cfg.get("jnt", 0),
                        ref_frame_mvs=1 if tmvs else 0,
-                       screen_content=cfg.get("scc", 0))
+                       screen_content=cfg.get("scc", 0),
+                       super_res=1 if cfg.get("sr") else 0)
     txm = h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST
     lf = cfg.get("lf", (0, 0, 0, 0, 0))
+    sr = cfg.get("sr")
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=txm, loopfilter=lf,
-                            cdef_params=cdef)
+                            cdef_params=cdef, superres_denom=sr)
     if cfg.get("lr"):
         kf.restoration_type = list(cfg["lr"])
         kf.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
@@ -139,7 +143,7 @@ def build_stream(cfg, seed):
             cdef_params=cdef, hp=cfg.get("hp", 1),
             refidx=refidx, refresh=refresh, frame_offset=poc,
             primary_ref=prim, skip_mode=cfg.get("skipmode", False),
-            use_ref_frame_mvs=tmvs)
+            use_ref_frame_mvs=tmvs, superres_denom=sr)
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
@@ -159,9 +163,11 @@ def build_stream(cfg, seed):
         temporal = ([ref_refpoc[fi.refidx[k]] for k in range(7)],
                     [ref_tmvs[fi.refidx[k]] for k in range(7)]) \
             if tmvs else None
+        ref_scaled = [fi.width[0] != fi.width[1]] * 7 if sr else None
         tile, coder = gen_inter_frame(seq, fi, RandomPolicy(seed + 1 + i),
                                       cdf=cdf_in.copy(), ref_poc=ref_poc,
-                                      temporal=temporal)
+                                      temporal=temporal,
+                                      ref_scaled=ref_scaled)
         frames.append((fi, tile, list(ref_hdrs)))
         coder.rf.save_tmvs_frame()
         out_cdf = cdf_thread_update(cdf_in, coder.cdf, False) \

@@ -88,6 +88,14 @@ CONFIGS = [
     dict(w=64, h=64, q=100, scc=1, intrabc=True, txsw=True),
     dict(w=128, h=96, q=120, scc=1, intrabc=True, txsw=True),
     dict(w=64, h=64, q=100, scc=1, intrabc=True, bitdepth=10, txsw=True),
+    # super-resolution
+    dict(w=64, h=64, q=100, sr=12, txsw=True),
+    dict(w=96, h=64, q=100, sr=9, lf=(28, 28, 20, 20, 1)),
+    dict(w=64, h=64, q=120, sr=16, lr=(2, 3, 1), lf=(18, 18, 12, 12, 0)),
+    dict(w=64, h=64, q=100, sr=12, bitdepth=10, lr=(1, 1, 1)),
+    dict(w=64, h=64, q=150, sr=13, txsw=True,
+         cdef=dict(damping=5, n_bits=1, y_strength=[9, 0],
+                   uv_strength=[5, 12])),
 ]
 
 
@@ -97,7 +105,8 @@ def build_stream(cfg, seed):
                        sb128=cfg.get("sb128", 0),
                        filter_intra=cfg.get("fi", 0),
                        monochrome=cfg.get("mono", 0),
-                       screen_content=cfg.get("scc", 0))
+                       screen_content=cfg.get("scc", 0),
+                       super_res=1 if cfg.get("sr") else 0)
     seq.intra_edge_filter = cfg.get("ief", 0)
     if cfg.get("cdef"):
         seq.cdef = 1
@@ -108,7 +117,8 @@ def build_stream(cfg, seed):
         txfm_mode=h.TX_SWITCHABLE if cfg.get("txsw") else h.TX_LARGEST,
         loopfilter=cfg.get("lf", (0, 0, 0, 0, 0)),
         cdef_params=cfg.get("cdef"),
-        intrabc=cfg.get("intrabc", False))
+        intrabc=cfg.get("intrabc", False),
+        superres_denom=cfg.get("sr"))
     if cfg.get("lr"):
         fhdr.restoration_type = list(cfg["lr"])
         us = cfg.get("lr_us", (6 + seq.sb128, 6 + seq.sb128))
