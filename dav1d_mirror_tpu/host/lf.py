@@ -63,26 +63,38 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
     lf = LfArrays(w4, h4, cw4, ch4)
     monochrome = seq.layout == h.PIXEL_LAYOUT_I400
 
+    # frame-global per-4x4 tx-size-class maps: neighbour lookups then work
+    # across tile boundaries exactly like dav1d's tx_lpf edge fixups
+    # (decode.c:2776-2790). Defaults 2 (luma) / 1 (chroma) match the
+    # reset_context values used at frame edges (where edges are unfiltered).
+    txw_map = np.full((h4 + 32, w4 + 32), 2, np.uint8)
+    txh_map = np.full((h4 + 32, w4 + 32), 2, np.uint8)
+    ctxw_map = np.full((ch4 + 32, cw4 + 32), 1, np.uint8)
+    ctxh_map = np.full((ch4 + 32, cw4 + 32), 1, np.uint8)
+
+    # neighbour lookups (frame edges use the reset defaults; tile
+    # boundaries read the neighbour tile's values, matching the
+    # tx_lpf_right_edge / start_of_tile_row fixups in lf_apply_tmpl.c)
+    def l_y(by_abs, bx_abs):
+        return 2 if bx_abs == 0 else int(txw_map[by_abs, bx_abs - 1])
+
+    def a_y(by_abs, bx_abs):
+        return 2 if by_abs == 0 else int(txh_map[by_abs - 1, bx_abs])
+
+    def l_uv(cby_abs, cbx_abs):
+        return 1 if cbx_abs == 0 else int(ctxw_map[cby_abs, cbx_abs - 1])
+
+    def a_uv(cby_abs, cbx_abs):
+        return 1 if cby_abs == 0 else int(ctxh_map[cby_abs - 1, cbx_abs])
+
     for coder in coders:
-        # neighbour tx caps (dav1d t->a->tx_lpf_* / t->l.tx_lpf_*)
-        a_y = np.full(w4 + 32, 2, np.uint8)
-        a_uv = np.full(cw4 + 32, 1, np.uint8)
-        l_y = np.full(32, 2, np.uint8)
-        l_uv = np.full(32, 1, np.uint8)
-        cur_sbrow = -1
         for b in coder.blocks:
-            sbrow = b.by // coder.sb_step
-            if sbrow != cur_sbrow:
-                cur_sbrow = sbrow
-                l_y[:] = 2
-                l_uv[:] = 1
             b_dim = T_BLOCK_DIM[b.bs]
             bx, by = b.bx, b.by
             bw4 = min(w4 - bx, int(b_dim[0]))
             bh4 = min(h4 - by, int(b_dim[1]))
             if bw4 <= 0 or bh4 <= 0:
                 continue
-            by4 = by & 31
 
             lf.lvl_y[by:by + bh4, bx:bx + bw4, 0] = b.lflvl4[0]
             lf.lvl_y[by:by + bh4, bx:bx + bw4, 1] = b.lflvl4[1]
@@ -95,17 +107,17 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
 
                 # left block edge
                 for y in range(bh4):
-                    lf.edge_v_y[by + y, bx] = min(twl4c, int(l_y[by4 + y]))
+                    lf.edge_v_y[by + y, bx] = min(twl4c, l_y(by + y, bx))
                 # top block edge
                 for x in range(bw4):
-                    lf.edge_h_y[by, bx + x] = min(thl4c, int(a_y[bx + x]))
+                    lf.edge_h_y[by, bx + x] = min(thl4c, a_y(by, bx + x))
                 # inner tx edges
                 for xi in range(tw, bw4, tw):
                     lf.edge_v_y[by:by + bh4, bx + xi] = twl4c
                 for yi in range(th, bh4, th):
                     lf.edge_h_y[by + yi, bx:bx + bw4] = thl4c
-                a_y[bx:bx + bw4] = thl4c
-                l_y[by4:by4 + bh4] = twl4c
+                txw_map[by:by + bh4, bx:bx + bw4] = twl4c
+                txh_map[by:by + bh4, bx:bx + bw4] = thl4c
             else:
                 # dav1d lf_mask.c mask_edges_inter:82 (dense formulation)
                 txw = np.zeros((32, 32), np.int32)
@@ -130,10 +142,10 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
 
                 for y in range(bh4):
                     lf.edge_v_y[by + y, bx] = min(int(txw[y, 0]),
-                                                  int(l_y[by4 + y]))
+                                                  l_y(by + y, bx))
                 for x in range(bw4):
                     lf.edge_h_y[by, bx + x] = min(int(txh[0, x]),
-                                                  int(a_y[bx + x]))
+                                                  a_y(by, bx + x))
                 if not b.skip:
                     for y in range(bh4):
                         ltx = int(txw[y, 0])
@@ -155,8 +167,8 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
                             ttx = btx
                             step = int(steph[y, x])
                             y += step
-                l_y[by4:by4 + bh4] = txw[:bh4, bw4 - 1]
-                a_y[bx:bx + bw4] = txh[bh4 - 1, :bw4]
+                txw_map[by:by + bh4, bx:bx + bw4] = txw[:bh4, :bw4]
+                txh_map[by:by + bh4, bx:bx + bw4] = txh[:bh4, :bw4]
 
             if monochrome:
                 continue
@@ -167,7 +179,6 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
                 continue
             cbx = bx >> ss_hor
             cby = by >> ss_ver
-            cby4 = by4 >> ss_ver
             cbw4 = min(cw4 - cbx, (full_bw4 + ss_hor) >> ss_hor)
             cbh4 = min(ch4 - cby, (full_bh4 + ss_ver) >> ss_ver)
             if cbw4 <= 0 or cbh4 <= 0:
@@ -181,15 +192,15 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
             lf.lvl_uv[cby:cby + cbh4, cbx:cbx + cbw4, 1] = b.lflvl4[3]
 
             for y in range(cbh4):
-                lf.edge_v_uv[cby + y, cbx] = min(ctwl4c, int(l_uv[cby4 + y]))
+                lf.edge_v_uv[cby + y, cbx] = min(ctwl4c, l_uv(cby + y, cbx))
             for x in range(cbw4):
-                lf.edge_h_uv[cby, cbx + x] = min(cthl4c, int(a_uv[cbx + x]))
+                lf.edge_h_uv[cby, cbx + x] = min(cthl4c, a_uv(cby, cbx + x))
             if b.intra or not b.skip:  # dav1d mask_edges_chroma skip_inter
                 for xi in range(ctw, cbw4, ctw):
                     lf.edge_v_uv[cby:cby + cbh4, cbx + xi] = ctwl4c
                 for yi in range(cth, cbh4, cth):
                     lf.edge_h_uv[cby + yi, cbx:cbx + cbw4] = cthl4c
-            a_uv[cbx:cbx + cbw4] = cthl4c
-            l_uv[cby4:cby4 + cbh4] = ctwl4c
+            ctxw_map[cby:cby + cbh4, cbx:cbx + cbw4] = ctwl4c
+            ctxh_map[cby:cby + cbh4, cbx:cbx + cbw4] = cthl4c
 
     return lf

@@ -440,14 +440,21 @@ def _put_opt_sbits(w: BitWriter, v: int, n: int):
         w.put_bit(0)
 
 
-def write_tile_group(tile_payload: bytes, n_tiles: int = 1,
-                     log2_cols: int = 0, log2_rows: int = 0,
-                     start: int = 0, end: int | None = None) -> bytes:
+def write_tile_group(tile_payloads, n_bytes: int = 4) -> bytes:
+    """tile_payloads: one bytes object per tile (all tiles in one group).
+    Non-final tiles are prefixed with their size-1 in n_bytes LE bytes."""
+    if isinstance(tile_payloads, (bytes, bytearray)):
+        tile_payloads = [bytes(tile_payloads)]
     w = BitWriter()
-    if n_tiles > 1:
+    if len(tile_payloads) > 1:
         w.put_bit(0)  # tile_start_and_end_present = 0 (all tiles)
     w.bytealign()
-    return w.get_bytes() + tile_payload
+    out = bytearray(w.get_bytes())
+    for i, t in enumerate(tile_payloads):
+        if i != len(tile_payloads) - 1:
+            out += (len(t) - 1).to_bytes(n_bytes, "little")
+        out += t
+    return bytes(out)
 
 
 def write_ivf(frames: list, width: int, height: int, fps=(30, 1)) -> bytes:

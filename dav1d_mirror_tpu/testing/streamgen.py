@@ -105,7 +105,8 @@ def make_seq_hdr(width, height, bitdepth=8, layout=h.PIXEL_LAYOUT_I420,
 def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
                        disable_cdf_update=0, cdef_params=None,
                        loopfilter=(0, 0, 0, 0, 0),
-                       intrabc=False, superres_denom=None) -> h.FrameHeader:
+                       intrabc=False, superres_denom=None,
+                       tiles=(0, 0)) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.KEY
     f.show_frame = 1
@@ -145,6 +146,7 @@ def make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_LARGEST,
             f.cdef_y_strength[i] = ys
             f.cdef_uv_strength[i] = uvs
     from ..host.obu import compute_uniform_tiling, derive_lossless
+    f.tiling.log2_cols, f.tiling.log2_rows = tiles
     compute_uniform_tiling(seq, f)
     derive_lossless(f)
     return f
@@ -156,7 +158,7 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          switchable_motion=False, refresh=0xFF,
                          frame_offset=0, warp=False, primary_ref=None,
                          skip_mode=False, use_ref_frame_mvs=False,
-                         superres_denom=None) -> h.FrameHeader:
+                         superres_denom=None, tiles=(0, 0)) -> h.FrameHeader:
     f = h.FrameHeader()
     f.frame_type = h.INTER
     f.show_frame = 1
@@ -209,8 +211,8 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
             f.cdef_y_strength[i] = ys
             f.cdef_uv_strength[i] = uvs
     f.switchable_comp_refs = 1 if switchable_comp else 0
-    f.skip_mode_enabled = 0
     from ..host.obu import compute_uniform_tiling, derive_lossless
+    f.tiling.log2_cols, f.tiling.log2_rows = tiles
     compute_uniform_tiling(seq, f)
     derive_lossless(f)
     return f
@@ -272,6 +274,43 @@ def gen_ivf(seq, frames) -> bytes:
             h.OBU_FRAME_HDR,
             ow.write_frame_hdr(fhdr, seq, standalone=True,
                                ref_hdrs=ref_hdrs))
-        obus += ow.write_obu(h.OBU_TILE_GRP, ow.write_tile_group(tile))
+        obus += ow.write_obu(
+            h.OBU_TILE_GRP,
+            ow.write_tile_group(tile, n_bytes=fhdr.tiling.n_bytes or 4))
         out_frames.append(obus)
     return ow.write_ivf(out_frames, seq.max_width, seq.max_height)
+
+
+def gen_frame_tiles(seq, fhdr, policy, cdf=None, ref_poc=None,
+                    temporal=None, ref_scaled=None):
+    """Encode all tiles of one frame (intra or inter); returns
+    (list of tile payloads, list of coders). Each tile starts from a copy
+    of the frame's input CDFs (dav1d setup_tile semantics)."""
+    from ..host.refmvs import RefmvsFrame
+    if cdf is None:
+        cdf = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+    keyframe = fhdr.frame_type in (h.KEY, h.INTRA)
+    rf = None
+    if not keyframe or fhdr.allow_intrabc:
+        bw4 = ((fhdr.width[0] + 7) >> 3) << 1
+        bh4 = ((fhdr.height + 7) >> 3) << 1
+        rf = RefmvsFrame(fhdr, seq, bw4, bh4, ref_poc=ref_poc)
+        if temporal is not None:
+            ref_ref_poc, rp_ref = temporal
+            rf.setup_temporal(seq, fhdr, ref_poc, ref_ref_poc, rp_ref)
+    payloads = []
+    coders = []
+    t = fhdr.tiling
+    for tile_row in range(t.rows):
+        for tile_col in range(t.cols):
+            enc = MsacEncoder(
+                allow_update_cdf=not fhdr.disable_cdf_update)
+            coder = TileCoder(seq, fhdr, cdf.copy(),
+                              EncodeSide(enc, policy),
+                              tile_col=tile_col, tile_row=tile_row,
+                              rf=rf, ref_poc=ref_poc,
+                              ref_scaled=ref_scaled)
+            coder.code_tile()
+            payloads.append(enc.finish())
+            coders.append(coder)
+    return payloads, coders
