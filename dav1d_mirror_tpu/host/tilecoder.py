@@ -664,14 +664,22 @@ class TileCoder:
               (((int(self.l.partition[by8]) >> (4 - bl)) & 1) << 1)
         pc = self.cdf.m["partition"][bl][ctx]
 
+        illegal_422 = (PARTITION_V, PARTITION_V4, PARTITION_T_LEFT_SPLIT,
+                       PARTITION_T_RIGHT_SPLIT)
         if have_h_split and have_v_split:
-            bp = ec.sym("part", pc, int(T_PART_COUNT[bl]))
+            if not ec.is_decode and self.layout == PIXEL_LAYOUT_I422:
+                # encode: remap partitions dav1d rejects for 4:2:2
+                # (decode.c:2195) to SPLIT
+                bp = ec.policy("part", int(T_PART_COUNT[bl]))
+                if bp in illegal_422:
+                    bp = PARTITION_SPLIT
+                ec.e.put_symbol_adapt(bp, pc, int(T_PART_COUNT[bl]))
+            else:
+                bp = ec.sym("part", pc, int(T_PART_COUNT[bl]))
             if self.dbg:
                 print(f"poc=0,y={by},x={bx},bl={bl},ctx={ctx},bp={bp}: "
                       f"r={ec.rng}")
-            if self.layout == PIXEL_LAYOUT_I422 and bp in (
-                    PARTITION_V, PARTITION_V4, PARTITION_T_LEFT_SPLIT,
-                    PARTITION_T_RIGHT_SPLIT):
+            if self.layout == PIXEL_LAYOUT_I422 and bp in illegal_422:
                 raise ValueError("illegal partition for 4:2:2")
             b = T_BLOCK_SIZES[bl][bp]
             if bp == PARTITION_NONE:
@@ -746,7 +754,13 @@ class TileCoder:
                 self.decode_b(bl, int(T_BLOCK_SIZES[bl][PARTITION_H][0]),
                               PARTITION_H, bx, by, node.h[0])
         else:
-            is_split = ec.boolp("part_split", self._gather_left_prob(pc, bl))
+            if not ec.is_decode and self.layout == PIXEL_LAYOUT_I422:
+                # vertical-only split in 4:2:2 must split (decode.c:2400)
+                ec.e.put_bool(1, self._gather_left_prob(pc, bl))
+                is_split = 1
+            else:
+                is_split = ec.boolp("part_split",
+                                    self._gather_left_prob(pc, bl))
             if self.dbg:
                 print(f"poc=0,y={by},x={bx},bl={bl},ctx={ctx},"
                       f"bp={3 if is_split else 2}: r={ec.rng}")

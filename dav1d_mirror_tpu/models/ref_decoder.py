@@ -243,6 +243,30 @@ def _obmc(seq, fhdr, coder, bufs, refs, b, state, pl, ss_hor, ss_ver,
             y += step4
 
 
+_GMV_WARP_CACHE = {}
+
+
+def _gmv_warp_params(fhdr, ref_i, scaled):
+    """dav1d decode.c:3528-3531 gmv_warp_allowed + shear computation.
+    Returns a WarpParams or None if warp is not allowed for this gmv."""
+    from ..host.warpmv import WarpParams, get_shear_params
+    key = (id(fhdr), ref_i, scaled)
+    if key in _GMV_WARP_CACHE:
+        return _GMV_WARP_CACHE[key]
+    g = fhdr.gmv[ref_i]
+    out = None
+    if g.type > 1 and not fhdr.force_integer_mv and not scaled:
+        wm = WarpParams()
+        wm.matrix = list(g.matrix)
+        if not get_shear_params(wm):
+            wm.type = g.type
+            out = wm
+    _GMV_WARP_CACHE[key] = out
+    if len(_GMV_WARP_CACHE) > 256:
+        _GMV_WARP_CACHE.clear()
+    return out
+
+
 def _mc_any(rb, pl, cur_w, cur_h, bw4, bh4, bx, by, ssh, ssv, mv, f2d, bd,
             prep=False):
     """Dispatch to same-size or scaled-reference MC (dav1d mc:974)."""
@@ -294,15 +318,19 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                             b.mv[0], 9, bd)
                 bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
     elif b.comp_type == COMP_INTER_NONE:
-        if b.inter_mode == GLOBALMV and min(bw4, bh4) > 1 and \
-                fhdr.gmv[b.ref[0]].type > 1:
-            raise NotImplementedError("warped global motion")
         refp = refbufs(b.ref[0])
-        use_warp = (min(bw4, bh4) > 1 and b.motion_mode == 2 and
-                    b.warp is not None and b.warp.type > 1)
+        scaled = refp.width != cur_w or refp.height != cur_h
+        warp_wm = None
+        if min(bw4, bh4) > 1:
+            if b.motion_mode == 2 and b.warp is not None and \
+                    b.warp.type > 1:
+                warp_wm = b.warp
+            elif b.inter_mode == GLOBALMV:
+                warp_wm = _gmv_warp_params(fhdr, b.ref[0], scaled)
+        use_warp = warp_wm is not None
         if use_warp:
             pred = _warp_affine(refp.planes[0], cur_w, cur_h, bw4, bh4,
-                                bx, by, 0, 0, b.warp, bd)
+                                bx, by, 0, 0, warp_wm, bd)
         else:
             pred = _mc_any(refp, 0, cur_w, cur_h, bw4, bh4, bx, by,
                            0, 0, b.mv[0], b.filter2d, bd)
@@ -379,7 +407,7 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                     for pl in (1, 2):
                         p = _warp_affine(refp.planes[pl], cur_w, cur_h,
                                          bw4, bh4, bx, by, ss_hor, ss_ver,
-                                         b.warp, bd)
+                                         warp_wm, bd)
                         bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = p
                 else:
                     for pl in (1, 2):
@@ -419,15 +447,24 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
         state["f2d_map"][by:by + bh4, bx:bx + bw4] = b.filter2d
     else:
         # compound (dav1d recon_tmpl.c:1822-1907)
-        if b.inter_mode == 6 and any(fhdr.gmv[b.ref[i]].type > 1
-                                     for i in range(2)):
-            raise NotImplementedError("warped global compound")
+        def comp_gmv_warp(i):
+            rb = refbufs(b.ref[i])
+            scaled = rb.width != cur_w or rb.height != cur_h
+            return _gmv_warp_params(fhdr, b.ref[i], scaled) \
+                if b.inter_mode == 6 else None
+
         tmp = []
         for i in range(2):
             rb = refbufs(b.ref[i])
-            tmp.append(_mc_any(rb, 0, cur_w, cur_h, bw4, bh4,
-                               bx, by, 0, 0, b.mv[i], b.filter2d, bd,
-                               prep=True))
+            wm = comp_gmv_warp(i)
+            if wm is not None:
+                tmp.append(_warp_affine(rb.planes[0], cur_w, cur_h,
+                                        bw4, bh4, bx, by, 0, 0, wm, bd,
+                                        prep=True))
+            else:
+                tmp.append(_mc_any(rb, 0, cur_w, cur_h, bw4, bh4,
+                                   bx, by, 0, 0, b.mv[i], b.filter2d, bd,
+                                   prep=True))
         mask_arr = None
         jnt_weight = 0
         if b.comp_type == COMP_INTER_AVG:
@@ -454,9 +491,19 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                 ctmp = []
                 for i in range(2):
                     rb = refbufs(b.ref[i])
-                    ctmp.append(_mc_any(rb, pl, cur_w, cur_h,
-                                        bw4, bh4, bx, by, ss_hor, ss_ver,
-                                        b.mv[i], b.filter2d, bd, prep=True))
+                    wm = comp_gmv_warp(i)
+                    cbw4c = (bw4 + ss_hor) >> ss_hor
+                    cbh4c = (bh4 + ss_ver) >> ss_ver
+                    if wm is not None and min(cbw4c, cbh4c) > 1:
+                        ctmp.append(_warp_affine(rb.planes[pl], cur_w,
+                                                 cur_h, bw4, bh4, bx, by,
+                                                 ss_hor, ss_ver, wm, bd,
+                                                 prep=True))
+                    else:
+                        ctmp.append(_mc_any(rb, pl, cur_w, cur_h,
+                                            bw4, bh4, bx, by, ss_hor,
+                                            ss_ver, b.mv[i], b.filter2d,
+                                            bd, prep=True))
                 if b.comp_type == COMP_INTER_AVG:
                     cpred = mcdsp.avg(ctmp[0], ctmp[1], bd)
                 elif b.comp_type == COMP_INTER_WEIGHTED_AVG:

@@ -355,9 +355,31 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
     if h.is_inter_or_switch(hdr):
         for i in range(7):
             g = hdr.gmv[i]
-            assert g.type == h.WM_TYPE_IDENTITY, \
-                "gmv writer not yet implemented"
-            w.put_bit(0)
+            w.put_bit(g.type != h.WM_TYPE_IDENTITY)
+            if g.type == h.WM_TYPE_IDENTITY:
+                continue
+            w.put_bit(g.type == h.WM_TYPE_ROT_ZOOM)
+            if g.type != h.WM_TYPE_ROT_ZOOM:
+                w.put_bit(g.type == h.WM_TYPE_TRANSLATION)
+            if hdr.primary_ref_frame == h.PRIMARY_REF_NONE:
+                ref_gmv = h.WarpedMotionParams()
+            else:
+                assert ref_hdrs is not None
+                ref_gmv = ref_hdrs[hdr.refidx[hdr.primary_ref_frame]].gmv[i]
+            mat, ref_mat = g.matrix, ref_gmv.matrix
+            if g.type >= h.WM_TYPE_ROT_ZOOM:
+                w.put_bits_subexp((mat[2] - (1 << 16)) >> 1,
+                                  (ref_mat[2] - (1 << 16)) >> 1, 12)
+                w.put_bits_subexp(mat[3] >> 1, ref_mat[3] >> 1, 12)
+                bits, shift = 12, 10
+            else:
+                bits, shift = 9 - (not hdr.hp), 13 + (not hdr.hp)
+            if g.type == h.WM_TYPE_AFFINE:
+                w.put_bits_subexp(mat[4] >> 1, ref_mat[4] >> 1, 12)
+                w.put_bits_subexp((mat[5] - (1 << 16)) >> 1,
+                                  (ref_mat[5] - (1 << 16)) >> 1, 12)
+            w.put_bits_subexp(mat[0] >> shift, ref_mat[0] >> shift, bits)
+            w.put_bits_subexp(mat[1] >> shift, ref_mat[1] >> shift, bits)
 
     if seq.film_grain_present and (hdr.show_frame or hdr.showable_frame):
         w.put_bit(hdr.film_grain_present)

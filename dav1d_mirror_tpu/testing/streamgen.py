@@ -218,6 +218,38 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
     return f
 
 
+def make_random_gmv(rng, typ, hp=1) -> h.WarpedMotionParams:
+    """Random small-magnitude global-motion params of the given type."""
+    g = h.WarpedMotionParams()
+    g.type = typ
+    m = g.matrix
+    if typ >= h.WM_TYPE_ROT_ZOOM:
+        m[2] = 0x10000 + 2 * int(rng.integers(-48, 49))
+        m[3] = 2 * int(rng.integers(-48, 49))
+        if typ == h.WM_TYPE_AFFINE:
+            m[4] = 2 * int(rng.integers(-48, 49))
+            m[5] = 0x10000 + 2 * int(rng.integers(-48, 49))
+        else:
+            m[4] = -m[3]
+            m[5] = m[2]
+        shift = 10
+    else:
+        shift = 13 + (0 if hp else 1)
+    m[0] = int(rng.integers(-16, 17)) * (1 << shift)
+    m[1] = int(rng.integers(-16, 17)) * (1 << shift)
+    return g
+
+
+def set_delta_params(f, delta_q_res=0, delta_lf_res=None, delta_lf_multi=0):
+    """Enable per-superblock delta-q (and optionally delta-lf) coding."""
+    f.delta_q_present = 1
+    f.delta_q_res_log2 = delta_q_res
+    if delta_lf_res is not None and not f.allow_intrabc:
+        f.delta_lf_present = 1
+        f.delta_lf_res_log2 = delta_lf_res
+        f.delta_lf_multi = delta_lf_multi
+
+
 def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
     """Encode one intra frame's single tile; returns (tile payload, coder)."""
     if cdf is None:
