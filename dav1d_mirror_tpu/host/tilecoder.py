@@ -1149,7 +1149,8 @@ class TileCoder:
         seg_ctx, pred_seg_id = self._cur_seg_ctx(bx, by, have_top, have_left)
         diff = ec.sym("seg_id", self.cdf.m["seg_id"][seg_ctx], 7)
         last_active = f.seg_data.last_active_segid
-        seg_id = _neg_deinterleave(diff, pred_seg_id, last_active + 1)
+        # dav1d stores into a uint8 before the range checks (decode.c:892)
+        seg_id = _neg_deinterleave(diff, pred_seg_id, last_active + 1) & 0xFF
         if seg_id > last_active or seg_id >= 8:
             seg_id = 0
         return seg_id

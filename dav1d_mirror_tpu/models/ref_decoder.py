@@ -1004,6 +1004,7 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
     ref_cdfs = [None] * 8  # saved CDF contexts per ref slot
     ref_tmvs = [None] * 8  # saved temporal MVs (TemporalMvs) per slot
     ref_refpoc = [[0] * 7 for _ in range(8)]
+    ref_segmaps = [None] * 8
     out = []
     for fr in frames:
         for _, obu_data in split_obus(fr.data):
@@ -1049,6 +1050,13 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             src = ref_cdfs[fhdr.refidx[fhdr.primary_ref_frame]]
             assert src is not None, "missing primary-ref CDFs"
             cdf_in = src
+        # previous segmentation map (dav1d decode.c:3658-3710)
+        prev_segmap = None
+        if fhdr.segmentation_enabled and \
+                (fhdr.segmentation_temporal or
+                 not fhdr.segmentation_update_map) and \
+                fhdr.primary_ref_frame != h.PRIMARY_REF_NONE:
+            prev_segmap = ref_segmaps[fhdr.refidx[fhdr.primary_ref_frame]]
         coders = []
         t = fhdr.tiling
         for tile_row in range(t.rows):
@@ -1062,7 +1070,8 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                     DecodeSide(Msac(data_t,
                                     bool(fhdr.disable_cdf_update))),
                     tile_col=tile_col, tile_row=tile_row, rf=rf,
-                    ref_poc=ref_poc, ref_scaled=ref_scaled)
+                    ref_poc=ref_poc, ref_scaled=ref_scaled,
+                    prev_segmap=prev_segmap)
                 coder.code_tile()
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
@@ -1085,6 +1094,16 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
             rf.save_tmvs_frame()
             cur_tmvs = rf.rp
             cur_refpoc = ref_poc
+        cur_segmap = None
+        if fhdr.segmentation_enabled:
+            if fhdr.segmentation_update_map:
+                cur_segmap = coders[0].seg_map.copy()
+                for c in coders[1:]:
+                    r0, r1 = c.row_start, c.row_end
+                    c0, c1 = c.col_start, c.col_end
+                    cur_segmap[r0:r1, c0:c1] = c.seg_map[r0:r1, c0:c1]
+            else:
+                cur_segmap = prev_segmap
         for i in range(8):
             if (fhdr.refresh_frame_flags >> i) & 1:
                 refs[i] = bufs
@@ -1092,6 +1111,7 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                 ref_cdfs[i] = out_cdf
                 ref_tmvs[i] = cur_tmvs
                 ref_refpoc[i] = cur_refpoc
+                ref_segmaps[i] = cur_segmap
         if fhdr.film_grain_present:
             from ..ops.ref.filmgrain import apply_film_grain
             grained = apply_film_grain(bufs.planes, seq, fhdr,

@@ -238,22 +238,30 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
     # segmentation
     w.put_bit(hdr.segmentation_enabled)
     if hdr.segmentation_enabled:
-        assert hdr.primary_ref_frame == h.PRIMARY_REF_NONE, \
-            "writer supports seg on keyframes only"
-        for i in range(h.MAX_SEGMENTS):
-            seg = hdr.seg_data.d[i]
-            _put_opt_sbits(w, seg.delta_q, 9)
-            _put_opt_sbits(w, seg.delta_lf_y_v, 7)
-            _put_opt_sbits(w, seg.delta_lf_y_h, 7)
-            _put_opt_sbits(w, seg.delta_lf_u, 7)
-            _put_opt_sbits(w, seg.delta_lf_v, 7)
-            if seg.ref >= 0:
-                w.put_bit(1)
-                w.put_bits(seg.ref, 3)
-            else:
-                w.put_bit(0)
-            w.put_bit(seg.skip)
-            w.put_bit(seg.globalmv)
+        if hdr.primary_ref_frame != h.PRIMARY_REF_NONE:
+            w.put_bit(hdr.segmentation_update_map)
+            if hdr.segmentation_update_map:
+                w.put_bit(hdr.segmentation_temporal)
+            w.put_bit(hdr.segmentation_update_data)
+        else:
+            assert (hdr.segmentation_update_map and
+                    not hdr.segmentation_temporal and
+                    hdr.segmentation_update_data)
+        if hdr.segmentation_update_data:
+            for i in range(h.MAX_SEGMENTS):
+                seg = hdr.seg_data.d[i]
+                _put_opt_sbits(w, seg.delta_q, 9)
+                _put_opt_sbits(w, seg.delta_lf_y_v, 7)
+                _put_opt_sbits(w, seg.delta_lf_y_h, 7)
+                _put_opt_sbits(w, seg.delta_lf_u, 7)
+                _put_opt_sbits(w, seg.delta_lf_v, 7)
+                if seg.ref >= 0:
+                    w.put_bit(1)
+                    w.put_bits(seg.ref, 3)
+                else:
+                    w.put_bit(0)
+                w.put_bit(seg.skip)
+                w.put_bit(seg.globalmv)
 
     # delta q / lf
     if hdr.quant_yac:

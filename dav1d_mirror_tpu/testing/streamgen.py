@@ -240,6 +240,36 @@ def make_random_gmv(rng, typ, hp=1) -> h.WarpedMotionParams:
     return g
 
 
+def set_segmentation(f, segs, update_map=1, temporal=0, update_data=1,
+                     inherit_from=None):
+    """Enable segmentation. segs: list of up to 8 dicts of
+    SegmentationData fields (None = all-zero segment); inherit_from: the
+    primary-ref FrameHeader when update_data=0."""
+    f.segmentation_enabled = 1
+    f.segmentation_update_map = update_map
+    f.segmentation_temporal = temporal
+    f.segmentation_update_data = update_data
+    if update_data:
+        sd = h.SegmentationDataSet()
+        sd.preskip = 0
+        sd.last_active_segid = -1
+        for i, cfgd in enumerate(segs):
+            seg = sd.d[i]
+            for k, v in (cfgd or {}).items():
+                setattr(seg, k, v)
+            if (seg.delta_q or seg.delta_lf_y_v or seg.delta_lf_y_h or
+                    seg.delta_lf_u or seg.delta_lf_v or seg.ref >= 0 or
+                    seg.skip or seg.globalmv):
+                sd.last_active_segid = i
+            if seg.ref >= 0 or seg.skip or seg.globalmv:
+                sd.preskip = 1
+        f.seg_data = sd
+    else:
+        f.seg_data = inherit_from.seg_data
+    from ..host.obu import derive_lossless
+    derive_lossless(f)
+
+
 def set_delta_params(f, delta_q_res=0, delta_lf_res=None, delta_lf_multi=0):
     """Enable per-superblock delta-q (and optionally delta-lf) coding."""
     f.delta_q_present = 1
@@ -267,7 +297,7 @@ def gen_intra_frame(seq, fhdr, policy, cdf=None) -> tuple[bytes, TileCoder]:
 
 
 def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
-                    temporal=None, ref_scaled=None
+                    temporal=None, ref_scaled=None, prev_segmap=None
                     ) -> tuple[bytes, TileCoder]:
     """Encode one inter frame's single tile; returns (tile payload, coder).
     Symbol choices come from the policy; MV/mode derivation (refmvs
@@ -287,7 +317,8 @@ def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
         ref_ref_poc, rp_ref = temporal
         rf.setup_temporal(seq, fhdr, ref_poc, ref_ref_poc, rp_ref)
     coder = TileCoder(seq, fhdr, cdf, EncodeSide(enc, policy), rf=rf,
-                      ref_poc=ref_poc, ref_scaled=ref_scaled)
+                      ref_poc=ref_poc, ref_scaled=ref_scaled,
+                      prev_segmap=prev_segmap)
     coder.code_tile()
     return enc.finish(), coder
 
