@@ -444,7 +444,6 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                         plane[uvy:uvy + cbh4 * 4, uvx:uvx + cbw4 * 4] = \
                             mcdsp.blend(region, ipred, msk)
         state["tl_4x4_filter"] = b.filter2d
-        state["f2d_map"][by:by + bh4, bx:bx + bw4] = b.filter2d
     else:
         # compound (dav1d recon_tmpl.c:1822-1907)
         def comp_gmv_warp(i):
@@ -513,6 +512,11 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                                        ctmp[1 - b.mask_sign], mask_arr, bd)
                 bufs.planes[pl][uvy:uvy + ch, uvx:uvx + cw] = cpred
 
+    if fhdr.frame_type not in (0, 2):
+        # per-4x4 filter2d map (dav1d ctx filter splat), read by later
+        # sub8x8 chroma and OBMC neighbours
+        state["f2d_map"][by:by + bh4, bx:bx + bw4] = b.filter2d
+
     # residuals: replay this block's coefficient blocks (any order is valid
     # for inter since prediction does not depend on reconstructed pixels)
     if not b.skip:
@@ -529,7 +533,8 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
                 patch, cb.cf, cb.eob, cb.tx, cb.txtp, bitdepth)
 
 
-def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
+def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
+                device_done=None):
     bitdepth = seq.bitdepth
     bd_max = (1 << bitdepth) - 1
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
@@ -563,7 +568,7 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
         return ANGLE_SMOOTH_EDGE_FLAG if uvmode_arr[idx] in SMOOTH_MODES \
             else 0
 
-    for b in coder.blocks:
+    for bi, b in enumerate(coder.blocks):
         sbrow = b.by // sb_step
         if sbrow != cur_sbrow[0]:
             cur_sbrow[0] = sbrow
@@ -572,7 +577,18 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None):
             l_uvmode[:] = 0
 
         if not b.intra:
-            _recon_b_inter(seq, fhdr, coder, bufs, refs, b, inter_state)
+            if device_done is not None and bi in device_done:
+                # pixels already produced by the batched device path;
+                # still maintain recon-side state for later blocks
+                if b.comp_type == COMP_INTER_NONE:
+                    inter_state["tl_4x4_filter"] = b.filter2d
+                b_dim_i = T_BLOCK_DIM[b.bs]
+                inter_state["f2d_map"][b.by:b.by + int(b_dim_i[1]),
+                                       b.bx:b.bx + int(b_dim_i[0])] = \
+                    b.filter2d
+            else:
+                _recon_b_inter(seq, fhdr, coder, bufs, refs, b,
+                               inter_state)
             b_dim_i = T_BLOCK_DIM[b.bs]
             bw4_i, bh4_i = int(b_dim_i[0]), int(b_dim_i[1])
             by4_i = b.by & 31
@@ -991,11 +1007,13 @@ def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
             y += stripe_h
 
 
-def decode_ivf(data: bytes, use_tpu_filters: bool = False):
+def decode_ivf(data: bytes, use_tpu_filters: bool = False,
+               use_tpu_inter: bool = False):
     """Full IVF stream decode (intra + inter): returns list of plane tuples
     (visible). use_tpu_filters routes the in-loop filter chain
     (deblock/CDEF/LR) through the jitted device pipeline
-    (models.tpu_filters)."""
+    (models.tpu_filters); use_tpu_inter runs inter-frame prediction +
+    residual reconstruction as batched device kernels (models.tpu_inter)."""
     import copy as _copy
 
     _, _, _, frames = parse_ivf(data)
@@ -1075,7 +1093,11 @@ def decode_ivf(data: bytes, use_tpu_filters: bool = False):
                 coder.code_tile()
                 coders.append(coder)
         bufs = FrameBuffers(seq, fhdr)
-        recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
+        if use_tpu_inter and not keyframe:
+            from .tpu_inter import recon_frame_tpu
+            recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights)
+        else:
+            recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
         if use_tpu_filters:
             assert fhdr.width[0] == fhdr.width[1], \
                 "super-res not yet routed through the device pipeline"
