@@ -113,12 +113,36 @@ def bench_device_pipeline():
         c = wiener_batch_tpu(lru[0], lru[1], lru[1], lru[2], lru[3], 8)
         return a, b, c
 
+    # --- inter prediction: a 1080p frame worth of 8x8 MC units with
+    # two-pass 8-tap filtering (worst case), 7 stacked reference planes
+    from dav1d_mirror_tpu.ops.mc_tpu import mc_unit_batch
+    ref_y = jnp.asarray(rng.integers(0, 256, (7, H, W)), jnp.int32)
+    ref_c = jnp.asarray(rng.integers(0, 256, (7, CH, CW)), jnp.int32)
+
+    def mc_units(n, h, w):
+        return (jnp.asarray(rng.integers(0, 7, n), jnp.int32),
+                jnp.asarray(rng.integers(-3, h - 16, n), jnp.int32),
+                jnp.asarray(rng.integers(-3, w - 16, n), jnp.int32),
+                jnp.asarray(rng.integers(1, 16, n), jnp.int32),
+                jnp.asarray(rng.integers(1, 16, n), jnp.int32),
+                jnp.asarray(rng.integers(0, 9, n), jnp.int32))
+
+    mc_y = mc_units(W * H // 64, H, W)
+    mc_c = mc_units(CW * CH // 64, CH, CW)
+
+    def mc_all():
+        y = mc_unit_batch((ref_y,) + mc_y, 8, 8, True, True, 8, False)
+        u = mc_unit_batch((ref_c,) + mc_c, 8, 8, True, True, 8, False)
+        v = mc_unit_batch((ref_c,) + mc_c, 8, 8, True, True, 8, False)
+        return y, u, v
+
     def frame_step():
+        m = mc_all()
         r = recon(pred, coefs)
         y, u, v = deblock_all(y_plane, u_plane, v_plane)
         y, u, v = cdef_all(y, u, v)
         a, b, c = lr_all()
-        return r, y, u, v, a, b, c
+        return m, r, y, u, v, a, b, c
 
     out = frame_step()
     jax.block_until_ready(out)  # compile
@@ -188,7 +212,8 @@ def main():
         "detail": {
             "fps_1080p_equiv": round(pix_s / (1920 * 1088 * 1.5), 2),
             "device": device,
-            "stages": "itx16x16+add, deblock(3pl), cdef, wiener-LR",
+            "stages": "mc-8tap(3pl), itx16x16+add, deblock(3pl), cdef, "
+                      "wiener-LR",
             "baseline": "dav1d 1-thread CPU, 448x256 intra stream with "
                         "same filter stages, Mpix/s",
             "baseline_Mpix_per_sec": round(base_mpix, 2),
