@@ -1,0 +1,279 @@
+"""Public decoder API (the analogue of dav1d's 3-function hot API).
+
+Mirrors include/dav1d/dav1d.h semantics: a `Decoder` is opened with
+`Settings`, fed temporal units with `send_data`, and produces `Picture`s
+from `get_picture`; `flush` resets in-flight state for seeking. Unlike
+dav1d's pthread pipeline, throughput here comes from batched device kernels
+(tiles/blocks as tensor batches), so the API is synchronous: each complete
+frame is decoded when its last tile arrives.
+
+Reference parity: dav1d_open src/lib.c:138, dav1d_send_data :437,
+dav1d_get_picture :457, dav1d_flush :525, show-existing handling
+src/obu.c:1572-1682, inloop-filter debug mask include/dav1d/dav1d.h:66-74.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .host import headers as h
+from .host import obu as obu_mod
+from .host.ivf import split_obus
+from .host.msac import Msac
+from .host.tilecoder import TileCoder, DecodeSide
+from .data.tables import new_cdf_context, qcat_from_qidx, cdf_thread_update
+
+INLOOPFILTER_NONE = 0
+INLOOPFILTER_DEBLOCK = 1
+INLOOPFILTER_CDEF = 2
+INLOOPFILTER_RESTORATION = 4
+INLOOPFILTER_ALL = 7
+
+
+@dataclass
+class Settings:
+    """Analogue of Dav1dSettings (include/dav1d/dav1d.h:78-99)."""
+    n_threads: int = 0            # accepted for parity; decode is batched
+    max_frame_delay: int = 0
+    apply_grain: bool = True
+    operating_point: int = 0
+    all_layers: bool = True
+    frame_size_limit: int = 0
+    strict_std_compliance: bool = False
+    output_invisible_frames: bool = False
+    inloop_filters: int = INLOOPFILTER_ALL
+    # TPU pipeline routing
+    use_tpu_filters: bool = False
+    use_tpu_inter: bool = False
+
+
+@dataclass
+class Picture:
+    """Analogue of Dav1dPicture (decoded planes + stream metadata)."""
+    planes: tuple
+    width: int = 0
+    height: int = 0
+    bitdepth: int = 8
+    layout: int = h.PIXEL_LAYOUT_I420
+    frame_hdr: object = None
+    seq_hdr: object = None
+
+
+class DecodeError(Exception):
+    pass
+
+
+class Decoder:
+    """dav1d_open/send_data/get_picture/flush/close as one object."""
+
+    def __init__(self, settings: Settings | None = None):
+        self.s = settings or Settings()
+        if self.s.frame_size_limit and self.s.frame_size_limit < 0:
+            raise ValueError("invalid frame_size_limit")
+        self.flush()
+
+    # -- lifecycle ---------------------------------------------------------
+    def flush(self):
+        """dav1d_flush: drop in-flight state, keep the sequence header."""
+        seq = getattr(self, "_st", None) and self._st.seq_hdr
+        self._st = obu_mod.ObuState()
+        self._st.seq_hdr = seq
+        self._st.operating_point = self.s.operating_point
+        self._refs = [None] * 8       # FrameBuffers (post-filter planes)
+        self._ref_cdfs = [None] * 8
+        self._ref_tmvs = [None] * 8
+        self._ref_refpoc = [[0] * 7 for _ in range(8)]
+        self._ref_segmaps = [None] * 8
+        self._out = []                # decoded Picture queue
+
+    def close(self):
+        self._out = []
+        self._refs = [None] * 8
+
+    # -- input -------------------------------------------------------------
+    def send_data(self, data: bytes):
+        """Feed one temporal unit (a sequence of length-prefixed OBUs).
+        Decodes any frame completed by this data."""
+        self.send_obus(o for _, o in split_obus(data))
+
+    def send_obus(self, obus):
+        """Feed individual complete OBUs (with or without size fields)."""
+        for obu_data in obus:
+            obu_mod.parse_obus(self._st, obu_data)
+            if self._st.frame_ready:
+                self._st.frame_ready = False
+                self._handle_frame()
+
+    # -- output ------------------------------------------------------------
+    def get_picture(self) -> Picture | None:
+        if self._out:
+            return self._out.pop(0)
+        return None
+
+    # -- internals ---------------------------------------------------------
+    def _emit(self, bufs, fhdr):
+        seq = self._st.seq_hdr
+        planes = bufs.planes
+        if self.s.apply_grain and fhdr.film_grain_present:
+            from .ops.ref.filmgrain import apply_film_grain
+            planes = apply_film_grain(planes, seq, fhdr, bufs.width,
+                                      bufs.height)
+        w, hgt = bufs.width, bufs.height
+        vis = [planes[0][:hgt, :w]]
+        if len(planes) > 1:
+            cw = (w + bufs.ss_hor) >> bufs.ss_hor
+            ch = (hgt + bufs.ss_ver) >> bufs.ss_ver
+            vis += [p[:ch, :cw] for p in planes[1:]]
+        self._out.append(Picture(tuple(vis), width=w, height=hgt,
+                                 bitdepth=seq.bitdepth, layout=seq.layout,
+                                 frame_hdr=fhdr, seq_hdr=seq))
+
+    def _handle_frame(self):
+        st = self._st
+        seq, fhdr = st.seq_hdr, st.frame_hdr
+        if fhdr.show_existing_frame:
+            bufs = self._refs[fhdr.existing_frame_idx]
+            if bufs is None:
+                raise DecodeError("show_existing of empty slot")
+            self._emit(bufs, st.refs[fhdr.existing_frame_idx])
+            st.tiles = []
+            st.n_tiles = 0
+            return
+        bufs = self._decode_frame(seq, fhdr)
+        if fhdr.show_frame or self.s.output_invisible_frames:
+            self._emit(bufs, fhdr)
+        st.tiles = []
+        st.n_tiles = 0
+
+    def _decode_frame(self, seq, fhdr):
+        from .models import ref_decoder as rd
+
+        st = self._st
+        refs = self._refs
+        if self.s.frame_size_limit and \
+                fhdr.width[1] * fhdr.height > self.s.frame_size_limit:
+            raise DecodeError("frame size over limit")
+        keyframe = fhdr.frame_type in (0, 2)
+        rf = None
+        ref_poc = None
+        jnt_weights = None
+        ref_scaled = None
+        cur_w = fhdr.width[0]
+        if keyframe and fhdr.allow_intrabc:
+            from .host.refmvs import RefmvsFrame
+            bw4f = ((cur_w + 7) >> 3) << 1
+            bh4f = ((fhdr.height + 7) >> 3) << 1
+            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f)
+        if not keyframe:
+            from .host.refmvs import RefmvsFrame
+            ref_poc = [st.refs[fhdr.refidx[i]].frame_offset
+                       if st.refs[fhdr.refidx[i]] is not None else 0
+                       for i in range(7)]
+            bw4f = ((cur_w + 7) >> 3) << 1
+            bh4f = ((fhdr.height + 7) >> 3) << 1
+            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f, ref_poc=ref_poc)
+            rf.setup_temporal(
+                seq, fhdr, ref_poc,
+                [self._ref_refpoc[fhdr.refidx[i]] for i in range(7)],
+                [self._ref_tmvs[fhdr.refidx[i]] for i in range(7)])
+            if fhdr.switchable_comp_refs:
+                jnt_weights = obu_mod.compute_jnt_weights(seq, fhdr,
+                                                          ref_poc)
+            ref_scaled = [
+                refs[fhdr.refidx[i]] is not None and
+                (refs[fhdr.refidx[i]].width != cur_w or
+                 refs[fhdr.refidx[i]].height != fhdr.height)
+                for i in range(7)]
+
+        if fhdr.primary_ref_frame == h.PRIMARY_REF_NONE:
+            cdf_in = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
+        else:
+            src = self._ref_cdfs[fhdr.refidx[fhdr.primary_ref_frame]]
+            if src is None:
+                raise DecodeError("missing primary-ref CDFs")
+            cdf_in = src
+
+        prev_segmap = None
+        if fhdr.segmentation_enabled and \
+                (fhdr.segmentation_temporal or
+                 not fhdr.segmentation_update_map) and \
+                fhdr.primary_ref_frame != h.PRIMARY_REF_NONE:
+            prev_segmap = \
+                self._ref_segmaps[fhdr.refidx[fhdr.primary_ref_frame]]
+
+        coders = []
+        t = fhdr.tiling
+        for tile_row in range(t.rows):
+            for tile_col in range(t.cols):
+                ti = tile_row * t.cols + tile_col
+                data_t, _, _ = rd._tile_payload(st, ti, fhdr)
+                coder = TileCoder(
+                    seq, fhdr, cdf_in.copy(),
+                    DecodeSide(Msac(data_t,
+                                    bool(fhdr.disable_cdf_update))),
+                    tile_col=tile_col, tile_row=tile_row, rf=rf,
+                    ref_poc=ref_poc, ref_scaled=ref_scaled,
+                    prev_segmap=prev_segmap)
+                coder.code_tile()
+                coders.append(coder)
+
+        bufs = rd.FrameBuffers(seq, fhdr)
+        if self.s.use_tpu_inter and not keyframe:
+            from .models.tpu_inter import recon_frame_tpu
+            recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights)
+        else:
+            rd.recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
+        if self.s.use_tpu_filters and fhdr.width[0] == fhdr.width[1] and \
+                self.s.inloop_filters == INLOOPFILTER_ALL:
+            from .models.tpu_filters import apply_inloop_filters_tpu
+            apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
+        else:
+            bufs = rd.apply_inloop_filters(
+                seq, fhdr, coders, bufs,
+                filters_mask=self.s.inloop_filters)
+
+        # reference slot updates
+        out_cdf = cdf_thread_update(cdf_in,
+                                    coders[fhdr.tiling.update].cdf,
+                                    keyframe) if fhdr.refresh_context \
+            else cdf_in
+        cur_tmvs = None
+        cur_refpoc = [0] * 7
+        if not keyframe:
+            rf.save_tmvs_frame()
+            cur_tmvs = rf.rp
+            cur_refpoc = ref_poc
+        cur_segmap = None
+        if fhdr.segmentation_enabled:
+            if fhdr.segmentation_update_map:
+                cur_segmap = coders[0].seg_map.copy()
+                for c in coders[1:]:
+                    cur_segmap[c.row_start:c.row_end,
+                               c.col_start:c.col_end] = \
+                        c.seg_map[c.row_start:c.row_end,
+                                  c.col_start:c.col_end]
+            else:
+                cur_segmap = prev_segmap
+        for i in range(8):
+            if (fhdr.refresh_frame_flags >> i) & 1:
+                refs[i] = bufs
+                st.refs[i] = fhdr
+                self._ref_cdfs[i] = out_cdf
+                self._ref_tmvs[i] = cur_tmvs
+                self._ref_refpoc[i] = cur_refpoc
+                self._ref_segmaps[i] = cur_segmap
+        return bufs
+
+
+def parse_sequence_header(data: bytes) -> h.SequenceHeader:
+    """dav1d_parse_sequence_header: scan OBUs for a sequence header."""
+    st = obu_mod.ObuState()
+    for _, obu_data in split_obus(data):
+        try:
+            obu_mod.parse_obus(st, obu_data)
+        except obu_mod.ParseError:
+            continue
+        if st.seq_hdr is not None:
+            return st.seq_hdr
+    raise DecodeError("no sequence header")

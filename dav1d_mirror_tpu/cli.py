@@ -1,0 +1,111 @@
+"""Command-line decoder (the analogue of tools/dav1d.c).
+
+    python -m dav1d_mirror_tpu.cli -i in.ivf -o out.yuv --muxer yuv
+
+Options mirror the reference CLI (tools/dav1d_cli_parse.c:69-92): input
+probing across ivf/annexb/section5, muxer selection, --verify <md5>,
+--limit/--skip, --filmgrain, --inloopfilters, --oppoint, --tpu to route
+pixel work through the device pipelines, and fps statistics."""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .api import Decoder, Settings, INLOOPFILTER_ALL
+from .host.demux import open_demuxer
+from .output import open_muxer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(prog="dav1d_mirror_tpu",
+                                description="TPU-native AV1 decoder")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--muxer", default=None,
+                   choices=["null", "md5", "yuv", "y4m2"])
+    p.add_argument("--verify", metavar="MD5",
+                   help="exit non-zero unless the md5 of the decoded "
+                        "planes matches")
+    p.add_argument("--limit", type=int, default=0,
+                   help="stop after N frames")
+    p.add_argument("--skip", type=int, default=0,
+                   help="skip decoding of the first N temporal units")
+    p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--filmgrain", type=int, default=1)
+    p.add_argument("--oppoint", type=int, default=0)
+    p.add_argument("--alllayers", type=int, default=1)
+    p.add_argument("--sizelimit", type=int, default=0)
+    p.add_argument("--outputinvisible", type=int, default=0)
+    p.add_argument("--inloopfilters", default="all",
+                   choices=["none", "deblock", "cdef", "restoration",
+                            "all"])
+    p.add_argument("--tpu", action="store_true",
+                   help="run pixel work on the JAX device pipelines")
+    p.add_argument("-q", "--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+_ILF = {"none": 0, "deblock": 1, "cdef": 2, "restoration": 4,
+        "all": INLOOPFILTER_ALL}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.verify and not args.muxer:
+        args.muxer = "md5"
+    if not args.muxer:
+        args.muxer = "null" if args.output in ("-", "/dev/null") else "yuv"
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    name, units = open_demuxer(data)
+
+    settings = Settings(
+        n_threads=args.threads,
+        apply_grain=bool(args.filmgrain),
+        operating_point=args.oppoint,
+        all_layers=bool(args.alllayers),
+        frame_size_limit=args.sizelimit,
+        output_invisible_frames=bool(args.outputinvisible),
+        inloop_filters=_ILF[args.inloopfilters],
+        use_tpu_filters=args.tpu,
+        use_tpu_inter=args.tpu,
+    )
+    dec = Decoder(settings)
+    mux = open_muxer(args.muxer, args.output)
+
+    n = 0
+    t0 = time.perf_counter()
+    for i, obus in enumerate(units):
+        if i < args.skip:
+            continue
+        dec.send_obus(obus)
+        while True:
+            pic = dec.get_picture()
+            if pic is None:
+                break
+            mux.write(pic)
+            n += 1
+        if args.limit and n >= args.limit:
+            break
+    digest = mux.finish()
+    dt = time.perf_counter() - t0
+
+    if not args.quiet:
+        fps = n / dt if dt else 0.0
+        print(f"Decoded {n} frames in {dt:.3f}s ({fps:.2f} fps) "
+              f"[{name} container]", file=sys.stderr)
+
+    if args.verify:
+        if digest != args.verify.strip():
+            print(f"Verification failed: got {digest}, "
+                  f"expected {args.verify}", file=sys.stderr)
+            return 1
+        if not args.quiet:
+            print("Verified.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

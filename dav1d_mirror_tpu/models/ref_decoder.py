@@ -820,12 +820,16 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
             l_uvmode[cby4:cby4 + cbh4] = b.uv_mode
 
 
-def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
+def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers,
+                         filters_mask: int = 7):
+    """filters_mask: debug enable mask (dav1d Dav1dInloopFilterType):
+    1 = deblock, 2 = CDEF, 4 = restoration; super-res always runs."""
     from ..host.lf import build_lf_arrays
     from ..ops.ref.loopfilter import calc_eih, apply_deblock
 
     bd = seq.bitdepth
-    if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
+    if (filters_mask & 1) and \
+            (fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]):
         lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
         e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
         sb_step4 = 32 if seq.sb128 else 16
@@ -841,12 +845,13 @@ def apply_inloop_filters(seq, fhdr, coders, bufs: FrameBuffers):
 
     # snapshot post-deblock (pre-CDEF) rows for LR stripe boundaries
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
-                         for p in range(3))
+                         for p in range(3)) if (filters_mask & 4) else 0
     pre_cdef = [p.copy() for p in bufs.planes] if restore_planes else None
 
     # CDEF
-    if seq.cdef and (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
-                     any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
+    if (filters_mask & 2) and seq.cdef and \
+            (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
+             any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         from ..ops.ref.cdef import apply_cdef_frame
         bw4 = coders[0].bw
         bh4 = coders[0].bh
@@ -1010,139 +1015,21 @@ def apply_lr(seq, fhdr, coders, bufs, pre_cdef, restore_planes):
 def decode_ivf(data: bytes, use_tpu_filters: bool = False,
                use_tpu_inter: bool = False):
     """Full IVF stream decode (intra + inter): returns list of plane tuples
-    (visible). use_tpu_filters routes the in-loop filter chain
-    (deblock/CDEF/LR) through the jitted device pipeline
-    (models.tpu_filters); use_tpu_inter runs inter-frame prediction +
-    residual reconstruction as batched device kernels (models.tpu_inter)."""
-    import copy as _copy
+    (visible). Thin wrapper over the public api.Decoder; use_tpu_filters /
+    use_tpu_inter route pixel work through the jitted device pipelines."""
+    from ..api import Decoder, Settings
 
     _, _, _, frames = parse_ivf(data)
-    st = obu_mod.ObuState()
-    refs = [None] * 8      # decoded FrameBuffers per ref slot
-    ref_cdfs = [None] * 8  # saved CDF contexts per ref slot
-    ref_tmvs = [None] * 8  # saved temporal MVs (TemporalMvs) per slot
-    ref_refpoc = [[0] * 7 for _ in range(8)]
-    ref_segmaps = [None] * 8
+    dec = Decoder(Settings(use_tpu_filters=use_tpu_filters,
+                           use_tpu_inter=use_tpu_inter))
     out = []
     for fr in frames:
-        for _, obu_data in split_obus(fr.data):
-            obu_mod.parse_obus(st, obu_data)
-        if not st.frame_ready:
-            continue
-        st.frame_ready = False
-        seq, fhdr = st.seq_hdr, st.frame_hdr
-        keyframe = fhdr.frame_type in (0, 2)
-        rf = None
-        ref_poc = None
-        jnt_weights = None
-        ref_scaled = None
-        if keyframe and fhdr.allow_intrabc:
-            from ..host.refmvs import RefmvsFrame
-            bw4f = ((fhdr.width[0] + 7) >> 3) << 1
-            bh4f = ((fhdr.height + 7) >> 3) << 1
-            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f)
-        if not keyframe:
-            from ..host.refmvs import RefmvsFrame
-            ref_poc = [st.refs[fhdr.refidx[i]].frame_offset
-                       if st.refs[fhdr.refidx[i]] is not None else 0
-                       for i in range(7)]
-            bw4f = ((fhdr.width[0] + 7) >> 3) << 1
-            bh4f = ((fhdr.height + 7) >> 3) << 1
-            rf = RefmvsFrame(fhdr, seq, bw4f, bh4f, ref_poc=ref_poc)
-            rf.setup_temporal(
-                seq, fhdr, ref_poc,
-                [ref_refpoc[fhdr.refidx[i]] for i in range(7)],
-                [ref_tmvs[fhdr.refidx[i]] for i in range(7)])
-            if fhdr.switchable_comp_refs:
-                jnt_weights = obu_mod.compute_jnt_weights(seq, fhdr,
-                                                          ref_poc)
-            ref_scaled = [
-                refs[fhdr.refidx[i]] is not None and
-                (refs[fhdr.refidx[i]].width != fhdr.width[0] or
-                 refs[fhdr.refidx[i]].height != fhdr.height)
-                for i in range(7)]
-        # CDF selection (dav1d decode.c:3536-3545)
-        if fhdr.primary_ref_frame == h.PRIMARY_REF_NONE:
-            cdf_in = new_cdf_context(qcat_from_qidx(fhdr.quant_yac))
-        else:
-            src = ref_cdfs[fhdr.refidx[fhdr.primary_ref_frame]]
-            assert src is not None, "missing primary-ref CDFs"
-            cdf_in = src
-        # previous segmentation map (dav1d decode.c:3658-3710)
-        prev_segmap = None
-        if fhdr.segmentation_enabled and \
-                (fhdr.segmentation_temporal or
-                 not fhdr.segmentation_update_map) and \
-                fhdr.primary_ref_frame != h.PRIMARY_REF_NONE:
-            prev_segmap = ref_segmaps[fhdr.refidx[fhdr.primary_ref_frame]]
-        coders = []
-        t = fhdr.tiling
-        for tile_row in range(t.rows):
-            for tile_col in range(t.cols):
-                ti = tile_row * t.cols + tile_col
-                # tile data: with a single tile group holding all tiles
-                data_t, start, end = _tile_payload(st, ti, fhdr)
-                cdf = cdf_in.copy()
-                coder = TileCoder(
-                    seq, fhdr, cdf,
-                    DecodeSide(Msac(data_t,
-                                    bool(fhdr.disable_cdf_update))),
-                    tile_col=tile_col, tile_row=tile_row, rf=rf,
-                    ref_poc=ref_poc, ref_scaled=ref_scaled,
-                    prev_segmap=prev_segmap)
-                coder.code_tile()
-                coders.append(coder)
-        bufs = FrameBuffers(seq, fhdr)
-        if use_tpu_inter and not keyframe:
-            from .tpu_inter import recon_frame_tpu
-            recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights)
-        else:
-            recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
-        if use_tpu_filters:
-            assert fhdr.width[0] == fhdr.width[1], \
-                "super-res not yet routed through the device pipeline"
-            from .tpu_filters import apply_inloop_filters_tpu
-            apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
-        else:
-            bufs = apply_inloop_filters(seq, fhdr, coders, bufs)
-        # reference slot update (dav1d decode.c:3713-3739); refs hold
-        # post-loopfilter, pre-film-grain planes
-        out_cdf = cdf_thread_update(cdf_in, coders[fhdr.tiling.update].cdf,
-                                    keyframe) if fhdr.refresh_context \
-            else cdf_in
-        cur_tmvs = None
-        cur_refpoc = [0] * 7
-        if not keyframe:
-            rf.save_tmvs_frame()
-            cur_tmvs = rf.rp
-            cur_refpoc = ref_poc
-        cur_segmap = None
-        if fhdr.segmentation_enabled:
-            if fhdr.segmentation_update_map:
-                cur_segmap = coders[0].seg_map.copy()
-                for c in coders[1:]:
-                    r0, r1 = c.row_start, c.row_end
-                    c0, c1 = c.col_start, c.col_end
-                    cur_segmap[r0:r1, c0:c1] = c.seg_map[r0:r1, c0:c1]
-            else:
-                cur_segmap = prev_segmap
-        for i in range(8):
-            if (fhdr.refresh_frame_flags >> i) & 1:
-                refs[i] = bufs
-                st.refs[i] = fhdr
-                ref_cdfs[i] = out_cdf
-                ref_tmvs[i] = cur_tmvs
-                ref_refpoc[i] = cur_refpoc
-                ref_segmaps[i] = cur_segmap
-        if fhdr.film_grain_present:
-            from ..ops.ref.filmgrain import apply_film_grain
-            grained = apply_film_grain(bufs.planes, seq, fhdr,
-                                       bufs.width, bufs.height)
-            out.append(tuple(_visible(grained, bufs)))
-        else:
-            out.append(tuple(bufs.visible()))
-        st.tiles = []
-        st.n_tiles = 0
+        dec.send_data(fr.data)
+        while True:
+            pic = dec.get_picture()
+            if pic is None:
+                break
+            out.append(pic.planes)
     return out
 
 

@@ -117,7 +117,15 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
     w = BitWriter()
     assert not seq.reduced_still_picture_header
     w.put_bit(hdr.show_existing_frame)
-    assert not hdr.show_existing_frame, "unsupported in writer"
+    if hdr.show_existing_frame:
+        w.put_bits(hdr.existing_frame_idx, 3)
+        assert not seq.decoder_model_info_present
+        assert not seq.frame_id_numbers_present
+        if standalone:
+            w.trailing_bits()
+        else:
+            w.bytealign()
+        return w.get_bytes()
     w.put_bits(hdr.frame_type, 2)
     w.put_bit(hdr.show_frame)
     if not hdr.show_frame:

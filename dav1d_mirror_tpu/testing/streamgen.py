@@ -325,23 +325,75 @@ def gen_inter_frame(seq, fhdr, policy, cdf=None, ref_poc=None,
 
 def gen_ivf(seq, frames) -> bytes:
     """frames: list of (fhdr, tile_payload) or (fhdr, tile_payload,
-    ref_hdrs snapshot). Returns a full IVF stream."""
+    ref_hdrs snapshot); tile_payload is None for show-existing frames.
+    Returns a full IVF stream."""
+    out = [b"".join(obus) for obus in _frame_obus(seq, frames)]
+    return ow.write_ivf(out, seq.max_width, seq.max_height)
+
+
+def _frame_obus(seq, frames):
     out_frames = []
     for i, entry in enumerate(frames):
         fhdr, tile = entry[0], entry[1]
         ref_hdrs = entry[2] if len(entry) > 2 else None
-        obus = ow.write_obu(h.OBU_TD, b"")
+        obus = [ow.write_obu(h.OBU_TD, b"")]
         if i == 0:
-            obus += ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq))
-        obus += ow.write_obu(
+            obus.append(ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq)))
+        obus.append(ow.write_obu(
             h.OBU_FRAME_HDR,
             ow.write_frame_hdr(fhdr, seq, standalone=True,
-                               ref_hdrs=ref_hdrs))
-        obus += ow.write_obu(
-            h.OBU_TILE_GRP,
-            ow.write_tile_group(tile, n_bytes=fhdr.tiling.n_bytes or 4))
+                               ref_hdrs=ref_hdrs)))
+        if not fhdr.show_existing_frame:
+            obus.append(ow.write_obu(
+                h.OBU_TILE_GRP,
+                ow.write_tile_group(tile,
+                                    n_bytes=fhdr.tiling.n_bytes or 4)))
         out_frames.append(obus)
-    return ow.write_ivf(out_frames, seq.max_width, seq.max_height)
+    return out_frames
+
+
+def gen_section5(seq, frames) -> bytes:
+    """Raw Section-5 OBU stream (temporal units delimited by TD OBUs)."""
+    return b"".join(b"".join(obus) for obus in _frame_obus(seq, frames))
+
+
+def _uleb(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _strip_obu_size(obu: bytes) -> bytes:
+    """Rewrite an OBU without its size field (Annex-B obu framing)."""
+    hdr = obu[0]
+    assert (hdr >> 1) & 1, "expected size field"
+    pos = 1 + (1 if (hdr >> 2) & 1 else 0)  # extension byte
+    # skip the uleb length
+    p = pos
+    while obu[p] & 0x80:
+        p += 1
+    p += 1
+    return bytes([hdr & ~0x02]) + obu[1:pos] + obu[p:]
+
+
+def gen_annexb(seq, frames) -> bytes:
+    """Annex-B length-delimited stream (tools/input/annexb.c layout)."""
+    out = bytearray()
+    for obus in _frame_obus(seq, frames):
+        # one frame unit per temporal unit; the TD OBU leads each unit
+        payload = bytearray()
+        for obu in obus:
+            stripped = _strip_obu_size(obu)
+            payload += _uleb(len(stripped)) + stripped
+        fu = _uleb(len(payload)) + payload
+        out += _uleb(len(fu)) + fu
+    return bytes(out)
 
 
 def gen_frame_tiles(seq, fhdr, policy, cdf=None, ref_poc=None,

@@ -1,0 +1,145 @@
+"""CLI + public API: md5-verified decode against the reference CLI across
+all three containers (ivf / Annex-B / Section-5), muxers, settings
+(film grain toggle, inloop-filter mask, frame limit), show-existing-frame,
+and flush/seek semantics."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from dav1d_mirror_tpu.host import headers as h
+from dav1d_mirror_tpu.api import Decoder, Settings, parse_sequence_header
+from dav1d_mirror_tpu.cli import main as cli_main
+from dav1d_mirror_tpu.output import MD5Muxer
+from dav1d_mirror_tpu.testing.streamgen import (RandomPolicy, make_seq_hdr,
+                                                make_key_frame_hdr,
+                                                make_inter_frame_hdr,
+                                                gen_intra_frame,
+                                                gen_inter_frame, gen_ivf,
+                                                gen_section5, gen_annexb)
+
+
+def _make_stream(seed=42, n_inter=2, show_existing=False, fg=None):
+    seq = make_seq_hdr(96, 64)
+    kf = make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE,
+                            loopfilter=(24, 24, 16, 16, 1))
+    if fg:
+        seq.film_grain_present = 1
+        kf.film_grain_present = 1
+        for k, v in fg.items():
+            setattr(kf.film_grain_data, k, v)
+    frames = [(kf, gen_intra_frame(seq, kf, RandomPolicy(seed))[0])]
+    for i in range(n_inter):
+        fi = make_inter_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE,
+                                  loopfilter=(24, 24, 16, 16, 1))
+        frames.append((fi, gen_inter_frame(seq, fi,
+                                           RandomPolicy(seed + 1 + i))[0]))
+    if show_existing:
+        se = h.FrameHeader()
+        se.show_existing_frame = 1
+        se.existing_frame_idx = 0
+        frames.append((se, None))
+    return seq, frames
+
+
+def _oracle_md5(oracle_bin, tmp_path, ivf):
+    p = tmp_path / "t.ivf"
+    p.write_bytes(ivf)
+    r = subprocess.run([oracle_bin, "-i", str(p), "--muxer", "md5",
+                        "-o", "-", "-q"], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+    return r.stdout.strip()
+
+
+def test_cli_containers_md5_verified(oracle_bin, tmp_path):
+    seq, frames = _make_stream()
+    ivf = gen_ivf(seq, frames)
+    want = _oracle_md5(oracle_bin, tmp_path, ivf)
+    paths = {"t.ivf": ivf, "t.obu": gen_section5(seq, frames),
+             "t.annexb": gen_annexb(seq, frames)}
+    for name, data in paths.items():
+        p = tmp_path / name
+        p.write_bytes(data)
+        assert cli_main(["-i", str(p), "--muxer", "md5",
+                         "-o", str(tmp_path / "o.md5"),
+                         "--verify", want, "-q"]) == 0, name
+    # the reference decoder also accepts our annexb/section5 output
+    for name in ("t.obu", "t.annexb"):
+        r = subprocess.run([oracle_bin, "-i", str(tmp_path / name),
+                            "--muxer", "md5", "-o", "-", "-q"],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and r.stdout.strip() == want, name
+
+
+def test_show_existing_frame(oracle_bin, tmp_path):
+    seq, frames = _make_stream(seed=77, show_existing=True)
+    ivf = gen_ivf(seq, frames)
+    want = _oracle_md5(oracle_bin, tmp_path, ivf)
+    p = tmp_path / "se.ivf"
+    p.write_bytes(ivf)
+    assert cli_main(["-i", str(p), "--muxer", "md5",
+                     "-o", str(tmp_path / "o.md5"),
+                     "--verify", want, "-q"]) == 0
+
+
+def test_api_flush_seek():
+    seq, frames = _make_stream(seed=99, n_inter=2)
+    ivf = gen_ivf(seq, frames)
+    from dav1d_mirror_tpu.host.ivf import parse_ivf
+    _, _, _, fr = parse_ivf(ivf)
+    dec = Decoder(Settings())
+    dec.send_data(fr[0].data)
+    assert dec.get_picture() is not None
+    # flush mid-stream, re-feed from the keyframe: same output
+    dec.flush()
+    m = MD5Muxer()
+    for f in fr:
+        dec.send_data(f.data)
+        while True:
+            pic = dec.get_picture()
+            if pic is None:
+                break
+            m.write(pic)
+    dec2 = Decoder(Settings())
+    m2 = MD5Muxer()
+    for f in fr:
+        dec2.send_data(f.data)
+        while True:
+            pic = dec2.get_picture()
+            if pic is None:
+                break
+            m2.write(pic)
+    assert m.digest() == m2.digest()
+
+
+def test_api_settings_variants():
+    fg = dict(seed=1234, num_y_points=3,
+              y_points=[(0, 40), (80, 90), (255, 20)], ar_coeff_lag=1,
+              ar_coeffs_y=[3, -7, 12, 5], scaling_shift=8, overlap_flag=1)
+    seq, frames = _make_stream(seed=55, fg=fg)
+    ivf = gen_ivf(seq, frames)
+    from dav1d_mirror_tpu.host.ivf import parse_ivf
+    _, _, _, fr = parse_ivf(ivf)
+
+    def run(settings):
+        dec = Decoder(settings)
+        out = []
+        for f in fr:
+            dec.send_data(f.data)
+            while True:
+                pic = dec.get_picture()
+                if pic is None:
+                    break
+                out.append(pic)
+        return out
+
+    grain = run(Settings(apply_grain=True))
+    nograin = run(Settings(apply_grain=False))
+    assert any(not np.array_equal(a.planes[0], b.planes[0])
+               for a, b in zip(grain, nograin))
+    nofilters = run(Settings(inloop_filters=0))
+    assert any(not np.array_equal(a.planes[0], b.planes[0])
+               for a, b in zip(grain, nofilters))
+    sh = parse_sequence_header(fr[0].data)
+    assert sh.max_width == 96 and sh.max_height == 64
