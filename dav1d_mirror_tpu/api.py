@@ -20,8 +20,18 @@ import numpy as np
 from .host import headers as h
 from .host import obu as obu_mod
 from .host.ivf import split_obus
-from .host.msac import Msac
+from .host.msac import Msac as _PyMsac
+from .host.native import LIB as _native_lib, NativeMsac
 from .host.tilecoder import TileCoder, DecodeSide
+
+# The C range decoder (native/msac.cpp) is the production host entropy
+# stage; host/msac.py is the behavioral spec + fallback. Set
+# DAV1D_TPU_NO_NATIVE=1 to force the Python path.
+import os as _os
+if _native_lib is not None and not _os.environ.get("DAV1D_TPU_NO_NATIVE"):
+    Msac = NativeMsac
+else:
+    Msac = _PyMsac
 from .data.tables import new_cdf_context, qcat_from_qidx, cdf_thread_update
 
 INLOOPFILTER_NONE = 0

@@ -18,6 +18,7 @@ _NPZ_PATH = os.path.join(os.path.dirname(__file__), "spec_tables.npz")
 class _Tables:
     def __init__(self):
         self._npz = None
+        self._cache = {}
 
     def _load(self):
         if self._npz is None:
@@ -25,7 +26,15 @@ class _Tables:
         return self._npz
 
     def __getitem__(self, name: str) -> np.ndarray:
-        return self._load()[name]
+        # npz members are decompressed from the archive on EVERY access;
+        # memoize (tables are treated as read-only by all callers — CDF
+        # users copy via np.array/new_cdf_context before adapting).
+        a = self._cache.get(name)
+        if a is None:
+            a = self._load()[name]
+            a.setflags(write=False)
+            self._cache[name] = a
+        return a
 
     def __contains__(self, name):
         return name in self._load().files

@@ -2537,6 +2537,40 @@ class TileCoder:
             eob_bin_cdf = cdfc[eob_bin_keys[tx2dszctx]][chroma][is_1d]
         else:
             eob_bin_cdf = cdfc[eob_bin_keys[tx2dszctx]][chroma]
+        eob_cdf = cdfc["eob_base_tok"][t_ctx][chroma]
+        hi_cdf = cdfc["br_tok"][min(t_ctx, 3)][chroma]
+
+        sw4 = min(tw, 8)
+        sh4 = min(th, 8)
+
+        # Native fast path: the whole eob/token/sign/dequant walk (the
+        # densest symbol stream) in ONE ctypes call into native/msac.cpp
+        # coef_decode_block — bit-exact with the Python code below.
+        if ec.is_decode and hasattr(ec.m, "coef_decode_block"):
+            if tx_class == TX_CLASS_2D:
+                nonsquare_tx = int(tx >= 5)  # RTX_4X8
+                n_lo_ctx = T_LO_CTX_OFFSETS[nonsquare_tx +
+                                            (tx & nonsquare_tx)]
+                n_scan = SCANS[tx]
+            else:
+                n_lo_ctx = None
+                n_scan = None
+            n_dq = self.dq[b.seg_id][plane]
+            n_qm = self.qm[tx][plane] if txtp < IDTX else None
+            n_bd = self.seq.bitdepth
+            n_dc_sign_ctx = self._get_dc_sign_ctx(tx, a_arr, a_off,
+                                                  l_arr, l_off)
+            out, eob, cf_ctx = ec.m.coef_decode_block(
+                eob_bin_cdf, 4 + tx2dszctx,
+                cdfc["eob_hi_bit"][t_ctx][chroma], eob_cdf,
+                cdfc["base_tok"][t_ctx][chroma], hi_cdf,
+                cdfc["dc_sign"][chroma][n_dc_sign_ctx],
+                tx_class, sw4, sh4, lw, lh, n_scan, n_lo_ctx,
+                int(n_dq[0]), int(n_dq[1]), n_qm,
+                max(0, t_ctx - 2),
+                ~((~127) << (8 if n_bd == 8 else n_bd)))
+            return self._cf2d(out, sw4, sh4), eob, txtp, cf_ctx
+
         eob_bin = ec.sym("eob_bin", eob_bin_cdf, 4 + tx2dszctx)
         if eob_bin > 1:
             eob_hi_bit = ec.bool_adapt(
@@ -2546,11 +2580,6 @@ class TileCoder:
         else:
             eob = eob_bin
 
-        eob_cdf = cdfc["eob_base_tok"][t_ctx][chroma]
-        hi_cdf = cdfc["br_tok"][min(t_ctx, 3)][chroma]
-
-        sw4 = min(tw, 8)
-        sh4 = min(th, 8)
         n_coef = (4 * sw4) * (4 * sh4)
         cf = np.zeros(n_coef, np.int64)
         rc = 0
