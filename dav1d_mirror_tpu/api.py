@@ -126,7 +126,11 @@ class Decoder:
         seq = self._st.seq_hdr
         planes = bufs.planes
         if self.s.apply_grain and fhdr.film_grain_present:
-            from .ops.ref.filmgrain import apply_film_grain
+            if self.s.use_tpu_filters:
+                from .ops.filmgrain_tpu import apply_film_grain_tpu \
+                    as apply_film_grain
+            else:
+                from .ops.ref.filmgrain import apply_film_grain
             planes = apply_film_grain(planes, seq, fhdr, bufs.width,
                                       bufs.height)
         w, hgt = bufs.width, bufs.height

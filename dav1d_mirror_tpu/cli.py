@@ -32,7 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--skip", type=int, default=0,
                    help="skip decoding of the first N temporal units")
     p.add_argument("--threads", type=int, default=0)
-    p.add_argument("--filmgrain", type=int, default=1)
+    p.add_argument("--filmgrain", type=int, default=None,
+                   help="enable film grain application (default: 1, "
+                        "except if muxer is md5 — matches the reference "
+                        "CLI, tools/dav1d_cli_parse.c:143,440)")
     p.add_argument("--oppoint", type=int, default=0)
     p.add_argument("--alllayers", type=int, default=1)
     p.add_argument("--sizelimit", type=int, default=0)
@@ -56,6 +59,8 @@ def main(argv=None):
         args.muxer = "md5"
     if not args.muxer:
         args.muxer = "null" if args.output in ("-", "/dev/null") else "yuv"
+    if args.filmgrain is None:
+        args.filmgrain = 0 if args.muxer == "md5" else 1
 
     with open(args.input, "rb") as f:
         data = f.read()
