@@ -233,7 +233,7 @@ class Decoder:
                 coders.append(coder)
 
         bufs = rd.FrameBuffers(seq, fhdr)
-        if self.s.use_tpu_inter and not keyframe:
+        if self.s.use_tpu_inter:
             from .models.tpu_inter import recon_frame_tpu
             recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights)
         else:

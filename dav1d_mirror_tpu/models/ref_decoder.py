@@ -71,6 +71,26 @@ def recon_frame(seq, fhdr, coders, bufs: FrameBuffers, refs=None,
 recon_intra_frame = recon_frame
 
 
+def _itx_add_block(plane, cb, tx, bitdepth, residuals):
+    """Inverse-transform-add for one coefficient block. If the device
+    pass precomputed this block's residual (models/tpu_inter: batched
+    ops/itx.itx_residual keyed by (plane, y, x)), just add + clip —
+    bit-identical to the reference itx add (recon_tmpl.c:97-99)."""
+    t_dim = T_TXFM[tx]
+    tw, th = int(t_dim[0]) * 4, int(t_dim[1]) * 4
+    py, px = cb.y * 4, cb.x * 4
+    patch = plane[py:py + th, px:px + tw]
+    res = residuals.get((cb.plane, cb.y, cb.x)) \
+        if residuals is not None else None
+    if res is not None:
+        plane[py:py + th, px:px + tw] = np.clip(
+            patch.astype(np.int32) + res, 0,
+            (1 << bitdepth) - 1).astype(plane.dtype)
+    else:
+        plane[py:py + th, px:px + tw] = inv_txfm_add_ref(
+            patch, cb.cf, cb.eob, tx, cb.txtp, bitdepth)
+
+
 def _mc_put(refplane, ref_w, ref_h, bw4, bh4, bx, by, ss_hor, ss_ver, mv,
             filter2d, bd):
     """Translational MC with edge emulation (dav1d recon_tmpl.c mc:957).
@@ -524,17 +544,12 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
         for cb in coder.coefs[b.coef_lo:b.coef_hi]:
             if cb.eob < 0:
                 continue
-            plane = bufs.planes[cb.plane]
-            t_dim = T_TXFM[cb.tx]
-            tw, th = int(t_dim[0]) * 4, int(t_dim[1]) * 4
-            py, px = cb.y * 4, cb.x * 4
-            patch = plane[py:py + th, px:px + tw]
-            plane[py:py + th, px:px + tw] = inv_txfm_add_ref(
-                patch, cb.cf, cb.eob, cb.tx, cb.txtp, bitdepth)
+            _itx_add_block(bufs.planes[cb.plane], cb, cb.tx, bitdepth,
+                           state.get("residuals"))
 
 
 def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
-                device_done=None):
+                device_done=None, residuals=None):
     bitdepth = seq.bitdepth
     bd_max = (1 << bitdepth) - 1
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
@@ -557,7 +572,8 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
     # inter recon state (dav1d t->tl_4x4_filter + frame-thread filter map)
     inter_state = {"tl_4x4_filter": 0,
                    "f2d_map": np.zeros((bh, bw), np.uint8),
-                   "jnt_weights": jnt_weights}
+                   "jnt_weights": jnt_weights,
+                   "residuals": residuals}
 
     def sm_flag(mode_arr, intra_arr, idx):
         if not intra_arr[idx]:
@@ -657,13 +673,8 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
                                 cb = next(coef_iter)
                                 assert cb.plane == 0
                                 if cb.eob >= 0:
-                                    patch = yplane[py:py + th * 4,
-                                                   px:px + tw * 4]
-                                    yplane[py:py + th * 4,
-                                           px:px + tw * 4] = \
-                                        inv_txfm_add_ref(patch, cb.cf,
-                                                         cb.eob, b.tx,
-                                                         cb.txtp, bitdepth)
+                                    _itx_add_block(yplane, cb, b.tx,
+                                                   bitdepth, residuals)
                             continue
                         angle = b.y_angle
                         edge_flags = (
@@ -689,12 +700,8 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
                             assert cb.plane == 0 and cb.x == bx + x and \
                                 cb.y == by + y
                             if cb.eob >= 0:
-                                patch = yplane[py:py + th * 4,
-                                               px:px + tw * 4]
-                                out = inv_txfm_add_ref(
-                                    patch, cb.cf, cb.eob, b.tx, cb.txtp,
-                                    bitdepth)
-                                yplane[py:py + th * 4, px:px + tw * 4] = out
+                                _itx_add_block(yplane, cb, b.tx, bitdepth,
+                                               residuals)
                         x += tw
                     y += th
 
@@ -799,13 +806,8 @@ def _recon_tile(seq, fhdr, coder, bufs, refs=None, jnt_weights=None,
                                     cb.x == xpos and cb.y == ypos, \
                                     (cb.plane, cb.x, cb.y, pl, xpos, ypos)
                                 if cb.eob >= 0:
-                                    patch = plane[ppy:ppy + cth * 4,
-                                                  ppx:ppx + ctw * 4]
-                                    out = inv_txfm_add_ref(
-                                        patch, cb.cf, cb.eob, b.uvtx,
-                                        cb.txtp, bitdepth)
-                                    plane[ppy:ppy + cth * 4,
-                                          ppx:ppx + ctw * 4] = out
+                                    _itx_add_block(plane, cb, b.uvtx,
+                                                   bitdepth, residuals)
                             x += ctw
                         y += cth
 

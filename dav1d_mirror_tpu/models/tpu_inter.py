@@ -108,6 +108,8 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
 
+    intra_frame = fhdr.frame_type in (0, 2)
+
     # --- pass 1 (host): classify blocks, build unit plans ---
     plans = [dict() for _ in range(n_planes)]        # single-ref put units
     # compound: per plane, per (uw, uh): parallel unit descriptor lists for
@@ -115,6 +117,8 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     cunits = [dict() for _ in range(n_planes)]
     device_blocks = set()
     for ci, coder in enumerate(coders):
+        if intra_frame:
+            break
         for bi, b in enumerate(coder.blocks):
             cls = _block_device_class(fhdr, coder, b, refs, cur_w, cur_h)
             if cls is None:
@@ -150,9 +154,10 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                                       jw, u0[6], u0[7]))
 
     # --- device: stacked reference planes per plane index ---
-    dev_planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
+    dev_planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes] \
+        if not intra_frame else None
     ref_stacks = []
-    for pl in range(n_planes):
+    for pl in range(n_planes if not intra_frame else 0):
         stack = []
         for i in range(7):
             rb = refs[fhdr.refidx[i]]
@@ -218,19 +223,24 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
             dev_planes[pl] = scatter_units(dev_planes[pl], out, ys, xs,
                                            uh, uw)
 
-    # --- residual inverse transforms for device-covered blocks ---
-    rplans = {}
+    # --- residual inverse transforms, ALL blocks ---
+    # Device-covered inter blocks scatter-add straight onto the plane
+    # (their prediction is already there). Every other block — intra,
+    # intrabc, host-fallback inter — gets its residual batch-computed on
+    # device too and handed to the host walk via a (plane, y, x) map:
+    # prediction needs reconstructed neighbours (sequential), but the
+    # inverse transforms (the FLOPs) depend only on coefficients.
+    rplans = {}     # scatter-add buckets
+    hplans = {}     # host-map buckets
     for ci, coder in enumerate(coders):
         for bi, b in enumerate(coder.blocks):
-            if (ci, bi) not in device_blocks or b.skip:
+            if b.skip:
                 continue
+            dst = rplans if (ci, bi) in device_blocks else hplans
             for cb in coder.coefs[b.coef_lo:b.coef_hi]:
                 if cb.eob < 0:
                     continue
-                t_dim = T_TXFM[cb.tx]
-                sw = min(int(t_dim[0]), 8) * 4
-                sh = min(int(t_dim[1]), 8) * 4
-                rplans.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
+                dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
                     (cb.cf, cb.y * 4, cb.x * 4))
     for (pl, tx, txtp), lst in sorted(rplans.items()):
         cfs = jnp.asarray(np.stack([e[0] for e in lst]).astype(np.int32))
@@ -240,16 +250,23 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
         h_px, w_px = res.shape[1], res.shape[2]
         dev_planes[pl] = scatter_add_units(dev_planes[pl], res, ys, xs,
                                            h_px, w_px, bd)
+    residual_map = {}
+    for (pl, tx, txtp), lst in sorted(hplans.items()):
+        cfs = jnp.asarray(np.stack([e[0] for e in lst]).astype(np.int32))
+        res = np.asarray(itx_residual(cfs, tx, txtp, bd))
+        for i, (_, y_px, x_px) in enumerate(lst):
+            residual_map[(pl, y_px // 4, x_px // 4)] = res[i]
 
     # download
-    for pl in range(n_planes):
-        bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
-            bufs.planes[pl].dtype)
+    if not intra_frame:
+        for pl in range(n_planes):
+            bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
+                bufs.planes[pl].dtype)
 
     # --- pass 2 (host): intra + uncovered inter blocks in decode order ---
     for ci, coder in enumerate(coders):
         skip_set = {bi for bi in range(len(coder.blocks))
                     if (ci, bi) in device_blocks}
         _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
-                    device_done=skip_set)
+                    device_done=skip_set, residuals=residual_map)
     return bufs
