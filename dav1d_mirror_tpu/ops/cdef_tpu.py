@@ -144,16 +144,26 @@ def _ulog2(x):
 
 
 def cdef_filter_plane_tpu(plane, src, dir_map, pri_map, sec_map, damping,
-                          active, bitdepth, bw, bh):
+                          active, bitdepth, bw, bh, halo=None):
     """plane/src: (H, W) int32 (src = pre-CDEF snapshot); dir_map, pri_map,
     sec_map, active: per-block (hb, wb) maps at this plane's block size
     (bw x bh px); damping scalar. Frame borders use MISSING padding.
-    Only the first (hb*bh, wb*bw) region is filtered."""
+    Only the first (hb*bh, wb*wb) region is filtered.
+
+    halo: optional (top2, bot2) — real pre-CDEF pixel rows ((2, W) each)
+    to use above/below the region instead of MISSING. Used by the
+    row-band-sharded pipeline (parallel/filter_shard), where band
+    boundaries are frame-interior."""
     hb, wb = dir_map.shape
     H = hb * bh
     W = wb * bw
     reg = src[:H, :W].astype(jnp.int32)
     pad = jnp.pad(reg, 2, constant_values=MISSING)
+    if halo is not None:
+        top2, bot2 = halo
+        pad = pad.at[0:2, 2:2 + W].set(top2[:, :W].astype(jnp.int32))
+        pad = pad.at[H + 2:H + 4, 2:2 + W].set(
+            bot2[:, :W].astype(jnp.int32))
     shifts = jnp.stack([pad[2 + dy:2 + dy + H, 2 + dx:2 + dx + W]
                         for (dy, dx) in _SHIFTS], axis=0)  # (25, H, W)
 

@@ -222,37 +222,37 @@ def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
 @functools.partial(jax.jit,
                    static_argnames=("luma", "bitdepth", "sb_step4"))
 def deblock_plane_tpu(plane, edge_v, edge_h, lvl_v, lvl_v_prev, lvl_h,
-                      lvl_h_prev, e_lut, i_lut, luma, bitdepth, sb_step4):
+                      lvl_h_prev, e_lut, i_lut, luma, bitdepth,
+                      sb_step4=None):
     """plane: (Hp, Wp) int32 padded; edge_v/h: (h4, w4) int32 (-1 none);
-    lvl_*: per-edge levels (current and fallback neighbour). Applies
-    V-then-H per superblock row, matching the reference order."""
-    h4, w4 = edge_v.shape
+    lvl_*: per-edge levels (current and fallback neighbour).
+
+    ONE global vertical pass then ONE global horizontal pass. The
+    reference interleaves V/H per superblock row (lf_apply_tmpl.c), but
+    AV1's filter-width rules (an edge of width wd requires >=wd-sized
+    transforms on both sides) confine every edge's read AND write span
+    inside the adjacent transforms, so no H edge reads pixels another H
+    edge writes — the global 2-pass form is bit-identical (verified
+    against the per-sbrow order on decoded frames) and is what makes
+    row-band sharding across chips possible (parallel/filter_shard).
+    sb_step4 is accepted for API compatibility and ignored."""
     plane = plane.astype(jnp.int32)
-    for sby4 in range(0, h4, sb_step4):
-        endy4 = min(h4, sby4 + sb_step4)
-        n = endy4 - sby4
-        # vertical pass on this sbrow's rows
-        rows = jax.lax.dynamic_slice_in_dim(plane, sby4 * 4, n * 4, axis=0)
-        ev = edge_v[sby4:endy4]
-        # x = 0 has no left neighbour: force inactive
-        ev = ev.at[:, 0].set(-1)
-        rows = _apply_pass(rows, ev, lvl_v[sby4:endy4],
-                           lvl_v_prev[sby4:endy4], e_lut, i_lut, luma,
-                           bitdepth, False)
-        plane = jax.lax.dynamic_update_slice_in_dim(plane, rows, sby4 * 4,
-                                                    axis=0)
-        # horizontal pass: operate on the transposed plane (visible columns
-        # only; H edges exist only within the visible width)
-        planeT = plane.T
-        eh = edge_h[sby4:endy4].T  # (w4, n)
-        if sby4 == 0:
-            eh = eh.at[:, 0].set(-1)
-        nvis = w4 * 4
-        colsT = _apply_pass_h(planeT[:nvis], eh, lvl_h[sby4:endy4].T,
-                              lvl_h_prev[sby4:endy4].T, e_lut, i_lut, luma,
-                              bitdepth, sby4)
-        plane = jnp.concatenate([colsT, planeT[nvis:]], axis=0).T
-    return plane
+    h4 = edge_v.shape[0]
+    # vertical pass over the visible rows (x = 0 has no left neighbour:
+    # force inactive); padded rows below pass through untouched
+    ev = edge_v.at[:, 0].set(-1)
+    rows = _apply_pass(plane[:h4 * 4], ev, lvl_v, lvl_v_prev, e_lut,
+                       i_lut, luma, bitdepth, False)
+    plane = jnp.concatenate([rows, plane[h4 * 4:]], axis=0)
+    # horizontal pass on the transposed plane (visible columns only; H
+    # edges exist only within the visible width). y = 0: no edge.
+    w4 = edge_v.shape[1]
+    planeT = plane.T
+    eh = edge_h.T.at[:, 0].set(-1)
+    nvis = w4 * 4
+    colsT = _apply_pass_h(planeT[:nvis], eh, lvl_h.T, lvl_h_prev.T,
+                          e_lut, i_lut, luma, bitdepth, 0)
+    return jnp.concatenate([colsT, planeT[nvis:]], axis=0).T
 
 
 def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,

@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.itx import itx_residual
 from ..ops.itx_meta import TX_16X16, DCT_DCT
@@ -32,8 +32,7 @@ def sharded_recon_step(mesh: Mesh, pred, coefs, bitdepth: int = 8):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_rep=False)
+        out_specs=P(axis))
     def step(pred_l, coefs_l):
         res = itx_residual(coefs_l, TX_16X16, DCT_DCT, bitdepth)
         rec = jnp.clip(pred_l.astype(jnp.int32) + res, 0,
