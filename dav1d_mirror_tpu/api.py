@@ -68,6 +68,11 @@ class Picture:
     layout: int = h.PIXEL_LAYOUT_I420
     frame_hdr: object = None
     seq_hdr: object = None
+    # HDR metadata props (Dav1dPicture content_light/mastering_display/
+    # itut_t35, picture.h:52-63)
+    content_light: tuple = None
+    mastering_display: dict = None
+    itut_t35: tuple = ()
 
 
 class DecodeError(Exception):
@@ -139,9 +144,15 @@ class Decoder:
             cw = (w + bufs.ss_hor) >> bufs.ss_hor
             ch = (hgt + bufs.ss_ver) >> bufs.ss_ver
             vis += [p[:ch, :cw] for p in planes[1:]]
+        st = self._st
+        t35 = tuple(st.itut_t35)
+        st.itut_t35 = []
         self._out.append(Picture(tuple(vis), width=w, height=hgt,
                                  bitdepth=seq.bitdepth, layout=seq.layout,
-                                 frame_hdr=fhdr, seq_hdr=seq))
+                                 frame_hdr=fhdr, seq_hdr=seq,
+                                 content_light=st.content_light,
+                                 mastering_display=st.mastering_display,
+                                 itut_t35=t35))
 
     def _handle_frame(self):
         st = self._st

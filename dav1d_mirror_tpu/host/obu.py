@@ -36,6 +36,11 @@ class ObuState:
     operating_point: int = 0
     operating_point_idc: int = 0
     frame_ready: bool = False  # all tile data in; submit frame
+    # HDR metadata (dav1d obu.c:1400-1546): CLL/MDCV are "latest wins"
+    # context state; T.35 messages accumulate until attached to a picture
+    content_light: tuple | None = None        # (max_cll, max_fall)
+    mastering_display: dict | None = None
+    itut_t35: list = field(default_factory=list)
 
 
 def parse_seq_hdr(gb: GetBits) -> h.SequenceHeader:
@@ -362,7 +367,7 @@ def parse_frame_hdr(st: ObuState, gb: GetBits):  # noqa: C901
                 gb.get_bits(seq.order_hint_n_bits)
         hdr.frame_ref_short_signaling = seq.order_hint and gb.get_bit()
         if hdr.frame_ref_short_signaling:
-            hdr.refidx = _short_ref_signaling(st, gb)
+            hdr.refidx = _short_ref_signaling(st, gb, hdr, seq)
         for i in range(7):
             if not hdr.frame_ref_short_signaling:
                 hdr.refidx[i] = gb.get_bits(3)
@@ -740,9 +745,53 @@ def parse_frame_hdr(st: ObuState, gb: GetBits):  # noqa: C901
         raise ParseError("overrun in frame header")
 
 
-def _short_ref_signaling(st: ObuState, gb: GetBits):
-    # dav1d src/obu.c:518-607 (spec 7.8); requires order hints on all refs
-    raise ParseError("frame_ref_short_signaling not yet supported")
+def _short_ref_signaling(st: ObuState, gb: GetBits, hdr, seq):
+    last = gb.get_bits(3)
+    gold = gb.get_bits(3)
+    if any(r is None for r in st.refs):
+        raise ParseError("short ref signaling without full ref state")
+    return derive_short_refs(seq, hdr.frame_offset,
+                             [r.frame_offset for r in st.refs], last, gold)
+
+
+def derive_short_refs(seq, frame_offset, ref_offsets, last, gold):
+    """AV1 spec 7.8 set_frame_refs (dav1d src/obu.c:518-607): only the
+    LAST and GOLDEN slot indices are coded; the other five are derived
+    from the reference slots' order hints relative to this frame."""
+    refidx = [-1] * 7
+    refidx[0] = last
+    refidx[3] = gold
+
+    cur = 1 << (seq.order_hint_n_bits - 1)
+    shifted = [cur + get_poc_diff(seq.order_hint_n_bits, ref_offsets[i],
+                                  frame_offset) for i in range(8)]
+    used = [False] * 8
+    used[refidx[0]] = used[refidx[3]] = True
+
+    def pick(pred, best_of):
+        """Best unused slot whose shifted hint satisfies pred."""
+        best, best_hint = -1, None
+        for i in range(8):
+            hint = shifted[i]
+            if used[i] or not pred(hint):
+                continue
+            if best_hint is None or best_of(hint, best_hint):
+                best, best_hint = i, hint
+        if best >= 0:
+            used[best] = True
+        return best
+
+    # ALTREF: latest backward; BWDREF/ALTREF2: two earliest backward
+    refidx[6] = pick(lambda hnt: hnt >= cur, lambda a, b: a >= b)
+    refidx[4] = pick(lambda hnt: hnt >= cur, lambda a, b: a < b)
+    refidx[5] = pick(lambda hnt: hnt >= cur, lambda a, b: a < b)
+    # remaining slots: latest forward refs
+    for i in range(1, 7):
+        if refidx[i] < 0:
+            refidx[i] = pick(lambda hnt: hnt < cur, lambda a, b: a >= b)
+    # any still unset: the overall earliest
+    earliest = min(range(8), key=lambda i: shifted[i])
+    return [r if r >= 0 else earliest for r in refidx]
 
 
 def get_poc_diff(order_hint_n_bits: int, poc0: int, poc1: int) -> int:
@@ -852,12 +901,22 @@ def parse_obus(st: ObuState, data: bytes) -> int:
     if gb.error:
         raise ParseError("obu header")
 
+    # skip OBUs not in the selected temporal/spatial layer
+    # (dav1d obu.c:1246-1254)
+    if obu_type not in (h.OBU_SEQ_HDR, h.OBU_TD) and has_extension and \
+            st.operating_point_idc:
+        in_t = (st.operating_point_idc >> temporal_id) & 1
+        in_s = (st.operating_point_idc >> (spatial_id + 8)) & 1
+        if not in_t or not in_s:
+            return obu_end
+
     gb = GetBits(data, payload_start, obu_end)
 
     if obu_type == h.OBU_SEQ_HDR:
         st.seq_hdr = parse_seq_hdr(gb)
-        st.operating_point_idc = \
-            st.seq_hdr.operating_points[0].idc
+        op = min(st.operating_point,
+                 st.seq_hdr.num_operating_points - 1)
+        st.operating_point_idc = st.seq_hdr.operating_points[op].idc
     elif obu_type in (h.OBU_FRAME_HDR, h.OBU_FRAME,
                       h.OBU_REDUNDANT_FRAME_HDR):
         if obu_type == h.OBU_REDUNDANT_FRAME_HDR and st.frame_hdr:
@@ -880,11 +939,58 @@ def parse_obus(st: ObuState, data: bytes) -> int:
         if st.frame_hdr is None:
             raise ParseError("tile group without frame hdr")
         _parse_tile_group(st, gb, obu_end)
-    elif obu_type in (h.OBU_TD, h.OBU_PADDING, h.OBU_METADATA):
+    elif obu_type == h.OBU_METADATA:
+        _parse_metadata(st, gb, data, payload_start, obu_end)
+    elif obu_type in (h.OBU_TD, h.OBU_PADDING):
         pass
     # unknown obu types are skipped
 
     return obu_end
+
+
+# metadata_type values (AV1 spec 6.7.1 / dav1d ObuMetaType)
+_META_HDR_CLL = 1
+_META_HDR_MDCV = 2
+_META_SCALABILITY = 3
+_META_ITUT_T35 = 4
+_META_TIMECODE = 5
+
+
+def _parse_metadata(st: ObuState, gb: GetBits, data, start, end):
+    """dav1d obu.c:1400-1546: HDR CLL, HDR MDCV, ITU-T T.35."""
+    meta_type = gb.get_uleb128()
+    if gb.error:
+        raise ParseError("metadata type")
+    if meta_type == _META_HDR_CLL:
+        max_cll = gb.get_bits(16)
+        max_fall = gb.get_bits(16)
+        st.content_light = (max_cll, max_fall)
+    elif meta_type == _META_HDR_MDCV:
+        primaries = [(gb.get_bits(16), gb.get_bits(16)) for _ in range(3)]
+        white_point = (gb.get_bits(16), gb.get_bits(16))
+        st.mastering_display = dict(
+            primaries=primaries, white_point=white_point,
+            max_luminance=gb.get_bits(32), min_luminance=gb.get_bits(32))
+    elif meta_type == _META_ITUT_T35:
+        pos = gb.byte_position()
+        payload = data[pos:end]
+        # strip trailing_zero_bit bytes then the trailing_one_bit byte
+        n = len(payload)
+        while n > 0 and payload[n - 1] == 0:
+            n -= 1
+        n -= 1
+        if n < 1:
+            return
+        country_code = payload[0]
+        off = 1
+        ext = 0
+        if country_code == 0xFF and n >= 2:
+            ext = payload[1]
+            off = 2
+        st.itut_t35.append(dict(country_code=country_code,
+                                country_code_extension_byte=ext,
+                                payload=bytes(payload[off:n])))
+    # scalability/timecode/private types are skipped
 
 
 def _parse_tile_group(st: ObuState, gb: GetBits, obu_end: int):

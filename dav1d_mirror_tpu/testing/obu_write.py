@@ -163,9 +163,14 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
                 w.put_bits(ref_hdrs[i].frame_offset, seq.order_hint_n_bits)
         if seq.order_hint:
             w.put_bit(hdr.frame_ref_short_signaling)
-            assert not hdr.frame_ref_short_signaling
-        for i in range(7):
-            w.put_bits(hdr.refidx[i], 3)
+        if hdr.frame_ref_short_signaling:
+            # only LAST + GOLDEN slots are coded; caller must have set
+            # hdr.refidx to the spec-7.8 derivation for these slots
+            w.put_bits(hdr.refidx[0], 3)
+            w.put_bits(hdr.refidx[3], 3)
+        else:
+            for i in range(7):
+                w.put_bits(hdr.refidx[i], 3)
         if not hdr.frame_size_override or hdr.error_resilient_mode:
             _write_frame_size(w, hdr, seq)
         else:
@@ -503,3 +508,41 @@ def write_ivf(frames: list, width: int, height: int, fps=(30, 1)) -> bytes:
         out += struct.pack("<IQ", len(f), i)
         out += f
     return bytes(out)
+
+
+def write_metadata_cll(max_cll: int, max_fall: int) -> bytes:
+    """HDR CLL metadata OBU payload (dav1d obu.c OBU_META_HDR_CLL)."""
+    w = BitWriter()
+    w.put_uleb128(1)
+    w.put_bits(max_cll, 16)
+    w.put_bits(max_fall, 16)
+    w.trailing_bits()
+    return w.get_bytes()
+
+
+def write_metadata_mdcv(primaries, white_point, max_lum, min_lum) -> bytes:
+    """HDR MDCV metadata OBU payload."""
+    w = BitWriter()
+    w.put_uleb128(2)
+    for px, py in primaries:
+        w.put_bits(px, 16)
+        w.put_bits(py, 16)
+    w.put_bits(white_point[0], 16)
+    w.put_bits(white_point[1], 16)
+    w.put_bits(max_lum, 32)
+    w.put_bits(min_lum, 32)
+    w.trailing_bits()
+    return w.get_bytes()
+
+
+def write_metadata_t35(country_code: int, payload: bytes, ext: int = 0) -> bytes:
+    """ITU-T T.35 metadata OBU payload."""
+    w = BitWriter()
+    w.put_uleb128(4)
+    w.put_bits(country_code, 8)
+    if country_code == 0xFF:
+        w.put_bits(ext, 8)
+    for b in payload:
+        w.put_bits(b, 8)
+    w.trailing_bits()
+    return w.get_bytes()

@@ -65,6 +65,8 @@ CONFIGS = [
     dict(order_hint=1, tmvs=True, comp=True, skipmode=True, txsw=True),
     dict(order_hint=1, tmvs=True, comp=True, primary=True, n_inter=4,
          w=128, h=96, txsw=True, lf=(20, 20, 14, 14, 1)),
+    dict(order_hint=1, shortref=True, txsw=True),        # spec 7.8 refs
+    dict(order_hint=1, shortref=True, comp=True, n_inter=4),
     dict(scc=1, txsw=True),                              # palette on inter
     dict(sr=12, txsw=True),                              # super-res + scaled MC
     dict(sr=16, w=128, h=96, comp=True, lf=(24, 24, 16, 16, 1)),
@@ -147,6 +149,14 @@ def build_stream(cfg, seed):
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
+        if cfg.get("shortref"):
+            # code only LAST/GOLDEN; derive the rest per spec 7.8 — the
+            # decoder (ours and the oracle) must re-derive identically
+            fi.frame_ref_short_signaling = 1
+            fi.refidx = obu_mod.derive_short_refs(
+                seq, fi.frame_offset,
+                [rh.frame_offset for rh in ref_hdrs],
+                fi.refidx[0], fi.refidx[3])
         if fg:
             fi.film_grain_present = 1
             for k, v in fg.items():
