@@ -40,6 +40,12 @@ INLOOPFILTER_CDEF = 2
 INLOOPFILTER_RESTORATION = 4
 INLOOPFILTER_ALL = 7
 
+# Dav1dDecodeFrameType (include/dav1d/dav1d.h:71-76)
+DECODEFRAMETYPE_ALL = 0
+DECODEFRAMETYPE_REFERENCE = 1
+DECODEFRAMETYPE_INTRA = 2
+DECODEFRAMETYPE_KEY = 3
+
 
 @dataclass
 class Settings:
@@ -53,6 +59,7 @@ class Settings:
     strict_std_compliance: bool = False
     output_invisible_frames: bool = False
     inloop_filters: int = INLOOPFILTER_ALL
+    decode_frame_type: int = DECODEFRAMETYPE_ALL
     # TPU pipeline routing
     use_tpu_filters: bool = False
     use_tpu_inter: bool = False
@@ -158,10 +165,23 @@ class Decoder:
         st = self._st
         seq, fhdr = st.seq_hdr, st.frame_hdr
         if fhdr.show_existing_frame:
+            if self._skip_by_frame_type(
+                    st.refs[fhdr.existing_frame_idx], False):
+                st.tiles = []
+                st.n_tiles = 0
+                return
             bufs = self._refs[fhdr.existing_frame_idx]
             if bufs is None:
                 raise DecodeError("show_existing of empty slot")
             self._emit(bufs, st.refs[fhdr.existing_frame_idx])
+            st.tiles = []
+            st.n_tiles = 0
+            return
+        if self._skip_by_frame_type(fhdr, True):
+            # headers-only slot update (dav1d obu.c:1713-1726)
+            for i in range(8):
+                if (fhdr.refresh_frame_flags >> i) & 1:
+                    st.refs[i] = fhdr
             st.tiles = []
             st.n_tiles = 0
             return
@@ -170,6 +190,19 @@ class Decoder:
             self._emit(bufs, fhdr)
         st.tiles = []
         st.n_tiles = 0
+
+    def _skip_by_frame_type(self, fhdr, check_refresh):
+        """Dav1dDecodeFrameType filtering (dav1d obu.c:1570-1700)."""
+        dft = self.s.decode_frame_type
+        if dft == DECODEFRAMETYPE_ALL or fhdr is None:
+            return False
+        non_ref = (check_refresh and dft == DECODEFRAMETYPE_REFERENCE and
+                   not fhdr.refresh_frame_flags)
+        if fhdr.frame_type in (h.INTER, h.SWITCH):
+            return dft > DECODEFRAMETYPE_REFERENCE or non_ref
+        if fhdr.frame_type == h.INTRA:
+            return dft > DECODEFRAMETYPE_INTRA or non_ref
+        return False
 
     def _decode_frame(self, seq, fhdr):
         from .models import ref_decoder as rd

@@ -12,7 +12,9 @@ import argparse
 import sys
 import time
 
-from .api import Decoder, Settings, INLOOPFILTER_ALL
+from .api import (Decoder, Settings, INLOOPFILTER_ALL,
+                  DECODEFRAMETYPE_ALL, DECODEFRAMETYPE_REFERENCE,
+                  DECODEFRAMETYPE_INTRA, DECODEFRAMETYPE_KEY)
 from .host.demux import open_demuxer
 from .output import open_muxer
 
@@ -43,6 +45,14 @@ def parse_args(argv=None):
     p.add_argument("--inloopfilters", default="all",
                    choices=["none", "deblock", "cdef", "restoration",
                             "all"])
+    p.add_argument("--decodeframetype", default="all",
+                   choices=["all", "reference", "intra", "key"],
+                   help="decode and return only this class of frames")
+    p.add_argument("--strict", type=int, default=0,
+                   help="strict standard compliance")
+    p.add_argument("--frametimes", metavar="FILE",
+                   help="dump per-frame decode times (one ns value per "
+                        "line, like the reference CLI)")
     p.add_argument("--tpu", action="store_true",
                    help="run pixel work on the JAX device pipelines")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -51,6 +61,8 @@ def parse_args(argv=None):
 
 _ILF = {"none": 0, "deblock": 1, "cdef": 2, "restoration": 4,
         "all": INLOOPFILTER_ALL}
+_DFT = {"all": DECODEFRAMETYPE_ALL, "reference": DECODEFRAMETYPE_REFERENCE,
+        "intra": DECODEFRAMETYPE_INTRA, "key": DECODEFRAMETYPE_KEY}
 
 
 def main(argv=None):
@@ -74,6 +86,8 @@ def main(argv=None):
         frame_size_limit=args.sizelimit,
         output_invisible_frames=bool(args.outputinvisible),
         inloop_filters=_ILF[args.inloopfilters],
+        decode_frame_type=_DFT[args.decodeframetype],
+        strict_std_compliance=bool(args.strict),
         use_tpu_filters=args.tpu,
         use_tpu_inter=args.tpu,
     )
@@ -81,10 +95,12 @@ def main(argv=None):
     mux = open_muxer(args.muxer, args.output)
 
     n = 0
+    frametimes = [] if args.frametimes else None
     t0 = time.perf_counter()
     for i, obus in enumerate(units):
         if i < args.skip:
             continue
+        tu0 = time.perf_counter_ns()
         dec.send_obus(obus)
         while True:
             pic = dec.get_picture()
@@ -92,8 +108,14 @@ def main(argv=None):
                 break
             mux.write(pic)
             n += 1
+            if frametimes is not None:
+                frametimes.append(time.perf_counter_ns() - tu0)
+                tu0 = time.perf_counter_ns()
         if args.limit and n >= args.limit:
             break
+    if frametimes is not None:
+        with open(args.frametimes, "w") as f:
+            f.write("".join(f"{t}\n" for t in frametimes))
     digest = mux.finish()
     dt = time.perf_counter() - t0
 
