@@ -127,32 +127,109 @@ def bench_device_pipeline():
                 jnp.asarray(rng.integers(1, 16, n), jnp.int32),
                 jnp.asarray(rng.integers(0, 9, n), jnp.int32))
 
-    mc_y = mc_units(W * H // 64, H, W)
-    mc_c = mc_units(CW * CH // 64, CH, CW)
+    # production two-stage path: full-plane H filtering per (ref,
+    # filter_row, mx) combo, then the Pallas DMA vertical pass (falls
+    # back to the XLA gather kernel off-TPU)
+    from dav1d_mirror_tpu.ops.mc_tpu import (mc_hplanes, mc_unit_batch_hv,
+                                             mc_hv_combos, _HPAD_L,
+                                             _SUBPEL)
+    from dav1d_mirror_tpu.ops import mc_pallas
+
+    use_pallas = mc_pallas.pallas_available()
+
+    def mc_prep(n, h, w):
+        arr = np.stack([rng.integers(0, 7, n),
+                        rng.integers(-3, h - 16, n),
+                        rng.integers(-3, w - 16, n),
+                        rng.integers(1, 16, n),
+                        rng.integers(1, 16, n),
+                        rng.integers(0, 9, n)], 1).astype(np.int32)
+        combos, slot, tv = mc_hv_combos(arr, 8)
+        if use_pallas:
+            padn = (-n) % mc_pallas.CHUNK
+            if padn:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], padn, 0)])
+                slot = np.concatenate([slot, np.repeat(slot[-1:], padn)])
+                tv = np.concatenate([tv, np.repeat(tv[-1:], padn)])
+            oy_p = np.clip(arr[:, 1], -mc_pallas.PAD_T, h - 1) + \
+                mc_pallas.PAD_T
+            oxh = np.clip(arr[:, 2], -15, w - 1) + 15
+            fv = _SUBPEL[tv, arr[:, 4] - 1].astype(np.int32)
+            fvl = np.repeat(fv[:, :, None], 8, 2).transpose(1, 0, 2)
+            return (jnp.asarray(combos), jnp.asarray(slot),
+                    jnp.asarray((oy_p & ~7).astype(np.int32)),
+                    jnp.asarray((oy_p & 7).astype(np.int32)),
+                    jnp.asarray((oxh & ~127).astype(np.int32)),
+                    jnp.asarray((oxh & 127).astype(np.int32)),
+                    jnp.asarray(fvl.reshape(8, -1)))
+        ox = np.clip(arr[:, 2], -_HPAD_L, w - 1).astype(np.int32)
+        return (jnp.asarray(combos), jnp.asarray(slot),
+                jnp.asarray(arr[:, 1]), jnp.asarray(ox),
+                jnp.asarray(arr[:, 4]), jnp.asarray(tv))
+
+    mc_y = mc_prep(W * H // 64, H, W)
+    mc_c = mc_prep(CW * CH // 64, CH, CW)
+
+    mc_y_combos = np.asarray(mc_y[0])
+    mc_c_combos = np.asarray(mc_c[0])
+
+    def hplanes(refs, combos_np, combos_j):
+        if use_pallas:
+            return mc_pallas.mc_hplanes_pallas(refs, combos_np, 8)
+        return mc_hplanes(refs, combos_j, 8)
 
     def mc_all():
-        y = mc_unit_batch((ref_y,) + mc_y, 8, 8, True, True, 8, False)
-        u = mc_unit_batch((ref_c,) + mc_c, 8, 8, True, True, 8, False)
-        v = mc_unit_batch((ref_c,) + mc_c, 8, 8, True, True, 8, False)
+        hy = hplanes(ref_y, mc_y_combos, mc_y[0])
+        hc = hplanes(ref_c, mc_c_combos, mc_c[0])
+        if use_pallas:
+            run = mc_pallas._make_vpass(8, 8, 8, False)
+            hpy = mc_pallas.pad_hstack(hy)[0]
+            hpc = mc_pallas.pad_hstack(hc)[0]
+            y = run(hpy, *mc_y[1:])
+            u = run(hpc, *mc_c[1:])
+            v = run(hpc, *mc_c[1:])
+        else:
+            y = mc_unit_batch_hv((hy,) + mc_y[1:], 8, 8, 8, False)
+            u = mc_unit_batch_hv((hc,) + mc_c[1:], 8, 8, 8, False)
+            v = mc_unit_batch_hv((hc,) + mc_c[1:], 8, 8, 8, False)
         return y, u, v
 
-    def frame_step():
+    # ONE compiled program for the whole frame step. Measurement
+    # protocol: frames are CHAINED through a data dependency (the
+    # deblock input depends on the previous frame's outputs) and the
+    # wall clock covers one host fetch at the end; the fixed dispatch/
+    # fetch round-trip is measured separately and subtracted. On the
+    # tunneled axon platform jax.block_until_ready returns before
+    # execution finishes, so a host fetch is the only true sync.
+    @jax.jit
+    def frame_step(pred, coefs, y0, u0, v0):
         m = mc_all()
         r = recon(pred, coefs)
-        y, u, v = deblock_all(y_plane, u_plane, v_plane)
+        y, u, v = deblock_all(y0, u0, v0)
         y, u, v = cdef_all(y, u, v)
         a, b, c = lr_all()
-        return m, r, y, u, v, a, b, c
+        # fold every stage's result into a tiny carry so nothing is DCE'd
+        carry = (m[0].ravel()[0] + m[1].ravel()[0] + m[2].ravel()[0] +
+                 r[0, 0, 0] + y[0, 0] + u[0, 0] + v[0, 0] +
+                 a[0, 0, 0] + b[0, 0, 0] + c[0, 0, 0])
+        return y, u, v, carry
 
-    out = frame_step()
-    jax.block_until_ready(out)  # compile
+    def chain(n):
+        y, u, v, carry = y_plane, u_plane, v_plane, jnp.int32(0)
+        for _ in range(n):
+            y, u, v, carry = frame_step(pred, coefs, y + (carry & 0),
+                                        u, v)
+        return carry
 
+    def run(n):
+        t0 = time.perf_counter()
+        int(np.asarray(chain(n)))       # host fetch = true sync
+        return time.perf_counter() - t0
+
+    run(1)                              # compile + warm
+    rt = min(run(1) for _ in range(3))  # fixed round-trip cost
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = frame_step()
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = max(run(iters) - rt, 1e-6)
 
     pix_per_frame = W * H * 1.5
     mpix = pix_per_frame * iters / dt / 1e6

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from ..host.tilecoder import (T_BLOCK_DIM, T_TXFM, COMP_INTER_NONE,
                               COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG)
-from ..ops.mc_tpu import (mc_unit_batch, w_avg_batch, scatter_units,
-                          scatter_add_units)
+from ..ops.mc_tpu import (mc_unit_batch, mc_hv_batch, w_avg_batch,
+                          scatter_units, scatter_add_units)
 from ..ops.itx import itx_residual
 from .ref_decoder import _recon_tile, _gmv_warp_params
 
@@ -176,16 +176,22 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
             np.stack([s[:h_vis, :w_vis] for s in stack])))
 
     # --- single-ref MC batches ---
+    hcaches = [dict() for _ in range(n_planes)]  # shared H-plane stacks
     for pl in range(n_planes):
         for key, lst in sorted(plans[pl].items()):
             uw, uh, has_h, has_v = key
             arr = np.asarray(lst, np.int32)
-            out = mc_unit_batch(
-                (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                 jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
-                 jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
-                 jnp.asarray(arr[:, 5])),
-                uw, uh, has_h, has_v, bd, False)
+            if has_h and has_v:
+                # two-stage path (full-plane H filter + Pallas V pass)
+                out = mc_hv_batch(ref_stacks[pl], arr[:, :6], uw, uh, bd,
+                                  False, hcaches[pl])
+            else:
+                out = mc_unit_batch(
+                    (ref_stacks[pl], jnp.asarray(arr[:, 0]),
+                     jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
+                     jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
+                     jnp.asarray(arr[:, 5])),
+                    uw, uh, has_h, has_v, bd, False)
             dev_planes[pl] = scatter_units(
                 dev_planes[pl], out, jnp.asarray(arr[:, 6]),
                 jnp.asarray(arr[:, 7]), uh, uw)
@@ -207,12 +213,18 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                     arr = np.asarray([u[:6] for _, u in lst], np.int32)
                     slots = jnp.asarray(
                         np.asarray([s for s, _ in lst], np.int32))
-                    out = mc_unit_batch(
-                        (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
-                         jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
-                         jnp.asarray(arr[:, 5])),
-                        uw, uh, bool(hh), bool(hv), bd, True)
+                    if hh and hv:
+                        out = mc_hv_batch(ref_stacks[pl], arr, uw, uh,
+                                          bd, True, hcaches[pl])
+                    else:
+                        out = mc_unit_batch(
+                            (ref_stacks[pl], jnp.asarray(arr[:, 0]),
+                             jnp.asarray(arr[:, 1]),
+                             jnp.asarray(arr[:, 2]),
+                             jnp.asarray(arr[:, 3]),
+                             jnp.asarray(arr[:, 4]),
+                             jnp.asarray(arr[:, 5])),
+                            uw, uh, bool(hh), bool(hv), bd, True)
                     tmp = tmp.at[slots].set(out)
                 tmps.append(tmp)
             jw = jnp.asarray(np.asarray([e[2] for e in group], np.int32)

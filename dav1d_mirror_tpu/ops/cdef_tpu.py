@@ -189,18 +189,23 @@ def cdef_filter_plane_tpu(plane, src, dir_map, pri_map, sec_map, damping,
     have_sec = sec_px > 0
     use_minmax = have_pri & have_sec
 
-    pri_t = jnp.asarray(_PRI_TAPS)
-    sec_t = jnp.asarray(_SEC_TAPS)
+    # Per-pixel tap selection WITHOUT a gather: the direction map only
+    # takes 8 values, so each tap is a masked sum of statically-shifted
+    # planes (VPU selects) — a gather over the (25, H, W) stack is
+    # orders of magnitude slower on TPU.
+    dmask = [dir_px == d for d in range(8)]
 
-    def tap(shift_idx_map):
-        # gather per-pixel from (25, H, W) by per-pixel shift index
-        return jnp.take_along_axis(shifts, shift_idx_map[None], axis=0)[0]
+    def tap(static_idx_for_dir):
+        acc = jnp.full_like(px, MISSING)
+        for d in range(8):
+            acc = jnp.where(dmask[d], shifts[int(static_idx_for_dir(d))],
+                            acc)
+        return acc
 
     for k in range(2):
         tapk = pri_tap0 if k == 0 else ((pri_tap0 & 3) | 2)
         for sign in range(2):
-            sidx = pri_t[dir_px, k, sign]
-            p = tap(sidx)
+            p = tap(lambda d: _PRI_TAPS[d, k, sign])
             valid = (p != MISSING) & have_pri
             c = _constrain_v(p - px, pri_px, pri_shift)
             sum_ = sum_ + jnp.where(valid, tapk * c, 0)
@@ -208,8 +213,7 @@ def cdef_filter_plane_tpu(plane, src, dir_map, pri_map, sec_map, damping,
             mx = jnp.where(valid & use_minmax, jnp.maximum(mx, p), mx)
         for ci in range(2):
             for sign in range(2):
-                sidx = sec_t[dir_px, ci, k, sign]
-                s = tap(sidx)
+                s = tap(lambda d: _SEC_TAPS[d, ci, k, sign])
                 valid = (s != MISSING) & have_sec
                 c = _constrain_v(s - px, sec_px, sec_shift)
                 sum_ = sum_ + jnp.where(valid, (2 - k) * c, 0)

@@ -78,11 +78,11 @@ def mc_unit_batch(args, uw: int, uh: int, has_h: bool, has_v: bool,
 
     if has_h:
         fh = _filters_for(th, mx, uw <= 4)  # (B, 8)
-        # (B, win_h, uw, 8) windows x taps -> einsum
-        idx = jnp.arange(uw)[:, None] + jnp.arange(8)[None, :]
-        sl = win[:, :, idx]  # (B, win_h, uw, 8)
-        hsum = jnp.einsum("bywk,bk->byw", sl, fh,
-                          preferred_element_type=jnp.int32)
+        # 8 shifted multiply-adds over the window (slice views, no
+        # secondary gather; int32 VPU ops)
+        hsum = win[:, :, 0:uw] * fh[:, 0, None, None]
+        for k in range(1, 8):
+            hsum = hsum + win[:, :, k:k + uw] * fh[:, k, None, None]
         if has_v:
             mid = (hsum + ((1 << (6 - ib)) >> 1)) >> (6 - ib)
         else:
@@ -95,10 +95,9 @@ def mc_unit_batch(args, uw: int, uh: int, has_h: bool, has_v: bool,
 
     if has_v:
         fv = _filters_for(tv, my, uh <= 4)
-        idx = jnp.arange(uh)[:, None] + jnp.arange(8)[None, :]
-        sl = mid[:, idx]  # (B, uh, 8, uw)
-        vsum = jnp.einsum("bykw,bk->byw", sl, fv,
-                          preferred_element_type=jnp.int32)
+        vsum = mid[:, 0:uh] * fv[:, 0, None, None]
+        for k in range(1, 8):
+            vsum = vsum + mid[:, k:k + uh] * fv[:, k, None, None]
         if has_h:
             if prep:
                 return ((vsum + 32) >> 6) - bias
@@ -112,6 +111,116 @@ def mc_unit_batch(args, uw: int, uh: int, has_h: bool, has_v: bool,
     if prep:
         return (win[:, :uh, :uw] << ib) - bias
     return win[:, :uh, :uw]
+
+
+# ---------------------------------------------------------------------
+# Two-stage MC for the has_h & has_v buckets (the dominant case).
+#
+# The per-unit (uh+7, uw+7) window gather amplifies HBM-gather traffic
+# ~28x over the output pixels and gathers are element-rate-bound on TPU.
+# Instead, the horizontal pass runs as FULL-PLANE shifted multiply-adds
+# (pure VPU, no gather) once per distinct (ref, filter_row, mx) combo,
+# and the per-unit gather shrinks to the (uh+7, uw) mid window. The mid
+# values are identical ints (same taps on the same clamped pixels, same
+# rounding), so the result stays bit-exact with mc_unit_batch.
+# ---------------------------------------------------------------------
+
+_HPAD_L = 15          # covers window-origin x0 >= -(uw+7) after clamping
+_HPAD_R = 14          # x0 max = W+6, taps reach W+13
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def mc_hplanes(ref_stack, combos, bitdepth):
+    """ref_stack: (R, H, W) int32; combos: (C, 3) int32 rows
+    (ref, filter_row, mx). Returns (C, H, W+22) int16 mid planes indexed
+    by window origin xh = x0 + 15 (x0 in [-15, W+6]); rows unchanged.
+    Mid fits int16 by the same argument as the reference's int16 tmp
+    (mc_tmpl.c put_8tap mid[])."""
+    R, H, W = ref_stack.shape
+    ib = _ibits(bitdepth)
+    pad = jnp.pad(ref_stack, ((0, 0), (0, 0), (_HPAD_L, _HPAD_R)),
+                  mode="edge")
+    sel = pad[combos[:, 0]]                                # (C, H, W+29)
+    f = jnp.asarray(_SUBPEL)[combos[:, 1], combos[:, 2] - 1]  # (C, 8)
+    acc = sel[:, :, 0:W + 22] * f[:, 0, None, None]
+    for k in range(1, 8):
+        acc = acc + sel[:, :, k:k + W + 22] * f[:, k, None, None]
+    mid = (acc + ((1 << (6 - ib)) >> 1)) >> (6 - ib)
+    return mid.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def mc_unit_batch_hv(args, uw: int, uh: int, bitdepth: int, prep: bool):
+    """Vertical pass over gathered mid windows. args = (hstack
+    (C, H, W+22) int16 from mc_hplanes, slot (B,), oy (B,), ox (B,)
+    pre-clamped to [-15, W-1], my (B,), tv (B,) vertical filter type)."""
+    hstack, slot, oy, ox, my, tv = args
+    H = hstack.shape[1]
+    ib = _ibits(bitdepth)
+    bias = 0 if bitdepth == 8 else 8192
+    ys = jnp.clip(oy[:, None] + jnp.arange(uh + 7)[None, :], 0, H - 1)
+    xh = (ox + _HPAD_L)[:, None] + jnp.arange(uw)[None, :]
+    mid = hstack[slot[:, None, None], ys[:, :, None],
+                 xh[:, None, :]].astype(jnp.int32)
+    fv = _filters_for(tv, my, uh <= 4)
+    # 8 shifted multiply-adds (free slice views; no secondary gather)
+    vsum = mid[:, 0:uh, :] * fv[:, 0, None, None]
+    for k in range(1, 8):
+        vsum = vsum + mid[:, k:k + uh, :] * fv[:, k, None, None]
+    if prep:
+        return ((vsum + 32) >> 6) - bias
+    return jnp.clip((vsum + ((1 << (6 + ib)) >> 1)) >> (6 + ib), 0,
+                    (1 << bitdepth) - 1)
+
+
+def mc_hv_combos(arr, uw):
+    """Host-side combo/slot mapping for a has_h&has_v descriptor bucket.
+    arr: (B, 6) np int32 (ref, oy, ox, mx, my, f2d). Returns
+    (combos (C,3) padded to a multiple of 8, slot (B,), ox_clamped,
+    tv (B,))."""
+    th = _F2D[arr[:, 5], 0]
+    tv = _F2D[arr[:, 5], 1]
+    filt_row = np.where(uw <= 4, 3 + (th & 1), th)
+    key = np.stack([arr[:, 0], filt_row, arr[:, 3]], axis=1)
+    combos, slot = np.unique(key, axis=0, return_inverse=True)
+    padded = -(-combos.shape[0] // 8) * 8
+    if padded != combos.shape[0]:
+        combos = np.concatenate(
+            [combos, np.repeat(combos[-1:], padded - combos.shape[0], 0)])
+    return (combos.astype(np.int32), slot.astype(np.int32),
+            tv.astype(np.int32))
+
+
+def mc_hv_batch(ref_stack, arr, uw, uh, bitdepth, prep, hcache=None):
+    """Two-stage MC for one has_h&has_v bucket; bit-exact with
+    mc_unit_batch(..., has_h=True, has_v=True, ...). hcache: optional
+    dict keyed by combos bytes to reuse H-plane stacks across buckets.
+    On TPU backends the vertical pass runs as the Pallas DMA kernel
+    (ops/mc_pallas); elsewhere the XLA gather path below is used."""
+    from . import mc_pallas
+
+    W = int(ref_stack.shape[2])
+    combos, slot, tv = mc_hv_combos(arr, uw)
+    key = combos.tobytes()
+    use_pallas = mc_pallas.pallas_available()
+    hstack = None if hcache is None else hcache.get(key)
+    if hstack is None:
+        if use_pallas:
+            hs = mc_pallas.mc_hplanes_pallas(ref_stack, combos, bitdepth)
+            hstack = (mc_pallas.pad_hstack(hs)[0], int(hs.shape[1]))
+        else:
+            hstack = mc_hplanes(ref_stack, jnp.asarray(combos), bitdepth)
+        if hcache is not None:
+            hcache[key] = hstack
+    if use_pallas:
+        hpad, Hh = hstack
+        return mc_pallas.mc_vpass_pallas(hpad, Hh, W, slot, arr, tv,
+                                         _SUBPEL, uw, uh, bitdepth, prep)
+    ox = np.clip(arr[:, 2], -_HPAD_L, W - 1)
+    return mc_unit_batch_hv(
+        (hstack, jnp.asarray(slot), jnp.asarray(arr[:, 1]),
+         jnp.asarray(ox.astype(np.int32)), jnp.asarray(arr[:, 4]),
+         jnp.asarray(tv)), uw, uh, bitdepth, prep)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
