@@ -60,6 +60,9 @@ class Settings:
     output_invisible_frames: bool = False
     inloop_filters: int = INLOOPFILTER_ALL
     decode_frame_type: int = DECODEFRAMETYPE_ALL
+    # Dav1dLogger analogue (dav1d.h:49-59): callable(str) or None for
+    # the default stderr logger; False-y disables logging entirely
+    logger: object = "default"
     # TPU pipeline routing
     use_tpu_filters: bool = False
     use_tpu_inter: bool = False
@@ -86,6 +89,11 @@ class DecodeError(Exception):
     pass
 
 
+# Dav1dEventFlags (dav1d.h:268-295)
+EVENT_FLAG_NEW_SEQUENCE = 1
+EVENT_FLAG_NEW_OP_PARAMS_INFO = 2
+
+
 class Decoder:
     """dav1d_open/send_data/get_picture/flush/close as one object."""
 
@@ -108,10 +116,27 @@ class Decoder:
         self._ref_refpoc = [[0] * 7 for _ in range(8)]
         self._ref_segmaps = [None] * 8
         self._out = []                # decoded Picture queue
+        self._errored_slots = set()   # refs poisoned by decode errors
+        self._event_flags = 0
+        self.last_error = None        # dav1d_get_decode_error_data_props
 
     def close(self):
         self._out = []
         self._refs = [None] * 8
+
+    def _log(self, msg: str):
+        lg = self.s.logger
+        if lg == "default":
+            import sys
+            print(f"dav1d_mirror_tpu: {msg}", file=sys.stderr)
+        elif callable(lg):
+            lg(msg)
+
+    def get_event_flags(self) -> int:
+        """dav1d_get_event_flags: returns and clears accumulated flags."""
+        f = self._event_flags
+        self._event_flags = 0
+        return f
 
     # -- input -------------------------------------------------------------
     def send_data(self, data: bytes):
@@ -120,12 +145,44 @@ class Decoder:
         self.send_obus(o for _, o in split_obus(data))
 
     def send_obus(self, obus):
-        """Feed individual complete OBUs (with or without size fields)."""
+        """Feed individual complete OBUs (with or without size fields).
+
+        Errors are CONTAINED (SURVEY §5.3 / dav1d abort_frame): a frame
+        that fails to parse or decode poisons the reference slots it
+        would have refreshed and raises DecodeError, but the decoder
+        object stays consistent — feeding the next keyframe (or calling
+        flush()) resumes normal operation."""
+        prev_seq = self._st.seq_hdr
         for obu_data in obus:
-            obu_mod.parse_obus(self._st, obu_data)
+            try:
+                obu_mod.parse_obus(self._st, obu_data)
+            except Exception as e:
+                self._contain_error(e)
+            if self._st.seq_hdr is not prev_seq:
+                prev_seq = self._st.seq_hdr
+                self._event_flags |= (EVENT_FLAG_NEW_SEQUENCE |
+                                      EVENT_FLAG_NEW_OP_PARAMS_INFO)
             if self._st.frame_ready:
                 self._st.frame_ready = False
-                self._handle_frame()
+                try:
+                    self._handle_frame()
+                except Exception as e:
+                    self._contain_error(e)
+
+    def _contain_error(self, e):
+        st = self._st
+        fhdr = st.frame_hdr
+        if fhdr is not None and getattr(fhdr, "refresh_frame_flags", 0):
+            for i in range(8):
+                if (fhdr.refresh_frame_flags >> i) & 1:
+                    self._errored_slots.add(i)
+        st.frame_hdr = None
+        st.tiles = []
+        st.n_tiles = 0
+        st.frame_ready = False
+        self.last_error = e
+        self._log(f"decode error contained: {e}")
+        raise DecodeError(str(e)) from e
 
     # -- output ------------------------------------------------------------
     def get_picture(self) -> Picture | None:
@@ -138,13 +195,15 @@ class Decoder:
         seq = self._st.seq_hdr
         planes = bufs.planes
         if self.s.apply_grain and fhdr.film_grain_present:
+            from .utils.trace import trace_scope
             if self.s.use_tpu_filters:
                 from .ops.filmgrain_tpu import apply_film_grain_tpu \
                     as apply_film_grain
             else:
                 from .ops.ref.filmgrain import apply_film_grain
-            planes = apply_film_grain(planes, seq, fhdr, bufs.width,
-                                      bufs.height)
+            with trace_scope("film-grain"):
+                planes = apply_film_grain(planes, seq, fhdr, bufs.width,
+                                          bufs.height)
         w, hgt = bufs.width, bufs.height
         vis = [planes[0][:hgt, :w]]
         if len(planes) > 1:
@@ -213,6 +272,14 @@ class Decoder:
                 fhdr.width[1] * fhdr.height > self.s.frame_size_limit:
             raise DecodeError("frame size over limit")
         keyframe = fhdr.frame_type in (0, 2)
+        # strict mode: frames referencing error-poisoned slots are
+        # themselves in error (dav1d decode.c:3296-3304)
+        if not keyframe and self.s.strict_std_compliance and \
+                self._errored_slots:
+            for i in range(7):
+                if fhdr.refidx[i] in self._errored_slots:
+                    raise RuntimeError(
+                        f"reference slot {fhdr.refidx[i]} is errored")
         rf = None
         ref_poc = None
         jnt_weights = None
@@ -260,36 +327,44 @@ class Decoder:
             prev_segmap = \
                 self._ref_segmaps[fhdr.refidx[fhdr.primary_ref_frame]]
 
+        from .utils.trace import trace_scope
+
         coders = []
         t = fhdr.tiling
-        for tile_row in range(t.rows):
-            for tile_col in range(t.cols):
-                ti = tile_row * t.cols + tile_col
-                data_t, _, _ = rd._tile_payload(st, ti, fhdr)
-                coder = TileCoder(
-                    seq, fhdr, cdf_in.copy(),
-                    DecodeSide(Msac(data_t,
-                                    bool(fhdr.disable_cdf_update))),
-                    tile_col=tile_col, tile_row=tile_row, rf=rf,
-                    ref_poc=ref_poc, ref_scaled=ref_scaled,
-                    prev_segmap=prev_segmap)
-                coder.code_tile()
-                coders.append(coder)
+        with trace_scope("host-entropy"):
+            for tile_row in range(t.rows):
+                for tile_col in range(t.cols):
+                    ti = tile_row * t.cols + tile_col
+                    data_t, _, _ = rd._tile_payload(st, ti, fhdr)
+                    coder = TileCoder(
+                        seq, fhdr, cdf_in.copy(),
+                        DecodeSide(Msac(data_t,
+                                        bool(fhdr.disable_cdf_update))),
+                        tile_col=tile_col, tile_row=tile_row, rf=rf,
+                        ref_poc=ref_poc, ref_scaled=ref_scaled,
+                        prev_segmap=prev_segmap)
+                    coder.code_tile()
+                    coders.append(coder)
 
         bufs = rd.FrameBuffers(seq, fhdr)
-        if self.s.use_tpu_inter:
-            from .models.tpu_inter import recon_frame_tpu
-            recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights)
-        else:
-            rd.recon_frame(seq, fhdr, coders, bufs, refs, jnt_weights)
+        with trace_scope("reconstruction"):
+            if self.s.use_tpu_inter:
+                from .models.tpu_inter import recon_frame_tpu
+                recon_frame_tpu(seq, fhdr, coders, bufs, refs,
+                                jnt_weights)
+            else:
+                rd.recon_frame(seq, fhdr, coders, bufs, refs,
+                               jnt_weights)
         if self.s.use_tpu_filters and fhdr.width[0] == fhdr.width[1] and \
                 self.s.inloop_filters == INLOOPFILTER_ALL:
             from .models.tpu_filters import apply_inloop_filters_tpu
-            apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
+            with trace_scope("inloop-filters"):
+                apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
         else:
-            bufs = rd.apply_inloop_filters(
-                seq, fhdr, coders, bufs,
-                filters_mask=self.s.inloop_filters)
+            with trace_scope("inloop-filters"):
+                bufs = rd.apply_inloop_filters(
+                    seq, fhdr, coders, bufs,
+                    filters_mask=self.s.inloop_filters)
 
         # reference slot updates
         out_cdf = cdf_thread_update(cdf_in,
@@ -321,6 +396,7 @@ class Decoder:
                 self._ref_tmvs[i] = cur_tmvs
                 self._ref_refpoc[i] = cur_refpoc
                 self._ref_segmaps[i] = cur_segmap
+                self._errored_slots.discard(i)
         return bufs
 
 

@@ -53,6 +53,8 @@ def parse_args(argv=None):
     p.add_argument("--frametimes", metavar="FILE",
                    help="dump per-frame decode times (one ns value per "
                         "line, like the reference CLI)")
+    p.add_argument("--tracestats", action="store_true",
+                   help="print per-stage decode timing summary to stderr")
     p.add_argument("--tpu", action="store_true",
                    help="run pixel work on the JAX device pipelines")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -94,6 +96,11 @@ def main(argv=None):
     dec = Decoder(settings)
     mux = open_muxer(args.muxer, args.output)
 
+    if args.tracestats:
+        from .utils import trace
+        trace.enabled = True
+        trace.reset()
+
     n = 0
     frametimes = [] if args.frametimes else None
     t0 = time.perf_counter()
@@ -123,6 +130,9 @@ def main(argv=None):
         fps = n / dt if dt else 0.0
         print(f"Decoded {n} frames in {dt:.3f}s ({fps:.2f} fps) "
               f"[{name} container]", file=sys.stderr)
+    if args.tracestats:
+        from .utils import trace
+        trace.report(out=sys.stderr)
 
     if args.verify:
         if digest != args.verify.strip():
