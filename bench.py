@@ -169,13 +169,25 @@ def bench_device_pipeline():
 
     mc_y = mc_prep(W * H // 64, H, W)
     mc_c = mc_prep(CW * CH // 64, CH, CW)
+    if use_pallas:
+        # remap slots to the per-ref padded H-plane layout
+        def _remap(d):
+            _, remap = mc_pallas.mc_hplanes_pallas(
+                jnp.zeros((7, 16, 144), jnp.int32), np.asarray(d[0]), 8)
+            return (d[0], jnp.asarray(remap[np.asarray(d[1])])) + d[2:]
+        mc_y = _remap(mc_y)
+        mc_c = _remap(mc_c)
 
     mc_y_combos = np.asarray(mc_y[0])
     mc_c_combos = np.asarray(mc_c[0])
 
+    remaps = {}
+
     def hplanes(refs, combos_np, combos_j):
         if use_pallas:
-            return mc_pallas.mc_hplanes_pallas(refs, combos_np, 8)
+            hs, remap = mc_pallas.mc_hplanes_pallas(refs, combos_np, 8)
+            remaps[id(combos_np)] = remap
+            return hs
         return mc_hplanes(refs, combos_j, 8)
 
     def mc_all():

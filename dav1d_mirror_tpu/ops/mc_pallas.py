@@ -153,6 +153,7 @@ def mc_vpass_pallas(hstack_padded, Hh, W, slot, arr, tv, subpel_table,
 
 
 HROWS = 128     # row band per hplane grid step
+HGROUP = 4      # combos per grid step (same ref; cuts per-step overhead)
 
 
 @functools.lru_cache(maxsize=None)
@@ -164,28 +165,35 @@ def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int):
     def kernel(refmap_ref, taps_ref, refs_ref, out_ref):
         # refs block: (1, HROWS, w_in) int16 selected by refmap[c];
         # taps: full (C, 8) int32 table; out: (1, HROWS, w_out) int16
-        c = pl.program_id(0)
+        g = pl.program_id(1)
         x = refs_ref[0].astype(jnp.int32)
-        acc = x[:, 0:w_out] * taps_ref[c, 0]
-        for k in range(1, 8):
-            acc = acc + x[:, k:k + w_out] * taps_ref[c, k]
-        out_ref[0] = ((acc + rnd) >> sh).astype(jnp.int16)
+        for j in range(HGROUP):
+            c = g * HGROUP + j
+            acc = x[:, 0:w_out] * taps_ref[c, 0]
+            for k in range(1, 8):
+                acc = acc + x[:, k:k + w_out] * taps_ref[c, k]
+            out_ref[j] = ((acc + rnd) >> sh).astype(jnp.int16)
 
     @jax.jit
     def run(refs_padded, refmap, taps):
         C = refmap.shape[0]
+        # grid (row-band, combo): combos are sorted by ref, so the ref
+        # input block index is unchanged across consecutive combo steps
+        # and the pipeline skips the re-fetch — input reads drop from
+        # C x plane to R x plane
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(C, n_rb),
+            grid=(n_rb, C // HGROUP),
             in_specs=[
-                pl.BlockSpec(taps.shape, lambda c, rb, refmap: (0, 0),
+                pl.BlockSpec(taps.shape, lambda rb, g, refmap: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, HROWS, w_in),
-                             lambda c, rb, refmap: (refmap[c], rb, 0),
+                             lambda rb, g, refmap:
+                             (refmap[g * HGROUP], rb, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, HROWS, w_out),
-                                   lambda c, rb, refmap: (c, rb, 0),
+            out_specs=pl.BlockSpec((HGROUP, HROWS, w_out),
+                                   lambda rb, g, refmap: (g, rb, 0),
                                    memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel,
@@ -199,10 +207,26 @@ def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int):
 
 def mc_hplanes_pallas(ref_stack, combos, bitdepth):
     """Pallas counterpart of ops/mc_tpu.mc_hplanes: one grid step per
-    (combo, 128-row band), reading each ref row band from HBM once per
-    combo and writing int16 mid planes — bit-exact with the XLA path.
+    (HGROUP same-ref combos, 128-row band) — bit-exact with the XLA
+    path. Combos are padded per-ref to HGROUP multiples; returns
+    (hstack (C', H, w22) int16, remap (C,) np int32) where remap
+    translates original combo ids to rows of the padded stack.
     ref_stack: (R, H, W) int32 (pixels); combos: (C, 3) np int32."""
     R, H, W = (int(s) for s in ref_stack.shape)
+    # per-ref group alignment
+    C0 = combos.shape[0]
+    groups = []
+    remap = np.zeros(C0, np.int32)
+    for r in np.unique(combos[:, 0]):
+        idx = np.nonzero(combos[:, 0] == r)[0]
+        start = sum(len(g) for g in groups)
+        remap[idx] = start + np.arange(len(idx))
+        rows = combos[idx]
+        padn = (-len(idx)) % HGROUP
+        if padn:
+            rows = np.concatenate([rows, np.repeat(rows[-1:], padn, 0)])
+        groups.append(rows)
+    combos = np.concatenate(groups).astype(np.int32)
     w_out = W + 22
     w_in_raw = w_out + 7
     w_in = -(-w_in_raw // 128) * 128
@@ -221,7 +245,7 @@ def mc_hplanes_pallas(ref_stack, combos, bitdepth):
         np.asarray(_SUBPEL_NP[combos[:, 1], combos[:, 2] - 1], np.int32))
     run = _make_hplanes(bitdepth, n_rb, w_in, w_out)
     out = run(refs_p, jnp.asarray(combos[:, 0].astype(np.int32)), taps)
-    return out[:, :H]
+    return out[:, :H], remap
 
 
 from ..data.tables import TABLES as _TABLES

@@ -206,16 +206,19 @@ def mc_hv_batch(ref_stack, arr, uw, uh, bitdepth, prep, hcache=None):
     hstack = None if hcache is None else hcache.get(key)
     if hstack is None:
         if use_pallas:
-            hs = mc_pallas.mc_hplanes_pallas(ref_stack, combos, bitdepth)
-            hstack = (mc_pallas.pad_hstack(hs)[0], int(hs.shape[1]))
+            hs, remap = mc_pallas.mc_hplanes_pallas(ref_stack, combos,
+                                                    bitdepth)
+            hstack = (mc_pallas.pad_hstack(hs)[0], int(hs.shape[1]),
+                      remap)
         else:
             hstack = mc_hplanes(ref_stack, jnp.asarray(combos), bitdepth)
         if hcache is not None:
             hcache[key] = hstack
     if use_pallas:
-        hpad, Hh = hstack
-        return mc_pallas.mc_vpass_pallas(hpad, Hh, W, slot, arr, tv,
-                                         _SUBPEL, uw, uh, bitdepth, prep)
+        hpad, Hh, remap = hstack
+        return mc_pallas.mc_vpass_pallas(hpad, Hh, W, remap[slot], arr,
+                                         tv, _SUBPEL, uw, uh, bitdepth,
+                                         prep)
     ox = np.clip(arr[:, 2], -_HPAD_L, W - 1)
     return mc_unit_batch_hv(
         (hstack, jnp.asarray(slot), jnp.asarray(arr[:, 1]),

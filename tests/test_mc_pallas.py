@@ -46,5 +46,6 @@ def test_pallas_hplanes_matches_xla_when_available():
     combos = np.stack([rng.integers(0, 7, 24), rng.integers(0, 6, 24),
                        rng.integers(1, 16, 24)], 1).astype(np.int32)
     a = np.asarray(mc_hplanes(refs, jnp.asarray(combos), 8))
-    b = np.asarray(mc_pallas.mc_hplanes_pallas(refs, combos, 8))
+    hs, remap = mc_pallas.mc_hplanes_pallas(refs, combos, 8)
+    b = np.asarray(hs)[remap]
     np.testing.assert_array_equal(a, b)
