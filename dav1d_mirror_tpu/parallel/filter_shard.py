@@ -157,6 +157,38 @@ def band_cdef_plane(mesh: Mesh, plane, dir_map, pri_map, sec_map, damping,
     return np.concatenate([np.asarray(out), tail], axis=0)[:Hp]
 
 
+def shard_lr_batch(mesh: Mesh, padded, fh, fv, w: int, h: int,
+                   bitdepth: int):
+    """Loop-restoration stripes sharded over the mesh. Each stripe unit
+    is independent given its padded input (the 3-px borders carry the
+    pre-filter rows the reference saves in copy_lpf), so the batch axis
+    shards with no halo at all — the reference's per-sbrow LR task chain
+    (lr_apply_tmpl.c) becomes pure data parallelism."""
+    from ..ops.looprestoration_tpu import wiener_batch_tpu
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    B = padded.shape[0]
+    padn = (-B) % n
+    pad_in = np.concatenate([padded,
+                             np.repeat(padded[-1:], padn, 0)]) \
+        if padn else padded
+    fh_in = np.concatenate([fh, np.repeat(fh[-1:], padn, 0)]) \
+        if padn else fh
+    fv_in = np.concatenate([fv, np.repeat(fv[-1:], padn, 0)]) \
+        if padn else fv
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis)),
+                       out_specs=P(axis))
+    def body(p, a, b):
+        return wiener_batch_tpu(p, a, b, w, h, bitdepth)
+
+    out = body(jnp.asarray(pad_in), jnp.asarray(fh_in),
+               jnp.asarray(fv_in))
+    return np.asarray(out)[:B]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "n", "damping",
                                     "bitdepth", "bw", "bh"))

@@ -106,3 +106,28 @@ def test_band_sharded_cdef_matches_single_device(cfg):
     banded = band_cdef_plane(mesh, plane, dirm, pri, sec, damping, act,
                              bd, bw, bh)
     np.testing.assert_array_equal(banded, single)
+
+
+def test_sharded_lr_matches_single_device():
+    from dav1d_mirror_tpu.ops.looprestoration_tpu import wiener_batch_tpu
+    from dav1d_mirror_tpu.parallel.filter_shard import shard_lr_batch
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("band",))
+
+    rng = np.random.default_rng(9)
+    B, unit = 37, 64          # deliberately not divisible by 8
+    padded = rng.integers(0, 255, (B, 70, unit + 6)).astype(np.int32)
+    f3 = rng.integers(-5, 6, (B, 3))
+    fh = np.zeros((B, 7), np.int32)
+    fh[:, :3] = f3
+    fh[:, 4:] = f3[:, ::-1]
+    fh[:, 3] = 128 - 2 * f3.sum(1)
+    single = np.asarray(wiener_batch_tpu(
+        jnp.asarray(padded), jnp.asarray(fh), jnp.asarray(fh), unit, 64,
+        8))
+    banded = shard_lr_batch(mesh, padded, fh, fh, unit, 64, 8)
+    np.testing.assert_array_equal(banded, single)
