@@ -76,3 +76,39 @@ def test_metadata_stream_decodes_identically(oracle_bin, tmp_path):
         while (pic := dec.get_picture()) is not None:
             mux.write(pic)
     assert mux.digest() == r.stdout.strip()
+
+
+def test_obu_frame_combined_type(oracle_bin, tmp_path):
+    """OBU_FRAME (header + byte-aligned tile group in one OBU,
+    obu.c:1683-1708) decodes identically in ours and the oracle."""
+    import subprocess
+    import dav1d_mirror_tpu.api as api
+    from dav1d_mirror_tpu.output import MD5Muxer
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+
+    seq = make_seq_hdr(64, 64)
+    kf = make_key_frame_hdr(seq, qidx=90, txfm_mode=h.TX_SWITCHABLE)
+    tile, _ = gen_intra_frame(seq, kf, RandomPolicy(8))
+    frame_payload = (
+        ow.write_frame_hdr(kf, seq, standalone=False) +
+        ow.write_tile_group(tile, n_bytes=kf.tiling.n_bytes or 4))
+    obus = (ow.write_obu(h.OBU_TD, b"") +
+            ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq)) +
+            ow.write_obu(h.OBU_FRAME, frame_payload))
+    ivf = ow.write_ivf([obus], 64, 64)
+
+    p = tmp_path / "f.ivf"
+    p.write_bytes(ivf)
+    r = subprocess.run([oracle_bin, "-i", str(p), "--muxer", "md5",
+                        "-o", "-"], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    dec = api.Decoder(api.Settings())
+    mux = MD5Muxer("-")
+    _, units = open_demuxer(ivf)
+    for u in units:
+        dec.send_obus(u)
+        while (pic := dec.get_picture()) is not None:
+            mux.write(pic)
+    assert mux.digest() == r.stdout.strip()
