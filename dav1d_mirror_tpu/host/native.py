@@ -37,7 +37,7 @@ def _load():
     except (OSError, subprocess.SubprocessError):
         return None
 
-    u16p = ct.POINTER(ct.c_uint16)
+    u16p = ct.c_void_p   # raw addresses (fast extraction)
     lib.msac_sizeof.restype = ct.c_size_t
     lib.msac_init.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_size_t,
                               ct.c_int]
@@ -85,7 +85,13 @@ LIB = _load()
 
 
 def _u16p(arr):
-    return ct.cast(arr.ctypes.data, ct.POINTER(ct.c_uint16))
+    # ct.addressof(from_buffer) is ~4x faster than ct.cast(ctypes.data)
+    # and this runs per decoded symbol; read-only arrays (memoized spec
+    # tables) fall back to the slower path
+    try:
+        return ct.addressof(ct.c_char.from_buffer(arr))
+    except (TypeError, ValueError):
+        return arr.ctypes.data
 
 
 class NativeMsac:
@@ -155,11 +161,11 @@ class NativeMsac:
             _u16p(eob_hi_bit_cdf), _u16p(eob_base_cdf), _u16p(base_cdf),
             _u16p(br_cdf), _u16p(dc_sign_cdf),
             tx_class, sw4, sh4, lw, lh,
-            scan.ctypes.data if scan is not None else None,
-            (lo_ctx_offsets.ctypes.data
+            _u16p(scan) if scan is not None else None,
+            (_u16p(lo_ctx_offsets)
              if lo_ctx_offsets is not None else None),
             dq_dc, dq_ac,
-            qm.ctypes.data if qm is not None else None,
+            _u16p(qm) if qm is not None else None,
             dq_shift, cf_max,
-            cf.ctypes.data, ct.byref(eob))
+            _u16p(cf), ct.byref(eob))
         return cf, eob.value, cf_ctx
