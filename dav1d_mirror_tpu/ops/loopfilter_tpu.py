@@ -22,54 +22,64 @@ import numpy as np
 from .ref.loopfilter import calc_eih
 
 
-def _gather_cols(rows, w4, k):
-    """rows: (H, W); returns (H, w4) = rows[:, 4*i + k] (k in [-7, 7))."""
-    idx = jnp.arange(w4) * 4 + k
+def _setcols(rows, idx, v, xp):
+    """Column store: functional for jax arrays, in-place for numpy."""
+    if xp is jnp:
+        return rows.at[:, idx].set(v)
+    rows[:, idx] = v
+    return rows
+
+
+def _gather_cols(rows, w4, k, xp=jnp):
+    """rows: (H, W); returns (H, w4) = rows[:, 4*i + k] (k in [-7, 7)).
+    High-side indices clamp (what jnp does implicitly; numpy raises) —
+    clamped reads only feed masked-off candidates."""
+    idx = xp.minimum(xp.arange(w4) * 4 + k, rows.shape[1] - 1)
     return rows[:, idx]
 
 
-def _filter_values(ps, qs, E, I, H, F, wd_max, bitdepth):
+def _filter_values(ps, qs, E, I, H, F, wd_max, bitdepth, xp=jnp):
     """Vectorized AV1 edge filter. ps[k] = p_k, qs[k] = q_k arrays (same
     shape); E/I/H: per-edge arrays; returns (new_p[0..5], new_q[0..5],
     masks dict) computing all widths' candidate outputs."""
     p0, p1 = ps[0], ps[1]
     q0, q1 = qs[0], qs[1]
 
-    fm = ((jnp.abs(p1 - p0) <= I) & (jnp.abs(q1 - q0) <= I) &
-          (jnp.abs(p0 - q0) * 2 + (jnp.abs(p1 - q1) >> 1) <= E))
+    fm = ((xp.abs(p1 - p0) <= I) & (xp.abs(q1 - q0) <= I) &
+          (xp.abs(p0 - q0) * 2 + (xp.abs(p1 - q1) >> 1) <= E))
     if wd_max > 4:
         p2, q2 = ps[2], qs[2]
-        fm6 = fm & (jnp.abs(p2 - p1) <= I) & (jnp.abs(q2 - q1) <= I)
+        fm6 = fm & (xp.abs(p2 - p1) <= I) & (xp.abs(q2 - q1) <= I)
     if wd_max > 6:
         p3, q3 = ps[3], qs[3]
-        fm8 = fm6 & (jnp.abs(p3 - p2) <= I) & (jnp.abs(q3 - q2) <= I)
+        fm8 = fm6 & (xp.abs(p3 - p2) <= I) & (xp.abs(q3 - q2) <= I)
 
     out = {}
     bd_m8 = bitdepth - 8
     bd_max = (1 << bitdepth) - 1
 
     # wd4 path (also the fallback inside wider widths when !flat8in)
-    hev = (jnp.abs(p1 - p0) > H) | (jnp.abs(q1 - q0) > H)
+    hev = (xp.abs(p1 - p0) > H) | (xp.abs(q1 - q0) > H)
     lo = -128 * (1 << bd_m8)
     hi = 128 * (1 << bd_m8) - 1
 
     def cd(v):
-        return jnp.clip(v, lo, hi)
+        return xp.clip(v, lo, hi)
     f_hev = cd(3 * (q0 - p0) + cd(p1 - q1))
     f_nohev = cd(3 * (q0 - p0))
-    f = jnp.where(hev, f_hev, f_nohev)
-    f1 = jnp.minimum(f + 4, hi) >> 3
-    f2 = jnp.minimum(f + 3, hi) >> 3
-    n4_p0 = jnp.clip(p0 + f2, 0, bd_max)
-    n4_q0 = jnp.clip(q0 - f1, 0, bd_max)
+    f = xp.where(hev, f_hev, f_nohev)
+    f1 = xp.minimum(f + 4, hi) >> 3
+    f2 = xp.minimum(f + 3, hi) >> 3
+    n4_p0 = xp.clip(p0 + f2, 0, bd_max)
+    n4_q0 = xp.clip(q0 - f1, 0, bd_max)
     fo = (f1 + 1) >> 1
-    n4_p1 = jnp.where(hev, p1, jnp.clip(p1 + fo, 0, bd_max))
-    n4_q1 = jnp.where(hev, q1, jnp.clip(q1 - fo, 0, bd_max))
+    n4_p1 = xp.where(hev, p1, xp.clip(p1 + fo, 0, bd_max))
+    n4_q1 = xp.where(hev, q1, xp.clip(q1 - fo, 0, bd_max))
     out[4] = dict(fm=fm, p=[n4_p0, n4_p1], q=[n4_q0, n4_q1])
 
     if wd_max >= 6:
-        flat6 = ((jnp.abs(p2 - p0) <= F) & (jnp.abs(p1 - p0) <= F) &
-                 (jnp.abs(q1 - q0) <= F) & (jnp.abs(q2 - q0) <= F))
+        flat6 = ((xp.abs(p2 - p0) <= F) & (xp.abs(p1 - p0) <= F) &
+                 (xp.abs(q1 - q0) <= F) & (xp.abs(q2 - q0) <= F))
         n6_p1 = (p2 + 2 * p2 + 2 * p1 + 2 * p0 + q0 + 4) >> 3
         n6_p0 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
         n6_q0 = (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3
@@ -78,7 +88,7 @@ def _filter_values(ps, qs, E, I, H, F, wd_max, bitdepth):
                       p=[n6_p0, n6_p1], q=[n6_q0, n6_q1])
 
     if wd_max >= 8:
-        flat8 = flat6 & (jnp.abs(p3 - p0) <= F) & (jnp.abs(q3 - q0) <= F)
+        flat8 = flat6 & (xp.abs(p3 - p0) <= F) & (xp.abs(q3 - q0) <= F)
         n8_p2 = (p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3
         n8_p1 = (p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3
         n8_p0 = (p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3
@@ -91,9 +101,9 @@ def _filter_values(ps, qs, E, I, H, F, wd_max, bitdepth):
     if wd_max >= 16:
         p4, p5, p6 = ps[4], ps[5], ps[6]
         q4, q5, q6 = qs[4], qs[5], qs[6]
-        flat8out = ((jnp.abs(p6 - p0) <= F) & (jnp.abs(p5 - p0) <= F) &
-                    (jnp.abs(p4 - p0) <= F) & (jnp.abs(q4 - q0) <= F) &
-                    (jnp.abs(q5 - q0) <= F) & (jnp.abs(q6 - q0) <= F))
+        flat8out = ((xp.abs(p6 - p0) <= F) & (xp.abs(p5 - p0) <= F) &
+                    (xp.abs(p4 - p0) <= F) & (xp.abs(q4 - q0) <= F) &
+                    (xp.abs(q5 - q0) <= F) & (xp.abs(q6 - q0) <= F))
         n16 = {}
         n16["p5"] = (p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0
                      + 8) >> 4
@@ -124,7 +134,7 @@ def _filter_values(ps, qs, E, I, H, F, wd_max, bitdepth):
 
 
 def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
-                bitdepth, horizontal):
+                bitdepth, horizontal, xp=jnp):
     """One deblock pass over `rows` (H, W) for either direction.
     edge_idx: (n_lines, n_edges) with -1 = none (for vertical: lines = y4
     rows, edges = x4 cols; for horizontal, rows is TRANSPOSED plane so the
@@ -135,7 +145,7 @@ def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
     wd_max = 16 if luma else 6
     ntap = 7 if luma else 3
 
-    L = jnp.where(lvl_cur != 0, lvl_cur, lvl_prev)
+    L = xp.where(lvl_cur != 0, lvl_cur, lvl_prev)
     active = (edge_idx >= 0) & (L != 0)
     E = e_lut[L] << (bitdepth - 8)
     I = i_lut[L] << (bitdepth - 8)
@@ -145,16 +155,16 @@ def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
     # expand per-edge values to per-row granularity (each edge spans 4 rows)
     def per_row(a):
         # a: (n_lines, n_edges) -> (n_lines*4, n_edges)
-        return jnp.repeat(a, 4, axis=0)
+        return xp.repeat(a, 4, axis=0)
 
-    ps = [_gather_cols(rows, n_edges, -1 - k) for k in range(ntap)]
-    qs = [_gather_cols(rows, n_edges, k) for k in range(ntap)]
+    ps = [_gather_cols(rows, n_edges, -1 - k, xp) for k in range(ntap)]
+    qs = [_gather_cols(rows, n_edges, k, xp) for k in range(ntap)]
 
     E_r, I_r, H_r = per_row(E), per_row(I), per_row(Hh)
     act_r = per_row(active)
     idx_r = per_row(edge_idx)
 
-    cand = _filter_values(ps, qs, E_r, I_r, H_r, F, wd_max, bitdepth)
+    cand = _filter_values(ps, qs, E_r, I_r, H_r, F, wd_max, bitdepth, xp)
 
     n_mod = 6 if luma else 2
 
@@ -172,20 +182,20 @@ def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
         new_p = list(ps[:6])
         new_q = list(qs[:6])
         # wd4
-        new_p[0] = jnp.where(mw4, cand[4]["p"][0], new_p[0])
-        new_p[1] = jnp.where(mw4, cand[4]["p"][1], new_p[1])
-        new_q[0] = jnp.where(mw4, cand[4]["q"][0], new_q[0])
-        new_q[1] = jnp.where(mw4, cand[4]["q"][1], new_q[1])
+        new_p[0] = xp.where(mw4, cand[4]["p"][0], new_p[0])
+        new_p[1] = xp.where(mw4, cand[4]["p"][1], new_p[1])
+        new_q[0] = xp.where(mw4, cand[4]["q"][0], new_q[0])
+        new_q[1] = xp.where(mw4, cand[4]["q"][1], new_q[1])
         # wd8
         m8w = m8_flat | m16_8
         for k in range(3):
-            new_p[k] = jnp.where(m8w, cand[8]["p"][k], new_p[k])
-            new_q[k] = jnp.where(m8w, cand[8]["q"][k], new_q[k])
+            new_p[k] = xp.where(m8w, cand[8]["p"][k], new_p[k])
+            new_q[k] = xp.where(m8w, cand[8]["q"][k], new_q[k])
         # wd16
         n16 = cand[16]["n"]
         for k in range(6):
-            new_p[k] = jnp.where(m16_full, n16[f"p{k}"], new_p[k])
-            new_q[k] = jnp.where(m16_full, n16[f"q{k}"], new_q[k])
+            new_p[k] = xp.where(m16_full, n16[f"p{k}"], new_p[k])
+            new_q[k] = xp.where(m16_full, n16[f"q{k}"], new_q[k])
         narrow = mw4
         mod = [narrow | m8w | m16_full, narrow | m8w | m16_full,
                m8w | m16_full, m16_full, m16_full, m16_full]
@@ -197,25 +207,27 @@ def _apply_pass(rows, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
         mw4 = m4 | m6_fall
         new_p = list(ps[:2])
         new_q = list(qs[:2])
-        new_p[0] = jnp.where(mw4, cand[4]["p"][0], new_p[0])
-        new_p[1] = jnp.where(mw4, cand[4]["p"][1], new_p[1])
-        new_q[0] = jnp.where(mw4, cand[4]["q"][0], new_q[0])
-        new_q[1] = jnp.where(mw4, cand[4]["q"][1], new_q[1])
+        new_p[0] = xp.where(mw4, cand[4]["p"][0], new_p[0])
+        new_p[1] = xp.where(mw4, cand[4]["p"][1], new_p[1])
+        new_q[0] = xp.where(mw4, cand[4]["q"][0], new_q[0])
+        new_q[1] = xp.where(mw4, cand[4]["q"][1], new_q[1])
         for k in range(2):
-            new_p[k] = jnp.where(m6_flat, cand[6]["p"][k], new_p[k])
-            new_q[k] = jnp.where(m6_flat, cand[6]["q"][k], new_q[k])
+            new_p[k] = xp.where(m6_flat, cand[6]["p"][k], new_p[k])
+            new_q[k] = xp.where(m6_flat, cand[6]["q"][k], new_q[k])
         mod = [mw4 | m6_flat, mw4 | m6_flat]
 
     # masked scatter: write streams for different taps can alias the same
     # column across neighbouring edges, so re-gather the current value and
     # only overwrite where this edge actually modified the sample
     for k in range(n_mod):
-        idx = jnp.arange(n_edges) * 4 - 1 - k
+        idx = xp.arange(n_edges) * 4 - 1 - k
         cur = rows[:, idx]
-        rows = rows.at[:, idx].set(jnp.where(mod[k], new_p[k], cur))
-        idx = jnp.arange(n_edges) * 4 + k
+        rows = _setcols(rows, idx, xp.where(mod[k], new_p[k], cur), xp)
+        # clamped q-side tail positions have mod=False, so the duplicate
+        # writes at the last column are identity stores
+        idx = xp.minimum(xp.arange(n_edges) * 4 + k, W - 1)
         cur = rows[:, idx]
-        rows = rows.at[:, idx].set(jnp.where(mod[k], new_q[k], cur))
+        rows = _setcols(rows, idx, xp.where(mod[k], new_q[k], cur), xp)
     return rows
 
 
@@ -256,7 +268,7 @@ def deblock_plane_tpu(plane, edge_v, edge_h, lvl_v, lvl_v_prev, lvl_h,
 
 
 def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
-                  bitdepth, sby4):
+                  bitdepth, sby4, xp=jnp):
     """Horizontal-edge pass. planeT: (W, H) transposed plane; edge_idx:
     (w4, n) for this sbrow's y4 range starting at sby4."""
     W, Hfull = planeT.shape
@@ -264,7 +276,7 @@ def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
     wd_max = 16 if luma else 6
     ntap = 7 if luma else 3
 
-    L = jnp.where(lvl_cur != 0, lvl_cur, lvl_prev)
+    L = xp.where(lvl_cur != 0, lvl_cur, lvl_prev)
     active = (edge_idx >= 0) & (L != 0)
     E = e_lut[L] << (bitdepth - 8)
     I = i_lut[L] << (bitdepth - 8)
@@ -272,12 +284,12 @@ def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
     F = 1 << (bitdepth - 8)
 
     def per_row(a):
-        return jnp.repeat(a, 4, axis=0)
+        return xp.repeat(a, 4, axis=0)
 
     base = sby4 * 4
 
     def gather(k):
-        idx = base + jnp.arange(n) * 4 + k
+        idx = xp.minimum(base + xp.arange(n) * 4 + k, Hfull - 1)
         return planeT[:, idx]
 
     ps = [gather(-1 - k) for k in range(ntap)]
@@ -285,13 +297,13 @@ def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
     # per_row expands along edge dim? here edges already per 4-col groups on
     # the OTHER axis; expansion is along the W axis (axis 0), which is
     # already full resolution. Levels are per (w4, n): repeat along axis 0.
-    E_r = jnp.repeat(E, 4, axis=0)
-    I_r = jnp.repeat(I, 4, axis=0)
-    H_r = jnp.repeat(Hh, 4, axis=0)
-    act_r = jnp.repeat(active, 4, axis=0)
-    idx_r = jnp.repeat(edge_idx, 4, axis=0)
+    E_r = xp.repeat(E, 4, axis=0)
+    I_r = xp.repeat(I, 4, axis=0)
+    H_r = xp.repeat(Hh, 4, axis=0)
+    act_r = xp.repeat(active, 4, axis=0)
+    idx_r = xp.repeat(edge_idx, 4, axis=0)
 
-    cand = _filter_values(ps, qs, E_r, I_r, H_r, F, wd_max, bitdepth)
+    cand = _filter_values(ps, qs, E_r, I_r, H_r, F, wd_max, bitdepth, xp)
 
     if luma:
         m4 = act_r & (idx_r == 0) & cand[4]["fm"]
@@ -305,18 +317,18 @@ def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
         mw4 = m4 | m8_fall | m16_fall
         new_p = list(ps[:6])
         new_q = list(qs[:6])
-        new_p[0] = jnp.where(mw4, cand[4]["p"][0], new_p[0])
-        new_p[1] = jnp.where(mw4, cand[4]["p"][1], new_p[1])
-        new_q[0] = jnp.where(mw4, cand[4]["q"][0], new_q[0])
-        new_q[1] = jnp.where(mw4, cand[4]["q"][1], new_q[1])
+        new_p[0] = xp.where(mw4, cand[4]["p"][0], new_p[0])
+        new_p[1] = xp.where(mw4, cand[4]["p"][1], new_p[1])
+        new_q[0] = xp.where(mw4, cand[4]["q"][0], new_q[0])
+        new_q[1] = xp.where(mw4, cand[4]["q"][1], new_q[1])
         m8w = m8_flat | m16_8
         for k in range(3):
-            new_p[k] = jnp.where(m8w, cand[8]["p"][k], new_p[k])
-            new_q[k] = jnp.where(m8w, cand[8]["q"][k], new_q[k])
+            new_p[k] = xp.where(m8w, cand[8]["p"][k], new_p[k])
+            new_q[k] = xp.where(m8w, cand[8]["q"][k], new_q[k])
         n16 = cand[16]["n"]
         for k in range(6):
-            new_p[k] = jnp.where(m16_full, n16[f"p{k}"], new_p[k])
-            new_q[k] = jnp.where(m16_full, n16[f"q{k}"], new_q[k])
+            new_p[k] = xp.where(m16_full, n16[f"p{k}"], new_p[k])
+            new_q[k] = xp.where(m16_full, n16[f"q{k}"], new_q[k])
         n_mod = 6
         mod = [mw4 | m8w | m16_full, mw4 | m8w | m16_full,
                m8w | m16_full, m16_full, m16_full, m16_full]
@@ -328,21 +340,21 @@ def _apply_pass_h(planeT, edge_idx, lvl_cur, lvl_prev, e_lut, i_lut, luma,
         mw4 = m4 | m6_fall
         new_p = list(ps[:2])
         new_q = list(qs[:2])
-        new_p[0] = jnp.where(mw4, cand[4]["p"][0], new_p[0])
-        new_p[1] = jnp.where(mw4, cand[4]["p"][1], new_p[1])
-        new_q[0] = jnp.where(mw4, cand[4]["q"][0], new_q[0])
-        new_q[1] = jnp.where(mw4, cand[4]["q"][1], new_q[1])
+        new_p[0] = xp.where(mw4, cand[4]["p"][0], new_p[0])
+        new_p[1] = xp.where(mw4, cand[4]["p"][1], new_p[1])
+        new_q[0] = xp.where(mw4, cand[4]["q"][0], new_q[0])
+        new_q[1] = xp.where(mw4, cand[4]["q"][1], new_q[1])
         for k in range(2):
-            new_p[k] = jnp.where(m6_flat, cand[6]["p"][k], new_p[k])
-            new_q[k] = jnp.where(m6_flat, cand[6]["q"][k], new_q[k])
+            new_p[k] = xp.where(m6_flat, cand[6]["p"][k], new_p[k])
+            new_q[k] = xp.where(m6_flat, cand[6]["q"][k], new_q[k])
         n_mod = 2
         mod = [mw4 | m6_flat, mw4 | m6_flat]
 
     for k in range(n_mod):
-        idx = base + jnp.arange(n) * 4 - 1 - k
+        idx = base + xp.arange(n) * 4 - 1 - k
         cur = planeT[:, idx]
-        planeT = planeT.at[:, idx].set(jnp.where(mod[k], new_p[k], cur))
-        idx = base + jnp.arange(n) * 4 + k
+        planeT = _setcols(planeT, idx, xp.where(mod[k], new_p[k], cur), xp)
+        idx = xp.minimum(base + xp.arange(n) * 4 + k, Hfull - 1)
         cur = planeT[:, idx]
-        planeT = planeT.at[:, idx].set(jnp.where(mod[k], new_q[k], cur))
+        planeT = _setcols(planeT, idx, xp.where(mod[k], new_q[k], cur), xp)
     return planeT

@@ -146,6 +146,43 @@ def _filter_edge(plane, xs, ys, stepx, stepy, E, I, H, wd, bitdepth):
 
 def apply_deblock(plane, edge_idx_v, edge_idx_h, lvl, lvl_idx_v, lvl_idx_h,
                   e_lut, i_lut, wd_map, bitdepth, sb_step4):
+    """Vectorized host deblock: one global vertical pass + one global
+    horizontal pass, sharing the verified kernel logic with the device
+    implementation (ops/loopfilter_tpu) via xp=numpy. Equivalent to the
+    per-edge scan below (apply_deblock_scalar) by the AV1 width rules —
+    see deblock_plane_tpu's proof note."""
+    from ...ops.loopfilter_tpu import _apply_pass, _apply_pass_h
+
+    h4, w4 = edge_idx_v.shape
+    luma = len(wd_map) == 3
+    e_lut = np.asarray(e_lut, np.int32)
+    i_lut = np.asarray(i_lut, np.int32)
+    lv = lvl[:, :, lvl_idx_v].astype(np.int32)
+    lvp = np.zeros_like(lv)
+    lvp[:, 1:] = lv[:, :-1]
+    lh = lvl[:, :, lvl_idx_h].astype(np.int32)
+    lhp = np.zeros_like(lh)
+    lhp[1:] = lh[:-1]
+
+    work = plane.astype(np.int32)
+    ev = edge_idx_v.astype(np.int32).copy()
+    ev[:, 0] = -1
+    work[:h4 * 4] = _apply_pass(work[:h4 * 4], ev, lv, lvp, e_lut, i_lut,
+                                luma, bitdepth, False, xp=np)
+    eh = edge_idx_h.T.astype(np.int32).copy()
+    eh[:, 0] = -1
+    nvis = w4 * 4
+    workT = np.ascontiguousarray(work.T)
+    workT[:nvis] = _apply_pass_h(workT[:nvis], eh, lh.T.copy(),
+                                 lhp.T.copy(), e_lut, i_lut, luma,
+                                 bitdepth, 0, xp=np)
+    plane[...] = workT.T.astype(plane.dtype)
+    return plane
+
+
+def apply_deblock_scalar(plane, edge_idx_v, edge_idx_h, lvl, lvl_idx_v,
+                         lvl_idx_h, e_lut, i_lut, wd_map, bitdepth,
+                         sb_step4):
     """plane: pixel array; edge_idx_{v,h}: (h4, w4) int arrays, -1 = no edge
     else size idx; lvl: (h4, w4, 2) levels; lvl_idx: which lvl component to
     use; wd_map: size idx -> filter width ([4,8,16] luma, [4,6] uv);
