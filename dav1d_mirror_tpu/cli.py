@@ -55,6 +55,9 @@ def parse_args(argv=None):
                         "line, like the reference CLI)")
     p.add_argument("--tracestats", action="store_true",
                    help="print per-stage decode timing summary to stderr")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace output to the container frame rate "
+                        "(tools/dav1d.c:93 synchronization)")
     p.add_argument("--tpu", action="store_true",
                    help="run pixel work on the JAX device pipelines")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -79,6 +82,8 @@ def main(argv=None):
     with open(args.input, "rb") as f:
         data = f.read()
     name, units = open_demuxer(data)
+    from .host.demux import container_fps
+    fps = container_fps(data)
 
     settings = Settings(
         n_threads=args.threads,
@@ -94,7 +99,7 @@ def main(argv=None):
         use_tpu_inter=args.tpu,
     )
     dec = Decoder(settings)
-    mux = open_muxer(args.muxer, args.output)
+    mux = open_muxer(args.muxer, args.output, fps=fps)
 
     if args.tracestats:
         from .utils import trace
@@ -113,6 +118,11 @@ def main(argv=None):
             pic = dec.get_picture()
             if pic is None:
                 break
+            if args.realtime and fps[0]:
+                target = t0 + n * fps[1] / fps[0]
+                delay = target - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
             mux.write(pic)
             n += 1
             if frametimes is not None:

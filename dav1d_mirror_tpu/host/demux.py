@@ -125,3 +125,13 @@ def open_demuxer(data: bytes):
     if probe_section5(data):
         return "section5", demux_section5(data)
     raise ValueError("unrecognised container")
+
+
+def container_fps(data: bytes):
+    """Frame rate from the container timing, if any (IVF header
+    rate/scale, like the reference's demuxer fps reporting)."""
+    if probe_ivf(data):
+        _, _, fps, _ = parse_ivf(data)
+        if fps[0] and fps[1]:
+            return fps
+    return (30, 1)

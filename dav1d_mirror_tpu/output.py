@@ -106,5 +106,7 @@ MUXERS = {"null": NullMuxer, "md5": MD5Muxer, "yuv": YUVMuxer,
           "y4m2": Y4MMuxer}
 
 
-def open_muxer(name, path):
+def open_muxer(name, path, fps=(30, 1)):
+    if name == "y4m2":
+        return Y4MMuxer(path, fps=fps)
     return MUXERS[name](path)
