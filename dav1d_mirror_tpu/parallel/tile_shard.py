@@ -37,13 +37,13 @@ def sharded_recon_step(mesh: Mesh, pred, coefs, bitdepth: int = 8):
         res = itx_residual(coefs_l, TX_16X16, DCT_DCT, bitdepth)
         rec = jnp.clip(pred_l.astype(jnp.int32) + res, 0,
                        (1 << bitdepth) - 1)
-        # halo exchange: send last block-row of this shard to the right
-        # neighbour (stand-in for the deblock/CDEF boundary rows; the real
-        # filter pipeline consumes these)
+        # boundary-row exchange to the neighbouring shard; the REAL
+        # cross-shard filters live in parallel/filter_shard.py
+        # (band_deblock_plane / band_cdef_plane / shard_lr_batch) — this
+        # step validates the recon+collective composition the driver
+        # dry-runs
         perm = [(i, (i + 1) % n) for i in range(n)]
         halo = jax.lax.ppermute(rec[-1:], axis, perm)
-        # consume the halo (the real filter pipeline reads these rows; this
-        # keeps the collective live in the compiled program)
         rec = rec.at[:1].min(halo)
         return rec
 
