@@ -83,6 +83,8 @@ class Picture:
     content_light: tuple = None
     mastering_display: dict = None
     itut_t35: tuple = ()
+    # first picture of a temporal unit (PICTURE_FLAG_NEW_TEMPORAL_UNIT)
+    new_temporal_unit: bool = False
 
 
 class DecodeError(Exception):
@@ -116,6 +118,7 @@ class Decoder:
         self._ref_refpoc = [[0] * 7 for _ in range(8)]
         self._ref_segmaps = [None] * 8
         self._out = []                # decoded Picture queue
+        self._sl_cache = None         # spatial-layer candidate (lib.c:331)
         self._errored_slots = set()   # refs poisoned by decode errors
         self._event_flags = 0
         self.last_error = None        # dav1d_get_decode_error_data_props
@@ -213,12 +216,38 @@ class Decoder:
         st = self._st
         t35 = tuple(st.itut_t35)
         st.itut_t35 = []
-        self._out.append(Picture(tuple(vis), width=w, height=hgt,
-                                 bitdepth=seq.bitdepth, layout=seq.layout,
-                                 frame_hdr=fhdr, seq_hdr=seq,
-                                 content_light=st.content_light,
-                                 mastering_display=st.mastering_display,
-                                 itut_t35=t35))
+        new_tu = st.new_temporal_unit
+        st.new_temporal_unit = False
+        self._queue_out(Picture(tuple(vis), width=w, height=hgt,
+                                bitdepth=seq.bitdepth, layout=seq.layout,
+                                frame_hdr=fhdr, seq_hdr=seq,
+                                content_light=st.content_light,
+                                mastering_display=st.mastering_display,
+                                itut_t35=t35, new_temporal_unit=new_tu))
+
+    def _queue_out(self, p):
+        """Spatial-layer output gating (dav1d lib.c
+        output_picture_ready:331): with all_layers off and a multi-
+        spatial-layer operating point, hold one candidate per temporal
+        unit and emit it when the top spatial layer arrives or the next
+        temporal unit begins."""
+        st = self._st
+        if self.s.all_layers or not st.max_spatial_id:
+            self._out.append(p)
+            return
+        c = self._sl_cache
+        if c is not None and (
+                c.frame_hdr.spatial_id == st.max_spatial_id or
+                p.new_temporal_unit):
+            self._out.append(c)
+        self._sl_cache = p
+
+    def drain(self):
+        """End-of-input: release the held spatial-layer candidate
+        (the reference drains its cache when input runs out)."""
+        if self._sl_cache is not None:
+            self._out.append(self._sl_cache)
+            self._sl_cache = None
 
     def _handle_frame(self):
         st = self._st

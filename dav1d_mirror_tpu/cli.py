@@ -130,6 +130,10 @@ def main(argv=None):
                 tu0 = time.perf_counter_ns()
         if args.limit and n >= args.limit:
             break
+    dec.drain()
+    while (pic := dec.get_picture()) is not None:
+        mux.write(pic)
+        n += 1
     if frametimes is not None:
         with open(args.frametimes, "w") as f:
             f.write("".join(f"{t}\n" for t in frametimes))

@@ -41,6 +41,8 @@ class ObuState:
     content_light: tuple | None = None        # (max_cll, max_fall)
     mastering_display: dict | None = None
     itut_t35: list = field(default_factory=list)
+    new_temporal_unit: bool = True   # a TD arrived since the last frame
+    max_spatial_id: int = 0          # from the selected operating point
 
 
 def parse_seq_hdr(gb: GetBits) -> h.SequenceHeader:
@@ -917,6 +919,9 @@ def parse_obus(st: ObuState, data: bytes) -> int:
         op = min(st.operating_point,
                  st.seq_hdr.num_operating_points - 1)
         st.operating_point_idc = st.seq_hdr.operating_points[op].idc
+        spatial_mask = st.operating_point_idc >> 8
+        st.max_spatial_id = spatial_mask.bit_length() - 1 \
+            if spatial_mask else 0
     elif obu_type in (h.OBU_FRAME_HDR, h.OBU_FRAME,
                       h.OBU_REDUNDANT_FRAME_HDR):
         if obu_type == h.OBU_REDUNDANT_FRAME_HDR and st.frame_hdr:
@@ -941,7 +946,9 @@ def parse_obus(st: ObuState, data: bytes) -> int:
         _parse_tile_group(st, gb, obu_end)
     elif obu_type == h.OBU_METADATA:
         _parse_metadata(st, gb, data, payload_start, obu_end)
-    elif obu_type in (h.OBU_TD, h.OBU_PADDING):
+    elif obu_type == h.OBU_TD:
+        st.new_temporal_unit = True
+    elif obu_type == h.OBU_PADDING:
         pass
     # unknown obu types are skipped
 

@@ -102,3 +102,82 @@ def test_operating_point_selection(oppoint, n_expected, oracle_bin,
             n += 1
     assert n == n_expected
     assert mux.digest() == r.stdout.strip()
+
+
+def _spatial_layered_stream(seed=61):
+    """Per temporal unit: one sid-0 frame + one sid-1 frame (same size);
+    the operating point spans both spatial layers."""
+    seq = make_seq_hdr(64, 64)
+    op = seq.operating_points[0]
+    op.idc = (0b11 << 8) | 0b1
+    kf = make_key_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE)
+    cdf_in = new_cdf_context(qcat_from_qidx(kf.quant_yac))
+    tile0, _ = gen_intra_frame(seq, kf, RandomPolicy(seed),
+                               cdf=cdf_in.copy())
+    # sid-1 enhancement frame in the same TU (references the keyframe)
+    f1 = make_inter_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE,
+                              refidx=[0] * 7, refresh=1 << 1)
+    t1, _ = gen_inter_frame(seq, f1, RandomPolicy(seed + 1),
+                            cdf=cdf_in.copy(), ref_poc=[0] * 7)
+    # second TU: sid0 + sid1 inter frames
+    f2 = make_inter_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE,
+                              refidx=[0] * 7, refresh=1 << 2)
+    t2, _ = gen_inter_frame(seq, f2, RandomPolicy(seed + 2),
+                            cdf=cdf_in.copy(), ref_poc=[0] * 7)
+    f3 = make_inter_frame_hdr(seq, qidx=100, txfm_mode=h.TX_SWITCHABLE,
+                              refidx=[1] * 7, refresh=1 << 3)
+    t3, _ = gen_inter_frame(seq, f3, RandomPolicy(seed + 3),
+                            cdf=cdf_in.copy(), ref_poc=[0] * 7)
+
+    tus = [[(kf, tile0, 0, 0), (f1, t1, 0, 1)],
+           [(f2, t2, 0, 0), (f3, t3, 0, 1)]]
+    units = []
+    first = True
+    for tu in tus:
+        obus = ow.write_obu(h.OBU_TD, b"")
+        for fh, tile, tid, sid in tu:
+            if first:
+                obus += ow.write_obu(h.OBU_SEQ_HDR, ow.write_seq_hdr(seq))
+                first = False
+            obus += ow.write_obu(
+                h.OBU_FRAME_HDR,
+                ow.write_frame_hdr(fh, seq, standalone=True),
+                temporal_id=tid, spatial_id=sid)
+            obus += ow.write_obu(
+                h.OBU_TILE_GRP,
+                ow.write_tile_group(tile, n_bytes=fh.tiling.n_bytes or 4),
+                temporal_id=tid, spatial_id=sid)
+        units.append(obus)
+    return ow.write_ivf(units, 64, 64)
+
+
+@pytest.mark.parametrize("all_layers,n_expected", [(1, 4), (0, 2)])
+def test_spatial_all_layers(all_layers, n_expected, oracle_bin, tmp_path):
+    import dav1d_mirror_tpu.api as api
+    from dav1d_mirror_tpu.output import MD5Muxer
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+
+    ivf = _spatial_layered_stream()
+    p = tmp_path / "s.ivf"
+    p.write_bytes(ivf)
+    r = subprocess.run([oracle_bin, "-i", str(p), "--muxer", "md5",
+                        "--alllayers", str(all_layers), "-o", "-"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    dec = api.Decoder(api.Settings(all_layers=bool(all_layers),
+                                   logger=None))
+    mux = MD5Muxer("-")
+    _, units = open_demuxer(ivf)
+    n = 0
+    for u in units:
+        dec.send_obus(u)
+        while (pic := dec.get_picture()) is not None:
+            mux.write(pic)
+            n += 1
+    dec.drain()
+    while (pic := dec.get_picture()) is not None:
+        mux.write(pic)
+        n += 1
+    assert n == n_expected
+    assert mux.digest() == r.stdout.strip()
