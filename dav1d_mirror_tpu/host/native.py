@@ -24,12 +24,13 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
 _SO = os.path.join(_DIR, "libdav1d_host.so")
-_SRC = os.path.join(_DIR, "msac.cpp")
+_SRCS = [os.path.join(_DIR, "msac.cpp"),
+         os.path.join(_DIR, "ipred.cpp")]
 
 
 def _load():
     try:
-        src_mtime = os.path.getmtime(_SRC)
+        src_mtime = max(os.path.getmtime(f) for f in _SRCS)
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
                            check=True, capture_output=True)
@@ -78,6 +79,17 @@ def _load():
         ct.c_void_p, ct.POINTER(ct.c_int32),  # cf_out, eob_out
     ]
     lib.coef_decode_block.restype = ct.c_int
+    for f in (lib.ipred_z1_loop, lib.ipred_z2_loop, lib.ipred_z3_loop):
+        f.restype = None
+    lib.ipred_z1_loop.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                  ct.c_int, ct.c_int, ct.c_int,
+                                  ct.c_void_p]
+    lib.ipred_z2_loop.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                  ct.c_int, ct.c_int, ct.c_int, ct.c_int,
+                                  ct.c_void_p]
+    lib.ipred_z3_loop.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                  ct.c_int, ct.c_int, ct.c_int,
+                                  ct.c_void_p]
     return lib
 
 

@@ -221,6 +221,12 @@ def intra_pred_ref(mode, tl, c, w, h, angle, max_w, max_h, bitdepth):
     raise ValueError(mode)
 
 
+def _native_lib():
+    """Native Z1/Z2/Z3 inner loops (native/ipred.cpp); None -> Python."""
+    from ...host import native
+    return native.LIB
+
+
 def _z1(tl, c, w, h, angle_in, bitdepth):
     is_sm = (angle_in >> 9) & 1
     eief = angle_in >> 10
@@ -242,6 +248,12 @@ def _z1(tl, c, w, h, angle_in, bitdepth):
             max_base_x = w + min(w, h) - 1
     base_inc = 1 + upsample_above
     out = np.zeros((h, w), np.int32)
+    nat = _native_lib()
+    if nat is not None:
+        top = np.ascontiguousarray(top, np.int32)
+        nat.ipred_z1_loop(top.ctypes.data, max_base_x, dx, base_inc, w,
+                          h, out.ctypes.data)
+        return out
     for y in range(h):
         xpos = dx * (y + 1)
         frac = xpos & 0x3E
@@ -295,6 +307,12 @@ def _z2(tl, c, w, h, angle_in, max_w, max_h, bitdepth):
     base_inc_x = 1 + upsample_above
     left_c = ec - (1 + upsample_left)
     out = np.zeros((h, w), np.int32)
+    nat = _native_lib()
+    if nat is not None:
+        nat.ipred_z2_loop(edge.ctypes.data + 4 * ec, dx, dy,
+                          upsample_above, upsample_left, w, h,
+                          out.ctypes.data)
+        return out
     for y in range(h):
         xpos = ((1 + upsample_above) << 6) - dx * (y + 1)
         base_x = xpos >> 6
@@ -340,6 +358,12 @@ def _z3(tl, c, w, h, angle_in, bitdepth):
             max_base_y = h + min(w, h) - 1
     base_inc = 1 + upsample_left
     out = np.zeros((h, w), np.int32)
+    nat = _native_lib()
+    if nat is not None:
+        la = np.ascontiguousarray(left_arr, np.int32)
+        nat.ipred_z3_loop(la.ctypes.data + 4 * left_c, max_base_y, dy,
+                          base_inc, w, h, out.ctypes.data)
+        return out
     for x in range(w):
         ypos = dy * (x + 1)
         frac = ypos & 0x3E
