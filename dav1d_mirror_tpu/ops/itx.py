@@ -21,25 +21,26 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .itx_1d import get_1d_fn, iwht4
 from .itx_meta import TX_INFO, TXTYPE_TO_1D, WHT_WHT
 from .ref.itx import clip_ranges
 
 
-def _apply_1d(arr, fn, mn, mx, n_out):
+def _apply_1d(arr, fn, mn, mx, n_out, xp=jnp):
     """arr: (n_in, M) int32 -> (n_out, M), applying fn along axis 0."""
     vecs = [arr[k] for k in range(arr.shape[0])]
     out = fn(vecs, mn, mx)
     assert len(out) == n_out
-    return jnp.stack(out, axis=0)
+    return xp.stack(out, axis=0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def itx_residual(coefs: jax.Array, tx: int, txtp: int, bitdepth: int):
+def _residual_core(coefs, tx: int, txtp: int, bitdepth: int, xp):
     """coefs: (B, sh, sw) int32, de-transposed layout coefs[b, y, x].
     Returns (B, h, w) int32 residuals (to be added + pixel-clipped by the
-    reconstruction driver)."""
+    reconstruction driver). The same butterflies serve the jitted device
+    path (xp=jnp) and the batched host path (xp=np)."""
     w, h, shift = TX_INFO[tx]
     sw, sh = min(w, 32), min(h, 32)
     B = coefs.shape[0]
@@ -47,35 +48,46 @@ def itx_residual(coefs: jax.Array, tx: int, txtp: int, bitdepth: int):
     rnd = (1 << shift) >> 1
 
     if txtp == WHT_WHT:
-        c = coefs.astype(jnp.int32) >> 2
+        c = coefs.astype(xp.int32) >> 2
         # row pass along x, batched over (B, y)
-        arr = jnp.transpose(c, (2, 0, 1)).reshape(4, B * 4)
-        tmp = jnp.stack(iwht4([arr[k] for k in range(4)]), axis=0)
+        arr = xp.transpose(c, (2, 0, 1)).reshape(4, B * 4)
+        tmp = xp.stack(iwht4([arr[k] for k in range(4)]), axis=0)
         # tmp: (x, B, y) -> col pass along y
-        arr = jnp.transpose(tmp.reshape(4, B, 4), (2, 1, 0)).reshape(4, B * 4)
-        out = jnp.stack(iwht4([arr[k] for k in range(4)]), axis=0)
-        return jnp.transpose(out.reshape(4, B, 4), (1, 0, 2))
+        arr = xp.transpose(tmp.reshape(4, B, 4), (2, 1, 0)).reshape(4, B * 4)
+        out = xp.stack(iwht4([arr[k] for k in range(4)]), axis=0)
+        return xp.transpose(out.reshape(4, B, 4), (1, 0, 2))
 
     is_rect2 = (w * 2 == h) or (h * 2 == w)
     row_fam, col_fam = TXTYPE_TO_1D[txtp]
     row_min, row_max, col_min, col_max = clip_ranges(bitdepth)
 
-    c = coefs.astype(jnp.int32)
+    c = coefs.astype(xp.int32)
     if is_rect2:
         c = (c * 181 + 128) >> 8
 
     # row pass: transform along x; batch over (B, sh)
-    arr = jnp.transpose(c, (2, 0, 1)).reshape(sw, B * sh)
-    tmp = _apply_1d(arr, get_1d_fn(row_fam, w), row_min, row_max, w)
+    arr = xp.transpose(c, (2, 0, 1)).reshape(sw, B * sh)
+    tmp = _apply_1d(arr, get_1d_fn(row_fam, w), row_min, row_max, w, xp)
 
-    tmp = jnp.clip((tmp + rnd) >> shift, col_min, col_max)
+    tmp = xp.clip((tmp + rnd) >> shift, col_min, col_max)
 
     # col pass: transform along y; batch over (B, w)
-    arr = jnp.transpose(tmp.reshape(w, B, sh), (2, 1, 0)).reshape(sh, B * w)
-    out = _apply_1d(arr, get_1d_fn(col_fam, h), col_min, col_max, h)
+    arr = xp.transpose(tmp.reshape(w, B, sh), (2, 1, 0)).reshape(sh, B * w)
+    out = _apply_1d(arr, get_1d_fn(col_fam, h), col_min, col_max, h, xp)
 
     out = (out + 8) >> 4
-    return jnp.transpose(out.reshape(h, B, w), (1, 0, 2))
+    return xp.transpose(out.reshape(h, B, w), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def itx_residual(coefs: jax.Array, tx: int, txtp: int, bitdepth: int):
+    return _residual_core(coefs, tx, txtp, bitdepth, jnp)
+
+
+def itx_residual_np(coefs, tx: int, txtp: int, bitdepth: int):
+    """Batched host residuals (numpy, same butterflies)."""
+    return _residual_core(np.asarray(coefs, np.int32), tx, txtp,
+                          bitdepth, np)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
