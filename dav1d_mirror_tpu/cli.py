@@ -25,9 +25,9 @@ def parse_args(argv=None):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", default="-")
     p.add_argument("--muxer", default=None,
-                   choices=["null", "md5", "yuv", "y4m2"])
-    p.add_argument("--verify", metavar="MD5",
-                   help="exit non-zero unless the md5 of the decoded "
+                   choices=["null", "md5", "xxh3", "yuv", "y4m2"])
+    p.add_argument("--verify", metavar="HASH",
+                   help="exit non-zero unless the md5/xxh3 of the decoded "
                         "planes matches")
     p.add_argument("--limit", type=int, default=0,
                    help="stop after N frames")
@@ -149,7 +149,7 @@ def main(argv=None):
         trace.report(out=sys.stderr)
 
     if args.verify:
-        if digest != args.verify.strip():
+        if digest != args.verify.strip().lower():
             print(f"Verification failed: got {digest}, "
                   f"expected {args.verify}", file=sys.stderr)
             return 1

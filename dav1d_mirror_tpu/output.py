@@ -1,4 +1,4 @@
-"""Output muxers (dav1d tools/output/*): md5, yuv, y4m2, null.
+"""Output muxers (dav1d tools/output/*): md5, xxh3, yuv, y4m2, null.
 
 The md5 muxer matches tools/output/md5.c bit-for-bit: one cumulative MD5
 over every frame's visible plane rows (16-bit little-endian samples for
@@ -39,6 +39,39 @@ class MD5Muxer:
 
     def digest(self):
         return self._md5.hexdigest()
+
+    def finish(self):
+        out = self.digest() + "\n"
+        if self.path and self.path != "-":
+            with open(self.path, "w") as f:
+                f.write(out)
+        else:
+            sys.stdout.write(out)
+        return self.digest()
+
+
+class XXH3Muxer:
+    """XXH3-128 muxer (dav1d tools/output/xxhash.c:41-142).
+
+    One cumulative XXH3-128 over every frame's visible plane rows (same
+    byte sequence as the md5 muxer), emitted as the 32-hex canonical
+    digest + newline; `verify` compares case-insensitively like
+    xxh3_verify (tools/output/xxhash.c:116-135)."""
+
+    def __init__(self, path=None):
+        import xxhash
+        self._h = xxhash.xxh3_128()
+        self.path = path
+        self.n = 0
+
+    def write(self, pic):
+        self.n += 1
+        for plane in pic.planes:
+            dt = np.uint8 if pic.bitdepth == 8 else np.dtype("<u2")
+            self._h.update(np.ascontiguousarray(plane.astype(dt)).tobytes())
+
+    def digest(self):
+        return self._h.hexdigest()
 
     def finish(self):
         out = self.digest() + "\n"
@@ -102,8 +135,8 @@ class Y4MMuxer:
         return None
 
 
-MUXERS = {"null": NullMuxer, "md5": MD5Muxer, "yuv": YUVMuxer,
-          "y4m2": Y4MMuxer}
+MUXERS = {"null": NullMuxer, "md5": MD5Muxer, "xxh3": XXH3Muxer,
+          "yuv": YUVMuxer, "y4m2": Y4MMuxer}
 
 
 def open_muxer(name, path, fps=(30, 1)):

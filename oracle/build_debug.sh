@@ -1,13 +1,27 @@
 #!/bin/bash
 # Debug oracle: DEBUG_BLOCK_INFO=1 build for entropy trace comparison.
+#
+# The two debug-enabled sources are generated at build time by patching the
+# reference files with sed (no reference code is checked into this repo):
+#   recon.h       — DEBUG_BLOCK_INFO gate forced to 1
+#   recon_tmpl.c  — per-coefficient trace gate `&& plane && 0` removed
 set -e
 REF=/root/reference
 HERE="$(cd "$(dirname "$0")" && pwd)"
 B="$HERE/build"
-mkdir -p "$B/obj_dbg"
+mkdir -p "$B/obj_dbg" "$B/dbg_gen/src"
+
+# generate patched debug sources from the reference
+sed -e 's/#define DEBUG_BLOCK_INFO 0 && \\/#define DEBUG_BLOCK_INFO 1 \&\& \\/' \
+    -e 's/f->frame_hdr->frame_offset == 2 && t->by >= 0 && t->by < 4 && \\/1 \&\& \\/' \
+    -e 's/t->bx >= 8 && t->bx < 12/1/' \
+    "$REF/src/recon.h" > "$B/dbg_gen/src/recon.h"
+sed -e 's/const int dbg = DEBUG_BLOCK_INFO && plane && 0;/const int dbg = DEBUG_BLOCK_INFO;/' \
+    "$REF/src/recon_tmpl.c" > "$B/dbg_gen/recon_tmpl_dbg.c"
+
 CFLAGS="-O1 -g0 -w -std=c99 -D_GNU_SOURCE -DNDEBUG
  -include $HERE/config.h
- -I$HERE/dbg_inc -I$HERE -I$B/include -I$REF -I$REF/include -I$REF/include/dav1d -I$REF/src
+ -I$B/dbg_gen -I$HERE -I$B/include -I$REF -I$REF/include -I$REF/include/dav1d -I$REF/src
  -I$REF/tools"
 SRCS_PLAIN="cdf.c cpu.c data.c dequant_tables.c getbits.c intra_edge.c
  itx_1d.c lf_mask.c lib.c log.c mem.c msac.c obu.c pal.c picture.c qm.c
@@ -39,7 +53,7 @@ echo built "$B/dav1d_dbg"
 
 # rebuild recon_tmpl with per-symbol coef traces
 for bd in 8 16; do
-  gcc $CFLAGS -DBITDEPTH=$bd -c "$HERE/dbg_inc/recon_tmpl_dbg.c" -o "$B/obj_dbg/recon_tmpl_${bd}.o"
+  gcc $CFLAGS -DBITDEPTH=$bd -c "$B/dbg_gen/recon_tmpl_dbg.c" -o "$B/obj_dbg/recon_tmpl_${bd}.o"
 done
 gcc $CFLAGS $TOOLS $OBJS -o "$B/dav1d_dbg" -lpthread -lm -ldl
 echo rebuilt with coef traces

@@ -143,3 +143,33 @@ def test_api_settings_variants():
                for a, b in zip(grain, nofilters))
     sh = parse_sequence_header(fr[0].data)
     assert sh.max_width == 96 and sh.max_height == 64
+
+
+def test_cli_xxh3_muxer(tmp_path):
+    # xxh3 muxer (tools/output/xxhash.c): canonical 32-hex digest of the
+    # same plane-row byte stream as md5; --verify is case-insensitive.
+    import xxhash
+    seq, frames = _make_stream(n_inter=0)
+    ivf = gen_ivf(seq, frames)
+    p = tmp_path / "t.ivf"
+    p.write_bytes(ivf)
+    out = tmp_path / "o.xxh3"
+    assert cli_main(["-i", str(p), "--muxer", "xxh3",
+                     "-o", str(out), "-q"]) == 0
+    got = out.read_text().strip()
+    # recompute independently from the decoded planes
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+    d = Decoder(Settings())
+    hh = xxhash.xxh3_128()
+    _, units = open_demuxer(ivf)
+    for unit in units:
+        d.send_obus(unit)
+        while (pic := d.get_picture()) is not None:
+            for pl in pic.planes:
+                dt = np.uint8 if pic.bitdepth == 8 else np.dtype("<u2")
+                hh.update(np.ascontiguousarray(pl.astype(dt)).tobytes())
+    assert got == hh.hexdigest()
+    assert cli_main(["-i", str(p), "--muxer", "xxh3", "-o", "-", "-q",
+                     "--verify", got.upper()]) == 0
+    assert cli_main(["-i", str(p), "--muxer", "xxh3", "-o", "-", "-q",
+                     "--verify", "0" * 32]) == 1
