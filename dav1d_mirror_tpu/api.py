@@ -32,6 +32,15 @@ if _native_lib is not None and not _os.environ.get("DAV1D_TPU_NO_NATIVE"):
     Msac = NativeMsac
 else:
     Msac = _PyMsac
+
+# The C++ tile walk (native/tilecoder.cpp) decodes a whole tile's symbol
+# stream per FFI call; host/tilecoder.py remains the behavioral spec,
+# the fallback, and the encode-side generator. Set
+# DAV1D_TPU_NO_NATIVE_TILE=1 (or _NO_NATIVE) to force the Python walk.
+_use_native_tile = False
+if Msac is NativeMsac and not _os.environ.get("DAV1D_TPU_NO_NATIVE_TILE"):
+    from .host.native_tile import available as _nt_available
+    _use_native_tile = _nt_available()
 from .data.tables import new_cdf_context, qcat_from_qidx, cdf_thread_update
 
 INLOOPFILTER_NONE = 0
@@ -372,7 +381,11 @@ class Decoder:
                         tile_col=tile_col, tile_row=tile_row, rf=rf,
                         ref_poc=ref_poc, ref_scaled=ref_scaled,
                         prev_segmap=prev_segmap)
-                    coder.code_tile()
+                    if _use_native_tile:
+                        from .host.native_tile import code_tile_native
+                        code_tile_native(coder)
+                    else:
+                        coder.code_tile()
                     coders.append(coder)
 
         bufs = rd.FrameBuffers(seq, fhdr)
