@@ -381,7 +381,8 @@ class Decoder:
                         tile_col=tile_col, tile_row=tile_row, rf=rf,
                         ref_poc=ref_poc, ref_scaled=ref_scaled,
                         prev_segmap=prev_segmap)
-                    if _use_native_tile:
+                    if _use_native_tile and isinstance(coder.ec.m,
+                                                       NativeMsac):
                         from .host.native_tile import code_tile_native
                         code_tile_native(coder)
                     else:
@@ -389,8 +390,14 @@ class Decoder:
                     coders.append(coder)
 
         bufs = rd.FrameBuffers(seq, fhdr)
+        pure_intra = all(b.intra for c in coders for b in c.blocks)
         with trace_scope("reconstruction"):
-            if self.s.use_tpu_inter:
+            if self.s.use_tpu_inter and pure_intra:
+                # wavefront device intra engine (models/tpu_intra):
+                # batched itx + edge-build + all predictors on device
+                from .models.tpu_intra import recon_intra_frame_tpu
+                recon_intra_frame_tpu(seq, fhdr, coders, bufs)
+            elif self.s.use_tpu_inter:
                 from .models.tpu_inter import recon_frame_tpu
                 recon_frame_tpu(seq, fhdr, coders, bufs, refs,
                                 jnt_weights)

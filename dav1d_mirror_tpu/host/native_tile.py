@@ -235,9 +235,10 @@ def code_tile_native(coder) -> None:
     cfg, _ = _build_cfg(coder, caps)
 
     tabs_arr, _keep = _tables_array()
-    tabs = tabs_arr.copy()
+    tabs = tabs_arr
     qm_keep = []
     if f.quant_qm:
+        tabs = tabs_arr.copy()
         for tx in range(19):
             for pl, qmi in enumerate((f.quant_qm_y, f.quant_qm_u,
                                       f.quant_qm_v)):
@@ -270,13 +271,15 @@ def code_tile_native(coder) -> None:
                      0 if coder.seg_map is None else _addr(coder.seg_map)],
                     np.uint64)
 
-    blk = np.zeros((caps[0], _NBLK), np.int32)
-    coef = np.zeros((caps[1], _NCOEF), np.int32)
-    cf = np.zeros(caps[2], np.int32)
-    pal = np.zeros((caps[3], 3, 8), np.uint16)
-    palidx = np.zeros(caps[4], np.uint8)
-    lr = np.zeros((caps[5], 12), np.int32)
-    cdef = np.zeros((caps[6], 6), np.int32)
+    # np.empty: the C walk fully writes every record it emits (the cf
+    # and palidx regions are memset inside the walk per block)
+    blk = np.empty((caps[0], _NBLK), np.int32)
+    coef = np.empty((caps[1], _NCOEF), np.int32)
+    cf = np.empty(caps[2], np.int32)
+    pal = np.empty((caps[3], 3, 8), np.uint16)
+    palidx = np.empty(caps[4], np.uint8)
+    lr = np.empty((caps[5], 12), np.int32)
+    cdef = np.empty((caps[6], 6), np.int32)
     counts = np.zeros(8, np.int64)
     outp = np.array([_addr(blk), _addr(coef), _addr(cf), _addr(pal),
                      _addr(palidx), _addr(lr), _addr(cdef),

@@ -3,6 +3,8 @@ single-device kernel, bit-exact (real ppermute halo exchange)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from dav1d_mirror_tpu.host import headers as h

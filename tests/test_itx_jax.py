@@ -6,7 +6,12 @@ from dav1d_mirror_tpu.ops.itx_meta import TX_INFO, allowed_txtypes
 from dav1d_mirror_tpu.ops.ref.itx import inv_txfm_add_ref
 from dav1d_mirror_tpu.ops.itx import itx_add
 
-CASES = [(tx, txtp) for tx in TX_INFO for txtp in allowed_txtypes(tx)]
+# the large-transform jits (32x32/64-wide sizes) dominate suite runtime;
+# they run in the slow tier
+_SLOW_TX = {3, 4, 9, 10, 11, 12, 17, 18}
+CASES = [pytest.param(tx, txtp,
+                      marks=[pytest.mark.slow] if tx in _SLOW_TX else [])
+         for tx in TX_INFO for txtp in allowed_txtypes(tx)]
 
 
 @pytest.mark.parametrize("bitdepth", [8, 10])

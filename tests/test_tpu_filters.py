@@ -3,6 +3,8 @@ reference pipeline, pixel-exact on real decoded frames."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dav1d_mirror_tpu.host import headers as h
 from dav1d_mirror_tpu.models.ref_decoder import (FrameBuffers,
                                                  recon_intra_frame,

@@ -6,6 +6,8 @@ intra blocks interleaved with device-covered blocks)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dav1d_mirror_tpu.host import headers as h
 from dav1d_mirror_tpu.models.ref_decoder import decode_ivf
 from dav1d_mirror_tpu.testing.streamgen import (RandomPolicy, make_seq_hdr,
