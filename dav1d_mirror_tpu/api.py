@@ -404,11 +404,14 @@ class Decoder:
             else:
                 rd.recon_frame(seq, fhdr, coders, bufs, refs,
                                jnt_weights)
-        if self.s.use_tpu_filters and fhdr.width[0] == fhdr.width[1] and \
-                self.s.inloop_filters == INLOOPFILTER_ALL:
+        if self.s.use_tpu_filters:
+            # device filter chain honors partial inloop_filters masks and
+            # super-resolution (device resize kernel)
             from .models.tpu_filters import apply_inloop_filters_tpu
             with trace_scope("inloop-filters"):
-                apply_inloop_filters_tpu(seq, fhdr, coders, bufs)
+                bufs = apply_inloop_filters_tpu(
+                    seq, fhdr, coders, bufs,
+                    filters_mask=self.s.inloop_filters)
         else:
             with trace_scope("inloop-filters"):
                 bufs = rd.apply_inloop_filters(

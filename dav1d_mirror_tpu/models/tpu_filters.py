@@ -12,6 +12,7 @@ cdef, resize, loop restoration) at frame granularity.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..host.lf import build_lf_arrays
@@ -233,20 +234,49 @@ def lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef, restore_planes):
     return out
 
 
-def apply_inloop_filters_tpu(seq, fhdr, coders, bufs):
+def _super_res_tpu(seq, fhdr, coders, bufs, planes):
+    """Device horizontal super-res of every plane (dav1d recon_tmpl.c
+    filter_sbrow_resize:2104); returns (new FrameBuffers for the
+    upscaled width, new device planes)."""
+    from .ref_decoder import FrameBuffers, _resize_params
+    from ..ops.mc_tpu import resize_plane_tpu
+    out = FrameBuffers(seq, fhdr, width=fhdr.width[1])
+    bd = seq.bitdepth
+    bw4f = ((fhdr.width[0] + 7) >> 3) << 1
+    new_planes = []
+    for pl, plane in enumerate(planes):
+        ss_hor = bufs.ss_hor if pl else 0
+        ss_ver = bufs.ss_ver if pl else 0
+        in_w = (fhdr.width[0] + ss_hor) >> ss_hor
+        out_w = (fhdr.width[1] + ss_hor) >> ss_hor
+        step, start = _resize_params(in_w, out_w)
+        src_w = (4 * bw4f + ss_hor) >> ss_hor
+        h_vis = (fhdr.height + ss_ver) >> ss_ver
+        res = resize_plane_tpu(plane[:h_vis], out_w, src_w, step, start,
+                               bd)
+        dst = jnp.zeros(out.planes[pl].shape, jnp.int32)
+        dst = jax.lax.dynamic_update_slice(dst, res, (0, 0))
+        new_planes.append(dst)
+    return out, new_planes
+
+
+def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     """Full TPU in-loop filter chain over bufs.planes (numpy in/out).
-    Equivalent to models.ref_decoder.apply_inloop_filters."""
+    Equivalent to models.ref_decoder.apply_inloop_filters, including the
+    debug enable mask and super-resolution (which always runs)."""
     planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
 
-    if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
+    if (filters_mask & 1) and (fhdr.loopfilter_level_y[0] or
+                               fhdr.loopfilter_level_y[1]):
         planes = deblock_frame_tpu(seq, fhdr, coders, bufs, planes)
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
-                         for p in range(3))
+                         for p in range(3)) if (filters_mask & 4) else 0
     pre_cdef = [np.asarray(p) for p in planes] if restore_planes else None
 
-    if seq.cdef and (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
-                     any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
+    if (filters_mask & 2) and seq.cdef and \
+            (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
+             any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
         bd_m8 = seq.bitdepth - 8
         new = cdef_frame_tpu(
@@ -256,6 +286,15 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs):
             fhdr.cdef_damping + bd_m8, seq.bitdepth, bufs.ss_hor,
             bufs.ss_ver, seq.layout == 0)
         planes = list(new)
+
+    if fhdr.width[0] != fhdr.width[1]:
+        new_bufs, planes = _super_res_tpu(seq, fhdr, coders, bufs, planes)
+        if restore_planes:
+            _, pre_sr = _super_res_tpu(
+                seq, fhdr, coders, bufs,
+                [jnp.asarray(p) for p in pre_cdef])
+            pre_cdef = [np.asarray(p) for p in pre_sr]
+        bufs = new_bufs
 
     if restore_planes:
         planes = lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef,

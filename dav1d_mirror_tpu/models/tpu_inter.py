@@ -32,73 +32,207 @@ from .ref_decoder import _recon_tile, _gmv_warp_params
 
 
 def _block_device_class(fhdr, coder, b, refs, cur_w, cur_h):
-    """'single' / 'comp' if the batched path covers this block, else None
-    (host fallback)."""
+    """'single' / 'comp' if the batched device path covers this block,
+    else None (host fallback). The device surface spans translation,
+    warp, OBMC, masked compound (wedge/seg), scaled references and
+    sub-8x8 chroma; only inter-intra (which blends with an intra
+    prediction from reconstructed neighbours) and intra-frame intrabc
+    remain sequential host work."""
     if b.intra:
         return None
     if fhdr.frame_type in (0, 2):  # intrabc
         return None
-    if b.motion_mode != 0 or b.interintra_type:
-        return None
-    if b.filter2d > 8:
+    if b.interintra_type:
         return None
     for i in range(2 if b.comp_type else 1):
         rb = refs[fhdr.refidx[b.ref[i]]]
-        if rb is None or rb.width != cur_w or rb.height != cur_h:
+        if rb is None:
             return None
-    if b.comp_type == COMP_INTER_NONE:
-        if b.inter_mode == 2:  # GLOBALMV: translational only on device
-            if _gmv_warp_params(fhdr, b.ref[0], False) is not None:
-                return None
-        b_dim = T_BLOCK_DIM[b.bs]
-        bw4, bh4 = int(b_dim[0]), int(b_dim[1])
-        # sub8x8 chroma needs neighbour MVs -> host
-        ss_hor = 1 if coder.layout != 3 else 0
-        ss_ver = 1 if coder.layout == 1 else 0
-        if not coder.monochrome and (bw4 == ss_hor or bh4 == ss_ver):
-            return None
-        return "single"
-    if b.comp_type in (COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG):
-        if b.inter_mode == 6:  # GLOBALMV_GLOBALMV warp
-            for i in range(2):
-                if _gmv_warp_params(fhdr, b.ref[i], False) is not None:
-                    return None
-        return "comp"
-    return None
+    return "comp" if b.comp_type else "single"
 
 
-def _units_for_block(plan, pl, ss_hor, ss_ver, b, mv, ref_i, f2d,
-                     key_extra=()):
-    """Decompose one plane-block into fixed-size units and append
-    descriptors into plan[(uw, uh, has_h, has_v) + key_extra]."""
-    b_dim = T_BLOCK_DIM[b.bs]
-    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
-    if pl:
-        bw4 = bw4 << (bw4 == ss_hor)
-        bh4 = bh4 << (bh4 == ss_ver)
-        bx = b.bx & ~ss_hor
-        by = b.by & ~ss_ver
-    else:
+def _scale_fac(ref_sz, this_sz):
+    return ((ref_sz << 14) + (this_sz >> 1)) // this_sz
+
+
+def _scale_mv(val, scale):
+    tmp = val * scale + (scale - 0x4000) * 8
+    v = (abs(tmp) + 128) >> 8
+    return (-v if tmp < 0 else v) + 32
+
+
+def _units_for_block_raw(plan, pl, ss_hor, ss_ver, b_dims, bx, by, mv,
+                         ref_i, f2d, dst=None, whole=False):
+    """Decompose one plane region into fixed-size translational MC units
+    (dav1d recon_tmpl.c mc:957 geometry). b_dims/bx/by are the
+    ALREADY-ALIGNED block dims/pos in (luma-scaled) 4px units; dst
+    overrides the destination pixel position (sub-8x8 chroma places
+    neighbour predictions at the current block)."""
+    bw4, bh4 = b_dims
+    if pl == 0:
         ss_hor = ss_ver = 0
-        bx, by = b.bx, b.by
     h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
     pw, ph = bw4 * h_mul, bh4 * v_mul
     mvy, mvx = mv
     mx = (mvx & (15 >> (0 if ss_hor else 1))) << (0 if ss_hor else 1)
     my = (mvy & (15 >> (0 if ss_ver else 1))) << (0 if ss_ver else 1)
-    dx = bx * h_mul + (mvx >> (3 + ss_hor))
-    dy = by * v_mul + (mvy >> (3 + ss_ver))
-    dst_x, dst_y = bx * h_mul, by * v_mul
+    sx = bx * h_mul + (mvx >> (3 + ss_hor))
+    sy = by * v_mul + (mvy >> (3 + ss_ver))
+    dst_y, dst_x = dst if dst is not None else (by * v_mul, bx * h_mul)
     has_h, has_v = mx != 0, my != 0
-    uw, uh = min(pw, 8), min(ph, 8)
-    key = (uw, uh, has_h, has_v) + key_extra
+    uw, uh = (pw, ph) if whole else (min(pw, 8), min(ph, 8))
+    key = (uw, uh, has_h, has_v)
     lst = plan.setdefault(key, [])
     for oy in range(0, ph, uh):
         for ox in range(0, pw, uw):
             lst.append((ref_i,
-                        dy + oy - (3 if has_v else 0),
-                        dx + ox - (3 if has_h else 0),
+                        sy + oy - (3 if has_v else 0),
+                        sx + ox - (3 if has_h else 0),
                         mx, my, f2d, dst_y + oy, dst_x + ox))
+
+
+def _warp_rows(ss_hor, ss_ver, wm, bx, by, bw4, bh4, ref_slot):
+    """8x8 warp sub-unit descriptor rows (dav1d recon_tmpl.c
+    warp_affine:1134 loop). Returns [(row10, sub_y, sub_x)] with sub
+    offsets in plane pixels."""
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mat = wm.matrix
+    out = []
+    for y in range(0, bh4 * v_mul, 8):
+        src_y = by * 4 + ((y + 4) << ss_ver)
+        mat3_y = mat[3] * src_y + mat[0]
+        mat5_y = mat[5] * src_y + mat[1]
+        for x in range(0, bw4 * h_mul, 8):
+            src_x = bx * 4 + ((x + 4) << ss_hor)
+            mvx = (mat[2] * src_x + mat3_y) >> ss_hor
+            mvy = (mat[4] * src_x + mat5_y) >> ss_ver
+            dx = (mvx >> 16) - 4
+            mx = ((mvx & 0xFFFF) - wm.alpha * 4 - wm.beta * 7) & ~0x3F
+            dy = (mvy >> 16) - 4
+            my = ((mvy & 0xFFFF) - wm.gamma * 4 - wm.delta * 4) & ~0x3F
+            out.append(((ref_slot, dy - 3, dx - 3, mx, my, wm.alpha,
+                         wm.beta, wm.gamma, wm.delta, 0), y, x))
+    return out
+
+
+def _scaled_pos(ss_hor, ss_ver, bx, by, mv, scale):
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    mvy, mvx = mv
+    orig_x = (bx * h_mul << 4) + mvx * (1 << (0 if ss_hor else 1))
+    orig_y = (by * v_mul << 4) + mvy * (1 << (0 if ss_ver else 1))
+    return _scale_mv(orig_x, scale[0]), _scale_mv(orig_y, scale[1])
+
+
+def _scaled_rows(ss_hor, ss_ver, b_dims, bx, by, mv, f2d, ref_slot,
+                 scale, step, split=True):
+    """Scaled-MC sub-unit rows (dav1d recon_tmpl.c mc:1010-1037); pos
+    recomputed per sub-unit via the closed-form per-pixel stepping.
+    Returns [(row9, uw, uh, sub_y, sub_x)]."""
+    bw4, bh4 = b_dims
+    h_mul, v_mul = 4 >> ss_hor, 4 >> ss_ver
+    pw, ph = bw4 * h_mul, bh4 * v_mul
+    pos_x, pos_y = _scaled_pos(ss_hor, ss_ver, bx, by, mv, scale)
+    su = 8 if split else max(pw, ph)
+    out = []
+    for oy in range(0, ph, su):
+        uh = min(su, ph - oy)
+        py = pos_y + oy * step[1]
+        for ox in range(0, pw, su):
+            uw = min(su, pw - ox)
+            px = pos_x + ox * step[0]
+            out.append(((ref_slot, py >> 10, px >> 10, px & 0x3FF,
+                         py & 0x3FF, step[0], step[1], f2d, 0),
+                        uw, uh, oy, ox))
+    return out
+
+
+class _FramePlan:
+    """All device MC work for one frame, bucketed for batching."""
+
+    def __init__(self, n_planes):
+        self.put = [dict() for _ in range(n_planes)]       # translational
+        self.warp_put = [[] for _ in range(n_planes)]      # (row, y, x)
+        self.scaled_put = [dict() for _ in range(n_planes)]
+        # OBMC laps, applied after all puts: phase 0 = top, 1 = left;
+        # bucket (phase, lap_h, lap_w, region_dim); entries
+        # (kind, row, (dst_y, dst_x))
+        self.laps = [dict() for _ in range(n_planes)]
+        # compound: bucket (bw_px, bh_px) -> list of block entry dicts
+        self.comp = [dict() for _ in range(n_planes)]
+
+
+def _plan_obmc(plan, pl, ssh, ssv, coder, fhdr, refs, rf, f2d_map, b,
+               scaled_of, scale_step):
+    """OBMC lap planning (dav1d recon_tmpl.c obmc:1071)."""
+    b_dim = T_BLOCK_DIM[b.bs]
+    bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+    bx, by = b.bx, b.by
+    w4 = min(bw4, coder.bw - bx)
+    h4 = min(bh4, coder.bh - by)
+    h_mul, v_mul = 4 >> ssh, 4 >> ssv
+    dst_y = (by * 4) >> ssv
+    dst_x = (bx * 4) >> ssh
+
+    def emit(phase, ow4, mc_h4, cy, cx, src_bx, src_by, d):
+        """one lap: MC of (ow4, mc_h4) at (src_bx, src_by) with the
+        neighbour's mv/ref, blended at d."""
+        rref = int(rf.ref[cy, cx, 0]) - 1
+        rmv = (int(rf.mv[cy, cx, 0, 0]), int(rf.mv[cy, cx, 0, 1]))
+        f2d = int(f2d_map[cy, cx])
+        lw = ow4 * h_mul
+        lh = mc_h4 * v_mul
+        region_dim = (v_mul * ((mc_h4 * 4 + 1) // 3) if False else 0)
+        # region dim for the mask: top laps blend (oh4*v_mul*3)>>2 rows;
+        # left laps use the full lap width
+        if phase == 0:
+            region = d[2]
+        else:
+            region = lw
+        key = (phase, lh, lw, region)
+        lst = plan.laps[pl].setdefault(key, [])
+        rb = refs[fhdr.refidx[rref]]
+        if scaled_of(rref):
+            scale, step = scale_step(rref)
+            (row, uw, uh, _, _), = _scaled_rows(
+                ssh if pl else 0, ssv if pl else 0, (ow4, mc_h4),
+                src_bx, src_by, rmv, f2d, rref, scale, step, split=False)
+            lst.append(("s", row, (d[0], d[1])))
+        else:
+            tmp = {}
+            _units_for_block_raw(tmp, pl, ssh, ssv, (ow4, mc_h4),
+                                 src_bx, src_by, rmv, rref, f2d,
+                                 dst=(d[0], d[1]), whole=True)
+            (k2, l2), = tmp.items()
+            lst.append(("t", l2[0][:6] + k2[2:4], (d[0], d[1])))
+
+    if by > coder.row_start and (pl == 0 or
+                                 bw4 * h_mul + bh4 * v_mul >= 16):
+        i = 0
+        x = 0
+        while x < w4 and i < min(int(b_dim[2]), 4):
+            cy, cx = by - 1, bx + x + 1
+            step4 = max(2, min(16, int(T_BLOCK_DIM[rf.bs[cy, cx]][0])))
+            if rf.ref[cy, cx, 0] > 0:
+                ow4 = min(step4, bw4)
+                oh4 = min(bh4, 16) >> 1
+                mc_h4 = (oh4 * 3 + 3) >> 2
+                emit(0, ow4, mc_h4, cy, cx, bx + x, by,
+                     (dst_y, dst_x + x * h_mul, v_mul * oh4))
+                i += 1
+            x += step4
+    if bx > coder.col_start:
+        i = 0
+        y = 0
+        while y < h4 and i < min(int(b_dim[3]), 4):
+            cy, cx = by + y + 1, bx - 1
+            step4 = max(2, min(16, int(T_BLOCK_DIM[rf.bs[cy, cx]][1])))
+            if rf.ref[cy, cx, 0] > 0:
+                ow4 = min(bw4, 16) >> 1
+                oh4 = min(step4, bh4)
+                emit(1, ow4, oh4, cy, cx, bx, by + y,
+                     (dst_y + y * v_mul, dst_x, 0))
+                i += 1
+            y += step4
 
 
 def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
@@ -107,82 +241,234 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     cur_w, cur_h = fhdr.width[0], fhdr.height
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
-
     intra_frame = fhdr.frame_type in (0, 2)
+    from ..ops.mc_tpu import (warp8x8_batch, mc_scaled_batch, w_mask_batch,
+                              mask_batch, obmc_blend_batch)
+    from ..ops.ref.wedge import wedge_mask
 
-    # --- pass 1 (host): classify blocks, build unit plans ---
-    plans = [dict() for _ in range(n_planes)]        # single-ref put units
-    # compound: per plane, per (uw, uh): parallel unit descriptor lists for
-    # i=0/1 plus join weight and destinations (AVG == w_avg with weight 8)
-    cunits = [dict() for _ in range(n_planes)]
+    plan = _FramePlan(n_planes)
     device_blocks = set()
+
+    def ref_of(i):
+        return refs[fhdr.refidx[i]]
+
+    def scaled_of(i):
+        rb = ref_of(i)
+        return rb.width != cur_w or rb.height != cur_h
+
+    def scale_step(i):
+        rb = ref_of(i)
+        sx = _scale_fac(rb.width, cur_w)
+        sy = _scale_fac(rb.height, cur_h)
+        return (sx, sy), ((sx + 8) >> 4, (sy + 8) >> 4)
+
+    def plan_put(pl, b_dims, bx, by, mv, f2d, ref_i, ssh, ssv, dst=None):
+        if scaled_of(ref_i):
+            scale, step = scale_step(ref_i)
+            h_mul = 4 >> (ssh if pl else 0)
+            v_mul = 4 >> (ssv if pl else 0)
+            base = dst if dst is not None else (by * v_mul, bx * h_mul)
+            for row, uw, uh, oy, ox in _scaled_rows(
+                    ssh if pl else 0, ssv if pl else 0, b_dims, bx, by,
+                    mv, f2d, ref_i, scale, step):
+                plan.scaled_put[pl].setdefault((uw, uh, ref_i),
+                                               []).append(
+                    (row, base[0] + oy, base[1] + ox))
+        else:
+            _units_for_block_raw(plan.put[pl], pl, ssh, ssv, b_dims, bx,
+                                 by, mv, ref_i, f2d, dst=dst)
+
+    # decode-order host state (dav1d t->tl_4x4_filter + filter map)
+    f2d_map = np.zeros((coders[0].bh, coders[0].bw), np.uint8)
+    tl_4x4_filter = [0]
+
     for ci, coder in enumerate(coders):
         if intra_frame:
             break
+        rf = coder.rf
         for bi, b in enumerate(coder.blocks):
             cls = _block_device_class(fhdr, coder, b, refs, cur_w, cur_h)
-            if cls is None:
-                continue
-            device_blocks.add((ci, bi))
             b_dim = T_BLOCK_DIM[b.bs]
             bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+            bx, by = b.bx, b.by
+            if cls is None:
+                if not b.intra:
+                    if b.comp_type == COMP_INTER_NONE:
+                        tl_4x4_filter[0] = b.filter2d
+                    f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
+                continue
+            device_blocks.add((ci, bi))
             has_chroma = (n_planes > 1 and
-                          (bw4 > ss_hor or b.bx & 1) and
-                          (bh4 > ss_ver or b.by & 1))
-            planes_it = range(n_planes) if has_chroma else (0,)
-            if cls == "single":
-                for pl in planes_it:
-                    _units_for_block(plans[pl], pl, ss_hor, ss_ver, b,
-                                     b.mv[0], b.ref[0], b.filter2d)
-            else:
-                jw = jnt_weights[b.ref[0]][b.ref[1]] \
-                    if b.comp_type == COMP_INTER_WEIGHTED_AVG else 8
-                for pl in planes_it:
-                    tmp0, tmp1 = {}, {}
-                    _units_for_block(tmp0, pl, ss_hor, ss_ver, b, b.mv[0],
-                                     b.ref[0], b.filter2d)
-                    _units_for_block(tmp1, pl, ss_hor, ss_ver, b, b.mv[1],
-                                     b.ref[1], b.filter2d)
-                    (k0, l0), = tmp0.items()
-                    (k1, l1), = tmp1.items()
-                    assert k0[:2] == k1[:2] and len(l0) == len(l1)
-                    group = cunits[pl].setdefault(k0[:2], [])
-                    for u0, u1 in zip(l0, l1):
-                        # u = (ref, oy, ox, mx, my, f2d, dst_y, dst_x)
-                        group.append((u0[:6] + k0[2:4],
-                                      u1[:6] + k1[2:4],
-                                      jw, u0[6], u0[7]))
+                          (bw4 > ss_hor or bx & 1) and
+                          (bh4 > ss_ver or by & 1))
 
-    # --- device: stacked reference planes per plane index ---
+            if cls == "single":
+                scaled = scaled_of(b.ref[0])
+                warp_wm = None
+                if min(bw4, bh4) > 1:
+                    if b.motion_mode == 2 and b.warp is not None and \
+                            b.warp.type > 1:
+                        warp_wm = b.warp
+                    elif b.inter_mode == 2:  # GLOBALMV
+                        warp_wm = _gmv_warp_params(fhdr, b.ref[0], scaled)
+                use_warp = warp_wm is not None
+
+                if use_warp:
+                    for row, sy, sx in _warp_rows(0, 0, warp_wm, bx, by,
+                                                  bw4, bh4, b.ref[0]):
+                        plan.warp_put[0].append(
+                            (row, by * 4 + sy, bx * 4 + sx))
+                else:
+                    plan_put(0, (bw4, bh4), bx, by, b.mv[0], b.filter2d,
+                             b.ref[0], 0, 0)
+                    if b.motion_mode == 1:  # OBMC
+                        _plan_obmc(plan, 0, 0, 0, coder, fhdr, refs, rf,
+                                   f2d_map, b, scaled_of, scale_step)
+
+                if has_chroma:
+                    cbw4 = (bw4 + ss_hor) >> ss_hor
+                    cbh4 = (bh4 + ss_ver) >> ss_ver
+                    is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+                    if is_sub8x8:
+                        if bw4 == 1:
+                            is_sub8x8 &= rf.ref[by, bx - 1, 0] > 0
+                        if bh4 == ss_ver:
+                            is_sub8x8 &= rf.ref[by - 1, bx, 0] > 0
+                        if bw4 == 1 and bh4 == ss_ver:
+                            is_sub8x8 &= rf.ref[by - 1, bx - 1, 0] > 0
+                    if is_sub8x8:
+                        # neighbour-MV chroma MC quadrants (dav1d
+                        # recon_tmpl.c:1703-1747)
+                        uvx = (bx >> ss_hor) * 4
+                        uvy = (by >> ss_ver) * 4
+                        h_off = v_off = 0
+
+                        def sub_mc(cy, cx, dyo, dxo, f2d_val):
+                            rref = int(rf.ref[cy, cx, 0]) - 1
+                            rmv = (int(rf.mv[cy, cx, 0, 0]),
+                                   int(rf.mv[cy, cx, 0, 1]))
+                            for pl in (1, 2):
+                                plan_put(pl, (bw4, bh4), cx, cy, rmv,
+                                         f2d_val, rref, ss_hor, ss_ver,
+                                         dst=(uvy + dyo, uvx + dxo))
+
+                        if bw4 == 1 and bh4 == ss_ver:
+                            sub_mc(by - 1, bx - 1, 0, 0, tl_4x4_filter[0])
+                            v_off, h_off = 2, 2
+                        if bw4 == 1:
+                            sub_mc(by, bx - 1, v_off, 0,
+                                   int(f2d_map[by, bx - 1]))
+                            h_off = 2
+                        if bh4 == ss_ver:
+                            sub_mc(by - 1, bx, 0, h_off,
+                                   int(f2d_map[by - 1, bx]))
+                            v_off = 2
+                        for pl in (1, 2):
+                            plan_put(pl, (bw4, bh4), bx, by, b.mv[0],
+                                     b.filter2d, b.ref[0], ss_hor,
+                                     ss_ver, dst=(uvy + v_off,
+                                                  uvx + h_off))
+                    elif use_warp and min(cbw4, cbh4) > 1:
+                        for pl in (1, 2):
+                            for row, sy, sx in _warp_rows(
+                                    ss_hor, ss_ver, warp_wm, bx, by, bw4,
+                                    bh4, b.ref[0]):
+                                plan.warp_put[pl].append(
+                                    (row, ((by * 4) >> ss_ver) + sy,
+                                     ((bx * 4) >> ss_hor) + sx))
+                    else:
+                        for pl in (1, 2):
+                            plan_put(pl, (bw4 << (bw4 == ss_hor),
+                                          bh4 << (bh4 == ss_ver)),
+                                     bx & ~ss_hor, by & ~ss_ver, b.mv[0],
+                                     b.filter2d, b.ref[0], ss_hor,
+                                     ss_ver)
+                            if not use_warp and b.motion_mode == 1:
+                                _plan_obmc(plan, pl, ss_hor, ss_ver,
+                                           coder, fhdr, refs, rf,
+                                           f2d_map, b, scaled_of,
+                                           scale_step)
+                tl_4x4_filter[0] = b.filter2d
+            else:
+                # compound (dav1d recon_tmpl.c:1822-1907)
+                def side(i, pl, ssh, ssv):
+                    wm = _gmv_warp_params(fhdr, b.ref[i],
+                                          scaled_of(b.ref[i])) \
+                        if b.inter_mode == 6 else None
+                    cbw4c = (bw4 + ssh) >> ssh
+                    cbh4c = (bh4 + ssv) >> ssv
+                    if wm is not None and (pl == 0 or
+                                           min(cbw4c, cbh4c) > 1):
+                        return ("w", _warp_rows(ssh, ssv, wm, bx, by,
+                                                bw4, bh4, b.ref[i]))
+                    if scaled_of(b.ref[i]):
+                        scale, step = scale_step(b.ref[i])
+                        return ("s", _scaled_rows(ssh, ssv, (bw4, bh4),
+                                                  bx, by, b.mv[i],
+                                                  b.filter2d, b.ref[i],
+                                                  scale, step))
+                    return ("t", (b.ref[i], b.mv[i], b.filter2d))
+
+                jw = 8
+                if b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                    jw = jnt_weights[b.ref[0]][b.ref[1]]
+                join = {COMP_INTER_AVG: ("avg", 8),
+                        COMP_INTER_WEIGHTED_AVG: ("wavg", jw),
+                        3: ("seg", 0),
+                        4: ("wedge", b.wedge_idx)}[b.comp_type]
+                entry = dict(sides=[side(0, 0, 0, 0), side(1, 0, 0, 0)],
+                             join=join, sign=b.mask_sign,
+                             dst=(by * 4, bx * 4), bs=b.bs,
+                             dims=(bw4, bh4), pos=(bx, by))
+                plan.comp[0].setdefault((bw4 * 4, bh4 * 4),
+                                        []).append(entry)
+                if has_chroma:
+                    for pl in (1, 2):
+                        centry = dict(
+                            sides=[side(0, pl, ss_hor, ss_ver),
+                                   side(1, pl, ss_hor, ss_ver)],
+                            join=join, sign=b.mask_sign,
+                            dst=((by * 4) >> ss_ver, (bx * 4) >> ss_hor),
+                            bs=b.bs, dims=(bw4, bh4), pos=(bx, by),
+                            luma=entry)
+                        plan.comp[pl].setdefault(
+                            ((bw4 * 4) >> ss_hor, (bh4 * 4) >> ss_ver),
+                            []).append(centry)
+            f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
+
+    # --- device reference stacks ---
     dev_planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes] \
         if not intra_frame else None
     ref_stacks = []
+    sref_stacks = {}
     for pl in range(n_planes if not intra_frame else 0):
+        ssh = ss_hor if pl else 0
+        ssv = ss_ver if pl else 0
         stack = []
         for i in range(7):
             rb = refs[fhdr.refidx[i]]
             if rb is None or rb.width != cur_w or rb.height != cur_h:
-                stack.append(np.zeros_like(bufs.planes[0] if pl == 0
-                                           else bufs.planes[pl],
+                if rb is not None and (pl, i) not in sref_stacks:
+                    w_v = (rb.width + ssh) >> ssh
+                    h_v = (rb.height + ssv) >> ssv
+                    sref_stacks[(pl, i)] = jnp.asarray(
+                        rb.planes[pl][:h_v, :w_v].astype(np.int32)[None])
+                stack.append(np.zeros_like(bufs.planes[pl],
                                            dtype=np.int32))
             else:
                 stack.append(rb.planes[pl].astype(np.int32))
-        # clamp gather bounds to the visible plane area (dav1d mc:980)
-        ssh = ss_hor if pl else 0
-        ssv = ss_ver if pl else 0
         w_vis = (cur_w + ssh) >> ssh
         h_vis = (cur_h + ssv) >> ssv
         ref_stacks.append(jnp.asarray(
             np.stack([s[:h_vis, :w_vis] for s in stack])))
 
-    # --- single-ref MC batches ---
-    hcaches = [dict() for _ in range(n_planes)]  # shared H-plane stacks
+    # --- translational put batches ---
+    hcaches = [dict() for _ in range(n_planes)]
     for pl in range(n_planes):
-        for key, lst in sorted(plans[pl].items()):
+        for key, lst in sorted(plan.put[pl].items()):
             uw, uh, has_h, has_v = key
             arr = np.asarray(lst, np.int32)
             if has_h and has_v:
-                # two-stage path (full-plane H filter + Pallas V pass)
                 out = mc_hv_batch(ref_stacks[pl], arr[:, :6], uw, uh, bd,
                                   False, hcaches[pl])
             else:
@@ -196,44 +482,200 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                 dev_planes[pl], out, jnp.asarray(arr[:, 6]),
                 jnp.asarray(arr[:, 7]), uh, uw)
 
-    # --- compound MC batches: per-side prep into aligned slot buffers,
-    # then a single weighted join (AVG == weight 8, bit-exact) ---
+    # --- warp put batches ---
     for pl in range(n_planes):
-        for (uw, uh), group in sorted(cunits[pl].items()):
+        if not plan.warp_put[pl]:
+            continue
+        rows = np.asarray([r for r, _, _ in plan.warp_put[pl]], np.int32)
+        ys = np.asarray([y for _, y, _ in plan.warp_put[pl]], np.int32)
+        xs = np.asarray([x for _, _, x in plan.warp_put[pl]], np.int32)
+        out = warp8x8_batch(ref_stacks[pl], jnp.asarray(rows), bd, False)
+        dev_planes[pl] = scatter_units(dev_planes[pl], out,
+                                       jnp.asarray(ys), jnp.asarray(xs),
+                                       8, 8)
+
+    # --- scaled put batches ---
+    for pl in range(n_planes):
+        for (uw, uh, ref_i), lst in sorted(plan.scaled_put[pl].items()):
+            rows = np.asarray([r for r, _, _ in lst], np.int32)
+            rows[:, 0] = 0
+            ys = np.asarray([y for _, y, _ in lst], np.int32)
+            xs = np.asarray([x for _, _, x in lst], np.int32)
+            out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
+                                  jnp.asarray(rows), uw, uh,
+                                  2 * uw + 10, 2 * uh + 10, bd, False)
+            dev_planes[pl] = scatter_units(dev_planes[pl], out,
+                                           jnp.asarray(ys),
+                                           jnp.asarray(xs), uh, uw)
+
+    # --- compound batches (luma first: seg chroma masks derive from the
+    # luma preps) ---
+    for pl in range(n_planes):
+        ssh = ss_hor if pl else 0
+        ssv = ss_ver if pl else 0
+        for key, group in sorted(plan.comp[pl].items()):
+            bwp, bhp = key
             N = len(group)
             tmps = []
             for i in (0, 1):
-                tmp = jnp.zeros((N, uh, uw), jnp.int32)
-                # sub-bucket by subpel case, keep slot alignment
-                cases = {}
-                for slot, entry in enumerate(group):
-                    u = entry[i]
-                    cases.setdefault((u[6], u[7]), []).append((slot, u))
-                for (hh, hv), lst in sorted(cases.items()):
+                tmp = jnp.zeros((N, bhp, bwp), jnp.int32)
+                tcases, wunits, sunits = {}, [], {}
+                for slot, e in enumerate(group):
+                    kind, payload = e["sides"][i]
+                    if kind == "t":
+                        ref_i, mv, f2d = payload
+                        tmp2 = {}
+                        _units_for_block_raw(tmp2, pl, ssh, ssv,
+                                             e["dims"], e["pos"][0],
+                                             e["pos"][1], mv, ref_i, f2d,
+                                             whole=True)
+                        (k2, l2), = tmp2.items()
+                        tcases.setdefault(k2[2:4], []).append(
+                            (slot, l2[0]))
+                    elif kind == "w":
+                        for row, sy, sx in payload:
+                            wunits.append((slot, row, sy, sx))
+                    else:
+                        for row, uw, uh, sy, sx in payload:
+                            sunits.setdefault((uw, uh, row[0]),
+                                              []).append(
+                                (slot, row, sy, sx))
+                for (hh, hv), lst in sorted(tcases.items()):
                     arr = np.asarray([u[:6] for _, u in lst], np.int32)
                     slots = jnp.asarray(
                         np.asarray([s for s, _ in lst], np.int32))
-                    if hh and hv:
-                        out = mc_hv_batch(ref_stacks[pl], arr, uw, uh,
-                                          bd, True, hcaches[pl])
-                    else:
-                        out = mc_unit_batch(
-                            (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                             jnp.asarray(arr[:, 1]),
-                             jnp.asarray(arr[:, 2]),
-                             jnp.asarray(arr[:, 3]),
-                             jnp.asarray(arr[:, 4]),
-                             jnp.asarray(arr[:, 5])),
-                            uw, uh, bool(hh), bool(hv), bd, True)
+                    out = mc_unit_batch(
+                        (ref_stacks[pl], jnp.asarray(arr[:, 0]),
+                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
+                         jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
+                         jnp.asarray(arr[:, 5])),
+                        bwp, bhp, bool(hh), bool(hv), bd, True)
                     tmp = tmp.at[slots].set(out)
+                if wunits:
+                    rows = np.asarray([r for _, r, _, _ in wunits],
+                                      np.int32)
+                    out = warp8x8_batch(ref_stacks[pl],
+                                        jnp.asarray(rows), bd, True)
+                    base = np.asarray(
+                        [s * bhp * bwp + sy * bwp + sx
+                         for s, _, sy, sx in wunits], np.int32)
+                    fi = (jnp.asarray(base)[:, None, None] +
+                          jnp.arange(8)[None, :, None] * bwp +
+                          jnp.arange(8)[None, None, :])
+                    tmp = tmp.reshape(-1).at[fi.reshape(-1)].set(
+                        out.reshape(-1)).reshape(N, bhp, bwp)
+                for (uw, uh, ref_i), lst in sorted(sunits.items()):
+                    rows = np.asarray([r for _, r, _, _ in lst],
+                                      np.int32)
+                    rows[:, 0] = 0
+                    out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
+                                          jnp.asarray(rows), uw, uh,
+                                          2 * uw + 10, 2 * uh + 10, bd,
+                                          True)
+                    base = np.asarray(
+                        [s * bhp * bwp + sy * bwp + sx
+                         for s, _, sy, sx in lst], np.int32)
+                    fi = (jnp.asarray(base)[:, None, None] +
+                          jnp.arange(uh)[None, :, None] * bwp +
+                          jnp.arange(uw)[None, None, :])
+                    tmp = tmp.reshape(-1).at[fi.reshape(-1)].set(
+                        out.reshape(-1)).reshape(N, bhp, bwp)
                 tmps.append(tmp)
-            jw = jnp.asarray(np.asarray([e[2] for e in group], np.int32)
-                             )[:, None, None]
-            out = w_avg_batch(tmps[0], tmps[1], jw, bd)
-            ys = jnp.asarray(np.asarray([e[3] for e in group], np.int32))
-            xs = jnp.asarray(np.asarray([e[4] for e in group], np.int32))
+
+            out = jnp.zeros((N, bhp, bwp), jnp.int32)
+            idx_by_kind = {}
+            for slot, e in enumerate(group):
+                idx_by_kind.setdefault(e["join"][0], []).append(slot)
+            for kind, slots in sorted(idx_by_kind.items()):
+                sl = jnp.asarray(np.asarray(slots, np.int32))
+                sgn = jnp.asarray(np.asarray(
+                    [group[s]["sign"] for s in slots], np.int32))
+                t0 = tmps[0][sl]
+                t1 = tmps[1][sl]
+                a = jnp.where(sgn[:, None, None] == 0, t0, t1)
+                bb = jnp.where(sgn[:, None, None] == 0, t1, t0)
+                if kind in ("avg", "wavg"):
+                    w_arr = jnp.asarray(np.asarray(
+                        [group[s]["join"][1] for s in slots],
+                        np.int32))[:, None, None]
+                    res = w_avg_batch(t0, t1, w_arr, bd)
+                elif kind == "seg":
+                    if pl == 0:
+                        res, cm = w_mask_batch(a, bb, sgn, ss_hor,
+                                               ss_ver, bd)
+                        for j, s in enumerate(slots):
+                            group[s]["cmask"] = cm[j]
+                    else:
+                        cms = jnp.stack([group[s]["luma"]["cmask"]
+                                         for s in slots])
+                        res = mask_batch(a, bb, cms, bd)
+                else:  # wedge
+                    if pl == 0:
+                        masks = np.stack([
+                            wedge_mask(0, group[s]["bs"], 0,
+                                       group[s]["join"][1])
+                            [:bhp, :bwp] for s in slots]).astype(np.int32)
+                    else:
+                        chr_idx = ss_hor + ss_ver
+                        masks = np.stack([
+                            wedge_mask(chr_idx, group[s]["bs"],
+                                       group[s]["sign"],
+                                       group[s]["join"][1])
+                            [:bhp, :bwp] for s in slots]).astype(np.int32)
+                    res = mask_batch(a, bb, jnp.asarray(masks), bd)
+                out = out.at[sl].set(res)
+
+            ys = jnp.asarray(np.asarray([e["dst"][0] for e in group],
+                                        np.int32))
+            xs = jnp.asarray(np.asarray([e["dst"][1] for e in group],
+                                        np.int32))
             dev_planes[pl] = scatter_units(dev_planes[pl], out, ys, xs,
-                                           uh, uw)
+                                           bhp, bwp)
+
+    # --- OBMC lap batches (after ALL puts; top phase, then left) ---
+    for phase in (0, 1):
+        for pl in range(n_planes):
+            for (ph_, lh, lw, region), lst in sorted(
+                    plan.laps[pl].items()):
+                if ph_ != phase:
+                    continue
+                lapbuf = jnp.zeros((len(lst), lh, lw), jnp.int32)
+                tcases, sunits = {}, {}
+                for slot, (kind, row, d) in enumerate(lst):
+                    if kind == "t":
+                        tcases.setdefault(tuple(row[6:8]), []).append(
+                            (slot, row[:6]))
+                    else:
+                        sunits.setdefault((row[0],), []).append(
+                            (slot, row))
+                for (hh, hv), l2 in sorted(tcases.items()):
+                    arr = np.asarray([u for _, u in l2], np.int32)
+                    slots = jnp.asarray(
+                        np.asarray([s for s, _ in l2], np.int32))
+                    out = mc_unit_batch(
+                        (ref_stacks[pl], jnp.asarray(arr[:, 0]),
+                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
+                         jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
+                         jnp.asarray(arr[:, 5])),
+                        lw, lh, bool(hh), bool(hv), bd, False)
+                    lapbuf = lapbuf.at[slots].set(out)
+                for (ref_i,), l2 in sorted(sunits.items()):
+                    rows = np.asarray([r for _, r in l2], np.int32)
+                    rows[:, 0] = 0
+                    slots = jnp.asarray(
+                        np.asarray([s for s, _ in l2], np.int32))
+                    out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
+                                          jnp.asarray(rows), lw, lh,
+                                          2 * lw + 10, 2 * lh + 10, bd,
+                                          False)
+                    lapbuf = lapbuf.at[slots].set(out)
+                ys = jnp.asarray(np.asarray([d[0] for _, _, d in lst],
+                                            np.int32))
+                xs = jnp.asarray(np.asarray([d[1] for _, _, d in lst],
+                                            np.int32))
+                dev_planes[pl] = obmc_blend_batch(
+                    dev_planes[pl], lapbuf, ys, xs, lh, lw,
+                    region if phase == 0 else lw, phase == 1)
 
     # --- residual inverse transforms, ALL blocks ---
     # Device-covered inter blocks scatter-add straight onto the plane

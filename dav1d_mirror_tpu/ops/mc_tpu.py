@@ -279,3 +279,222 @@ def scatter_add_units(plane, units, ys, xs, uh, uw, bitdepth):
     cur = plane[yy, xx].astype(jnp.int32)
     out = jnp.clip(cur + units, 0, (1 << bitdepth) - 1)
     return plane.at[yy, xx].set(out.astype(plane.dtype))
+
+
+# ---------------------------------------------------------------------
+# Affine warp: batched 8x8 sub-blocks (dav1d src/mc_tmpl.c
+# warp_affine_8x8:758 / warp_affine_8x8t:793). Each unit gathers a
+# clamped (15,15) source window; the per-pixel filter rows come from the
+# warp filter table indexed by the affine phase (tmx/tmy), evaluated as
+# batched table gathers + shifted multiply-adds.
+# ---------------------------------------------------------------------
+_WARP = np.asarray(TABLES["mc_warp_filter"], np.int32)  # (193, 8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def warp8x8_batch(ref_stack, args, bitdepth, prep):
+    """args: (B, 10) int32 rows [ref, oy, ox, mx, my, a, b, c, d, pad]
+    where (oy, ox) is the window origin (dy-3, dx-3) and mx/my the
+    per-unit phase bases. Returns (B, 8, 8): pixels or prep tmp."""
+    ref_idx = args[:, 0]
+    oy, ox = args[:, 1], args[:, 2]
+    mx, my = args[:, 3], args[:, 4]
+    al, be, ga, de = args[:, 5], args[:, 6], args[:, 7], args[:, 8]
+    H, W = ref_stack.shape[1], ref_stack.shape[2]
+    ib = _ibits(bitdepth)
+    bias = 0 if bitdepth == 8 else 8192
+    bd_max = (1 << bitdepth) - 1
+    wf = jnp.asarray(_WARP)
+
+    ys = jnp.clip(oy[:, None] + jnp.arange(15)[None, :], 0, H - 1)
+    xs = jnp.clip(ox[:, None] + jnp.arange(15)[None, :], 0, W - 1)
+    win = ref_stack[ref_idx[:, None, None], ys[:, :, None],
+                    xs[:, None, :]].astype(jnp.int32)
+
+    yv = jnp.arange(15, dtype=jnp.int32)[None, :, None]
+    xv = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    # horizontal: tmx(y, x) = mx + x*alpha + y*beta
+    tmx = mx[:, None, None] + xv * al[:, None, None] + \
+        yv * be[:, None, None]
+    fh = wf[64 + ((tmx + 512) >> 10)]            # (B, 15, 8, 8)
+    hsum = fh[..., 0] * win[:, :, 0:8]
+    for k in range(1, 8):
+        hsum = hsum + fh[..., k] * win[:, :, k:k + 8]
+    mid = (hsum + ((1 << (7 - ib)) >> 1)) >> (7 - ib)   # (B, 15, 8)
+
+    yv8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+    tmy = my[:, None, None] + xv * ga[:, None, None] + \
+        yv8 * de[:, None, None]
+    fv = wf[64 + ((tmy + 512) >> 10)]            # (B, 8, 8, 8)
+    vsum = fv[..., 0] * mid[:, 0:8]
+    for k in range(1, 8):
+        vsum = vsum + fv[..., k] * mid[:, k:k + 8]
+    if prep:
+        return ((vsum + 64) >> 7) - bias
+    return jnp.clip((vsum + ((1 << (7 + ib)) >> 1)) >> (7 + ib), 0,
+                    bd_max)
+
+
+# ---------------------------------------------------------------------
+# masked compound joins (dav1d mc_tmpl.c mask:620 / w_mask:683) and
+# OBMC blends (blend_v:655 / blend_h:668)
+# ---------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def w_mask_batch(tmp1, tmp2, sign, ss_hor: int, ss_ver: int,
+                 bitdepth: int):
+    """tmp1/tmp2: (B, h, w) prep-domain (tmp1 = mask_sign side).
+    Returns (pixels (B, h, w), chroma mask (B, h>>ssv, w>>ssh))."""
+    ib = _ibits(bitdepth)
+    sh = ib + 6
+    bias = 0 if bitdepth == 8 else 8192
+    rnd = (32 << ib) + bias * 64
+    mask_sh = bitdepth + ib - 4
+    mask_rnd = 1 << (mask_sh - 5)
+    t1 = tmp1.astype(jnp.int32)
+    t2 = tmp2.astype(jnp.int32)
+    m = jnp.minimum(38 + ((jnp.abs(t1 - t2) + mask_rnd) >> mask_sh), 64)
+    dst = jnp.clip((t1 * m + t2 * (64 - m) + rnd) >> sh, 0,
+                   (1 << bitdepth) - 1).astype(jnp.int32)
+    if ss_hor:
+        mpair = m[:, :, 0::2] + m[:, :, 1::2]
+        if ss_ver:
+            mm = (mpair[:, 0::2] + mpair[:, 1::2] + 2 -
+                  sign[:, None, None]) >> 2
+        else:
+            mm = (mpair + 1 - sign[:, None, None]) >> 1
+    else:
+        mm = m
+    return dst, mm.astype(jnp.int32)
+
+
+_OBMC_MASKS = np.asarray(TABLES["obmc_masks"], np.int32)  # (64,)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def obmc_blend_batch(plane, laps, ys, xs, lap_h: int, lap_w: int,
+                     region: int, vert: bool):
+    """Blend (B, lap_h, lap_w) lap predictions into the plane at
+    (ys, xs) (dav1d blend_v:655 / blend_h:668). vert=True: left-
+    neighbour laps, mask over the first 3*region/4 columns (region ==
+    lap_w); else top-neighbour laps, mask over the first 3*region/4
+    rows (region == the blend area height, which can exceed lap_h's
+    source rows never used)."""
+    if vert:
+        ww = (region * 3) >> 2
+        m = np.zeros((1, 1, lap_w), np.int32)
+        m[0, 0, :ww] = _OBMC_MASKS[region:region + ww]
+    else:
+        hh = (region * 3) >> 2
+        m = np.zeros((1, lap_h, 1), np.int32)
+        m[0, :hh, 0] = _OBMC_MASKS[region:region + hh]
+    m = jnp.asarray(m)
+    reg = gather_units(plane, ys, xs, lap_h, lap_w)
+    out = (reg * (64 - m) + laps * m + 32) >> 6
+    return scatter_units(plane, out, ys, xs, lap_h, lap_w)
+
+
+# ---------------------------------------------------------------------
+# scaled-reference MC (dav1d mc_tmpl.c put/prep_8tap_scaled:172/287):
+# per-pixel source stepping expressed as closed-form index/phase arrays
+# (xoff(x) = (posx_frac + x*dx) >> 10 etc.) over a clamped window gather.
+# ---------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def mc_scaled_batch(ref_stack, args, uw: int, uh: int, win_w: int,
+                    win_h: int, bitdepth: int, prep: bool):
+    """args: (B, 9) [ref, top, left, mxf, myf, dx, dy, f2d, pad]; the
+    window is gathered at (top-3, left-3) size (win_h, win_w);
+    mxf/myf = pos & 0x3FF. Returns (B, uh, uw)."""
+    ref_idx = args[:, 0]
+    top, left = args[:, 1], args[:, 2]
+    mxf, myf = args[:, 3], args[:, 4]
+    dx, dy = args[:, 5], args[:, 6]
+    f2d = args[:, 7]
+    H, W = ref_stack.shape[1], ref_stack.shape[2]
+    B = args.shape[0]
+    ib = _ibits(bitdepth)
+    bias = 0 if bitdepth == 8 else 8192
+    irnd = (1 << ib) >> 1
+    bd_max = (1 << bitdepth) - 1
+
+    ys = jnp.clip(top[:, None] - 3 + jnp.arange(win_h)[None, :], 0, H - 1)
+    xs = jnp.clip(left[:, None] - 3 + jnp.arange(win_w)[None, :], 0,
+                  W - 1)
+    win = ref_stack[ref_idx[:, None, None], ys[:, :, None],
+                    xs[:, None, :]].astype(jnp.int32)
+
+    th = jnp.asarray(_F2D[:, 0])[f2d]
+    tv = jnp.asarray(_F2D[:, 1])[f2d]
+
+    # ---- horizontal pass: mid (B, win_h, uw) ----
+    x = jnp.arange(uw, dtype=jnp.int32)[None, :]
+    phx = mxf[:, None] + x * dx[:, None]          # (B, uw)
+    xoff = phx >> 10
+    subx = (phx & 0x3FF) >> 6
+    fh = _filters_for(jnp.repeat(th[:, None], uw, 1).reshape(-1),
+                      jnp.maximum(subx, 1).reshape(-1),
+                      uw <= 4).reshape(B, uw, 8)
+    ids = (xoff[:, None, :, None] +
+           jnp.arange(8, dtype=jnp.int32)[None, None, None, :])
+    ids = jnp.clip(ids, 0, win_w - 1)
+    taps = jnp.take_along_axis(
+        win,
+        jnp.broadcast_to(ids.reshape(B, 1, uw * 8), (B, win_h, uw * 8)),
+        axis=2).reshape(B, win_h, uw, 8)
+    filt = jnp.sum(taps * fh[:, None, :, :], axis=3)
+    filt = (filt + ((1 << (6 - ib)) >> 1)) >> (6 - ib)
+    copy = taps[..., 3] << ib
+    mid = jnp.where((subx == 0)[:, None, :], copy, filt)
+
+    # ---- vertical pass ----
+    y = jnp.arange(uh, dtype=jnp.int32)[None, :]
+    phy = myf[:, None] + y * dy[:, None]
+    yoff = phy >> 10
+    suby = (phy & 0x3FF) >> 6
+    fv = _filters_for(jnp.repeat(tv[:, None], uh, 1).reshape(-1),
+                      jnp.maximum(suby, 1).reshape(-1),
+                      uh <= 4).reshape(B, uh, 8)
+    idsv = (yoff[:, :, None] +
+            jnp.arange(8, dtype=jnp.int32)[None, None, :])
+    idsv = jnp.clip(idsv, 0, win_h - 1)
+    tapsv = jnp.take_along_axis(
+        mid,
+        jnp.broadcast_to(idsv.reshape(B, uh * 8, 1), (B, uh * 8, uw)),
+        axis=1).reshape(B, uh, 8, uw)
+    vfilt = jnp.sum(tapsv * fv[:, :, :, None], axis=2)
+    vcopy = tapsv[:, :, 3, :]
+    if prep:
+        out = jnp.where((suby == 0)[:, :, None], vcopy - bias,
+                        ((vfilt + 32) >> 6) - bias)
+    else:
+        out = jnp.where(
+            (suby == 0)[:, :, None],
+            jnp.clip((vcopy + irnd) >> ib, 0, bd_max),
+            jnp.clip((vfilt + ((1 << (6 + ib)) >> 1)) >> (6 + ib), 0,
+                     bd_max))
+    return out
+
+
+# ---------------------------------------------------------------------
+# horizontal super-res resample (dav1d src/mc_tmpl.c resize:877).
+# step/mx0 are frame constants, so the per-output-pixel source indices
+# and filter rows are STATIC: the kernel reduces to one static gather +
+# an 8-tap contraction.
+# ---------------------------------------------------------------------
+_RESIZE = np.asarray(TABLES["resize_filter"], np.int32)  # (64, 8)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def resize_plane_tpu(src, out_w: int, src_w: int, step: int, mx0: int,
+                     bitdepth: int):
+    """src: (h, >= src_w) int32. Returns (h, out_w) pixels."""
+    xs = np.arange(out_w, dtype=np.int64)
+    phase = mx0 + xs * step
+    src_x = -1 + (phase >> 14)
+    fidx = ((phase & 0x3FFF) >> 8).astype(np.int32)
+    idx = np.clip(src_x[:, None] + np.arange(-3, 5)[None, :], 0,
+                  src_w - 1).astype(np.int32)          # (out_w, 8)
+    f = jnp.asarray(_RESIZE[fidx])                     # (out_w, 8)
+    g = src[:, jnp.asarray(idx.reshape(-1))].reshape(
+        src.shape[0], out_w, 8)
+    acc = jnp.sum(g * f[None], axis=2)
+    return jnp.clip((-acc + 64) >> 7, 0, (1 << bitdepth) - 1)

@@ -28,6 +28,10 @@ CASES = [
     ("interintra-mix", 9104, dict(interintra=1)),
     ("10bit", 9105, dict(bitdepth=10, comp=True)),
     ("444", 9106, dict(layout=h.PIXEL_LAYOUT_I444)),
+    ("sub8x8", 9108, dict(w=72, hh=36)),
+    ("warp-obmc-dense", 9110, dict(w=128, hh=96, warp=True,
+                                   swmotion=True)),
+    ("seg-wedge-10bit", 9111, dict(comp=True, masked=1, bitdepth=10)),
     ("full-device-pipe", 9107, dict(lf=(28, 28, 20, 20, 1),
                                     tpu_filters=True, comp=True)),
 ]
@@ -65,3 +69,51 @@ def _run(tag, seed, w=64, hh=64, q=100, n_inter=2, comp=False,
 def test_tpu_inter_bit_exact(ci):
     tag, seed, kw = CASES[ci]
     _run(tag, seed, **kw)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(sr=12, txsw=True),
+    dict(sr=16, w=128, h=96, comp=True, lf=(24, 24, 16, 16, 1)),
+])
+def test_tpu_inter_scaled_refs(cfg):
+    """Scaled-reference MC (super-res refs) on device, vs host recon,
+    with zero host-fallback inter blocks."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    import test_e2e_inter as tei
+    import dav1d_mirror_tpu.models.tpu_inter as ti
+    import dav1d_mirror_tpu.api as api
+    from dav1d_mirror_tpu.host.demux import parse_ivf
+    from dav1d_mirror_tpu.host.ivf import split_obus
+    from dav1d_mirror_tpu.output import MD5Muxer
+
+    seq, ivf, _ = tei.build_stream(cfg, seed=777)
+    fallbacks = []
+    orig = ti._block_device_class
+
+    def spy(fhdr, coder, b, refs, cur_w, cur_h):
+        r = orig(fhdr, coder, b, refs, cur_w, cur_h)
+        if not b.intra and r is None and not b.interintra_type and \
+                fhdr.frame_type not in (0, 2):
+            fallbacks.append(b)
+        return r
+
+    def md5_of(**settings):
+        d = api.Decoder(api.Settings(**settings))
+        mux = MD5Muxer()
+        _, _, _, frames = parse_ivf(ivf)
+        for fr in frames:
+            d.send_obus([o for _, o in split_obus(fr.data)])
+            while (p := d.get_picture()) is not None:
+                mux.write(p)
+        return mux.digest()
+
+    ref = md5_of()
+    ti._block_device_class = spy
+    try:
+        got = md5_of(use_tpu_inter=True, use_tpu_filters=True)
+    finally:
+        ti._block_device_class = orig
+    assert got == ref
+    assert not fallbacks
