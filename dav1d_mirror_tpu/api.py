@@ -112,11 +112,31 @@ class Decoder:
         self.s = settings or Settings()
         if self.s.frame_size_limit and self.s.frame_size_limit < 0:
             raise ValueError("invalid frame_size_limit")
+        # frame pipelining (dav1d frame threading re-expressed as
+        # host-entropy(N+1) || device-pixels(N) software pipelining):
+        # a single in-order pixel worker; entropy and all reference-state
+        # updates stay on the caller thread (they only depend on entropy).
+        self._pipe = None
+        self._inflight = []
+        if self.s.n_threads > 1 or self.s.max_frame_delay > 1:
+            import concurrent.futures as _cf
+            self._pipe = _cf.ThreadPoolExecutor(max_workers=1)
+            self._frame_delay = max(self.s.max_frame_delay, 2)
         self.flush()
 
     # -- lifecycle ---------------------------------------------------------
+    def _drain_pipe(self):
+        if self._pipe is not None:
+            for f in self._inflight:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            self._inflight = []
+
     def flush(self):
         """dav1d_flush: drop in-flight state, keep the sequence header."""
+        self._drain_pipe()
         seq = getattr(self, "_st", None) and self._st.seq_hdr
         self._st = obu_mod.ObuState()
         self._st.seq_hdr = seq
@@ -133,6 +153,10 @@ class Decoder:
         self.last_error = None        # dav1d_get_decode_error_data_props
 
     def close(self):
+        self._drain_pipe()
+        if self._pipe is not None:
+            self._pipe.shutdown(wait=True)
+            self._pipe = None
         self._out = []
         self._refs = [None] * 8
 
@@ -198,41 +222,61 @@ class Decoder:
 
     # -- output ------------------------------------------------------------
     def get_picture(self) -> Picture | None:
-        if self._out:
-            return self._out.pop(0)
-        return None
+        if not self._out:
+            return None
+        p = self._out.pop(0)
+        fut = getattr(p, "_ready", None)
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception as e:  # contained like synchronous errors
+                self.last_error = e
+                raise DecodeError(str(e)) from e
+            p._ready = None
+        return p
 
     # -- internals ---------------------------------------------------------
     def _emit(self, bufs, fhdr):
         seq = self._st.seq_hdr
-        planes = bufs.planes
-        if self.s.apply_grain and fhdr.film_grain_present:
-            from .utils.trace import trace_scope
-            if self.s.use_tpu_filters:
-                from .ops.filmgrain_tpu import apply_film_grain_tpu \
-                    as apply_film_grain
-            else:
-                from .ops.ref.filmgrain import apply_film_grain
-            with trace_scope("film-grain"):
-                planes = apply_film_grain(planes, seq, fhdr, bufs.width,
-                                          bufs.height)
-        w, hgt = bufs.width, bufs.height
-        vis = [planes[0][:hgt, :w]]
-        if len(planes) > 1:
-            cw = (w + bufs.ss_hor) >> bufs.ss_hor
-            ch = (hgt + bufs.ss_ver) >> bufs.ss_ver
-            vis += [p[:ch, :cw] for p in planes[1:]]
         st = self._st
         t35 = tuple(st.itut_t35)
         st.itut_t35 = []
         new_tu = st.new_temporal_unit
         st.new_temporal_unit = False
-        self._queue_out(Picture(tuple(vis), width=w, height=hgt,
-                                bitdepth=seq.bitdepth, layout=seq.layout,
-                                frame_hdr=fhdr, seq_hdr=seq,
-                                content_light=st.content_light,
-                                mastering_display=st.mastering_display,
-                                itut_t35=t35, new_temporal_unit=new_tu))
+        w, hgt = bufs.width, bufs.height
+        pic = Picture((), width=w, height=hgt,
+                      bitdepth=seq.bitdepth, layout=seq.layout,
+                      frame_hdr=fhdr, seq_hdr=seq,
+                      content_light=st.content_light,
+                      mastering_display=st.mastering_display,
+                      itut_t35=t35, new_temporal_unit=new_tu)
+        settings = self.s
+
+        def finalize():
+            planes = bufs.planes
+            if settings.apply_grain and fhdr.film_grain_present:
+                from .utils.trace import trace_scope
+                if settings.use_tpu_filters:
+                    from .ops.filmgrain_tpu import apply_film_grain_tpu \
+                        as apply_film_grain
+                else:
+                    from .ops.ref.filmgrain import apply_film_grain
+                with trace_scope("film-grain"):
+                    planes = apply_film_grain(planes, seq, fhdr,
+                                              bufs.width, bufs.height)
+            vis = [planes[0][:hgt, :w]]
+            if len(planes) > 1:
+                cw = (w + bufs.ss_hor) >> bufs.ss_hor
+                ch = (hgt + bufs.ss_ver) >> bufs.ss_ver
+                vis += [p[:ch, :cw] for p in planes[1:]]
+            pic.planes = tuple(vis)
+
+        if self._pipe is not None:
+            # ordered after the frame's pixel job on the 1-worker queue
+            pic._ready = self._pipe.submit(finalize)
+        else:
+            finalize()
+        self._queue_out(pic)
 
     def _queue_out(self, p):
         """Spatial-layer output gating (dav1d lib.c
@@ -389,36 +433,61 @@ class Decoder:
                         coder.code_tile()
                     coders.append(coder)
 
-        bufs = rd.FrameBuffers(seq, fhdr)
+        # The pixel stage only depends on this frame's entropy outputs
+        # and on REFERENCE PIXELS, which the in-order pixel worker has
+        # produced by the time this job runs; every piece of reference
+        # STATE (CDFs, tmvs, segmaps, pocs) is an entropy-stage product
+        # and is updated synchronously below — that is dav1d's frame
+        # threading (lowest_pixel gating, thread_task.c:403-431) reborn
+        # as host-entropy(N+1) || device-pixels(N) software pipelining.
+        final_bufs = rd.FrameBuffers(seq, fhdr, width=fhdr.width[1])
+        refs_snapshot = list(refs)
         pure_intra = all(b.intra for c in coders for b in c.blocks)
-        with trace_scope("reconstruction"):
-            if self.s.use_tpu_inter and pure_intra:
-                # wavefront device intra engine (models/tpu_intra):
-                # batched itx + edge-build + all predictors on device
-                from .models.tpu_intra import recon_intra_frame_tpu
-                recon_intra_frame_tpu(seq, fhdr, coders, bufs)
-            elif self.s.use_tpu_inter:
-                from .models.tpu_inter import recon_frame_tpu
-                recon_frame_tpu(seq, fhdr, coders, bufs, refs,
-                                jnt_weights)
-            else:
-                rd.recon_frame(seq, fhdr, coders, bufs, refs,
-                               jnt_weights)
-        if self.s.use_tpu_filters:
-            # device filter chain honors partial inloop_filters masks and
-            # super-resolution (device resize kernel)
-            from .models.tpu_filters import apply_inloop_filters_tpu
-            with trace_scope("inloop-filters"):
-                bufs = apply_inloop_filters_tpu(
-                    seq, fhdr, coders, bufs,
-                    filters_mask=self.s.inloop_filters)
-        else:
-            with trace_scope("inloop-filters"):
-                bufs = rd.apply_inloop_filters(
-                    seq, fhdr, coders, bufs,
-                    filters_mask=self.s.inloop_filters)
+        settings = self.s
 
-        # reference slot updates
+        def pixel_work():
+            if fhdr.width[0] == fhdr.width[1]:
+                work = final_bufs
+            else:
+                work = rd.FrameBuffers(seq, fhdr)  # pre-super-res width
+            with trace_scope("reconstruction"):
+                if settings.use_tpu_inter and pure_intra:
+                    # wavefront device intra engine (models/tpu_intra)
+                    from .models.tpu_intra import recon_intra_frame_tpu
+                    recon_intra_frame_tpu(seq, fhdr, coders, work)
+                elif settings.use_tpu_inter:
+                    from .models.tpu_inter import recon_frame_tpu
+                    recon_frame_tpu(seq, fhdr, coders, work,
+                                    refs_snapshot, jnt_weights)
+                else:
+                    rd.recon_frame(seq, fhdr, coders, work,
+                                   refs_snapshot, jnt_weights)
+            if settings.use_tpu_filters:
+                from .models.tpu_filters import apply_inloop_filters_tpu
+                with trace_scope("inloop-filters"):
+                    out = apply_inloop_filters_tpu(
+                        seq, fhdr, coders, work,
+                        filters_mask=settings.inloop_filters)
+            else:
+                with trace_scope("inloop-filters"):
+                    out = rd.apply_inloop_filters(
+                        seq, fhdr, coders, work,
+                        filters_mask=settings.inloop_filters)
+            if out is not final_bufs:
+                for i in range(len(final_bufs.planes)):
+                    final_bufs.planes[i][...] = out.planes[i]
+            return final_bufs
+
+        if self._pipe is not None:
+            fut = self._pipe.submit(pixel_work)
+            self._inflight.append(fut)
+            while len(self._inflight) > self._frame_delay:
+                self._inflight.pop(0).result()
+        else:
+            pixel_work()
+        bufs = final_bufs
+
+        # reference slot updates (entropy-stage products)
         out_cdf = cdf_thread_update(cdf_in,
                                     coders[fhdr.tiling.update].cdf,
                                     keyframe) if fhdr.refresh_context \

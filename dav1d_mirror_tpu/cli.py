@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--skip", type=int, default=0,
                    help="skip decoding of the first N temporal units")
     p.add_argument("--threads", type=int, default=0)
+    p.add_argument("--framedelay", type=int, default=0,
+                   help="frames in flight for the entropy/pixel "
+                        "pipeline (>1 enables it)")
     p.add_argument("--filmgrain", type=int, default=None,
                    help="enable film grain application (default: 1, "
                         "except if muxer is md5 — matches the reference "
@@ -87,6 +90,7 @@ def main(argv=None):
 
     settings = Settings(
         n_threads=args.threads,
+        max_frame_delay=args.framedelay,
         apply_grain=bool(args.filmgrain),
         operating_point=args.oppoint,
         all_layers=bool(args.alllayers),

@@ -95,3 +95,37 @@ def test_seek_flush_restart_at_keyframe():
     for a, b in zip(tail, full[n1:]):
         for pa, pb in zip(a.planes, b.planes):
             assert np.array_equal(pa, pb)
+
+
+def test_pipelined_decode_matches_sync():
+    """Frame pipelining (host-entropy(N+1) || pixels(N)) is bit-exact
+    and preserves output order/count (dav1d frame threading analogue)."""
+    import numpy as np
+    from dav1d_mirror_tpu.api import Decoder, Settings
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+    from dav1d_mirror_tpu.output import MD5Muxer
+    from pathlib import Path
+    ivf = (Path(__file__).parent / "streams" / "inter_basic.ivf"
+           ).read_bytes()
+
+    def run(**kw):
+        d = Decoder(Settings(logger=None, **kw))
+        mux = MD5Muxer()
+        _, units = open_demuxer(ivf)
+        n = 0
+        for u in units:
+            d.send_obus(u)
+            while (p := d.get_picture()) is not None:
+                mux.write(p)
+                n += 1
+        d.drain()
+        while (p := d.get_picture()) is not None:
+            mux.write(p)
+            n += 1
+        d.close()
+        return mux.digest(), n
+
+    m0, n0 = run()
+    m1, n1 = run(max_frame_delay=3)
+    m2, n2 = run(n_threads=4)
+    assert (m0, n0) == (m1, n1) == (m2, n2)
