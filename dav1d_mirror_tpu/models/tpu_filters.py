@@ -303,3 +303,64 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     for i, p in enumerate(planes):
         bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
     return bufs
+
+
+def cdef_banded(mesh, seq, fhdr, bufs, planes, cdef_idx_map, noskip):
+    """CDEF with the per-pixel filter row-band-sharded over the mesh
+    (parallel/filter_shard.band_cdef_plane): the per-8x8 direction and
+    strength maps are derived exactly as in ops/cdef_tpu.cdef_frame_tpu,
+    then each plane filters its bands with a 2-row ppermute halo."""
+    from ..ops.cdef_tpu import (cdef_dir_tpu, adjust_strength_v,
+                                UV_DIRS_TBL)
+    from ..parallel.filter_shard import band_cdef_plane
+    import jax.numpy as jnp
+
+    bitdepth = seq.bitdepth
+    bd_m8 = bitdepth - 8
+    damping = fhdr.cdef_damping + bd_m8
+    ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
+    monochrome = seq.layout == 0
+    bh4, bw4 = noskip.shape
+    h8, w8 = (bh4 + 1) // 2, (bw4 + 1) // 2
+
+    idx8 = np.repeat(np.repeat(np.asarray(cdef_idx_map), 8, 0), 8, 1)
+    idx8 = idx8[:h8, :w8]
+    ns = np.asarray(noskip)
+    if bh4 % 2 or bw4 % 2:
+        ns = np.pad(ns, ((0, bh4 % 2), (0, bw4 % 2)))
+    ns8 = ns.reshape(h8, 2, w8, 2).any(axis=(1, 3))
+    valid = (idx8 >= 0) & ns8
+    sel = np.maximum(idx8, 0)
+    y_lvl = np.asarray(fhdr.cdef_y_strength, np.int32)[sel]
+    uv_lvl = np.asarray(fhdr.cdef_uv_strength, np.int32)[sel]
+    valid = valid & ((y_lvl > 0) | (uv_lvl > 0))
+    y_pri = (y_lvl >> 2) << bd_m8
+    y_sec0 = y_lvl & 3
+    y_sec = (y_sec0 + (y_sec0 == 3)) << bd_m8
+    uv_pri = (uv_lvl >> 2) << bd_m8
+    uv_sec0 = uv_lvl & 3
+    uv_sec = (uv_sec0 + (uv_sec0 == 3)) << bd_m8
+
+    dirm, varm = cdef_dir_tpu(jnp.asarray(planes[0], jnp.int32), h8, w8,
+                              bitdepth)
+    dirm = np.asarray(dirm)
+    y_adj = np.asarray(adjust_strength_v(jnp.asarray(y_pri), varm))
+    pri_map = np.where(y_pri > 0, y_adj, 0)
+    dir_y = np.where(y_pri > 0, dirm, 0)
+    act_y = valid & (y_lvl > 0)
+    out = [band_cdef_plane(mesh, np.asarray(planes[0], np.int32), dir_y,
+                           pri_map, np.where(act_y, y_sec, 0), damping,
+                           act_y, bitdepth, 8, 8)]
+    if not monochrome and len(planes) > 1:
+        uvd = UV_DIRS_TBL[1 if (ss_hor and not ss_ver) else 0]
+        dir_uv = np.where(uv_pri > 0, uvd[dirm], 0)
+        act_uv = valid & (uv_lvl > 0)
+        for pl in (1, 2):
+            out.append(band_cdef_plane(
+                mesh, np.asarray(planes[pl], np.int32), dir_uv,
+                np.where(act_uv, uv_pri, 0),
+                np.where(act_uv, uv_sec, 0), damping - 1, act_uv,
+                bitdepth, 8 >> ss_hor, 8 >> ss_ver))
+    else:
+        out.extend(planes[1:])
+    return out

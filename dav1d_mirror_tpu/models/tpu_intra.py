@@ -598,12 +598,12 @@ def _sel(parts, pl):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def intra_scan(planes, res, main_plan, filt_plan, bitdepth, ss_hor,
-               ss_ver, n_planes):
+def intra_scan_impl(planes, res, main_plan, filt_plan, bitdepth, ss_hor,
+                    ss_ver, n_planes):
     """planes/res: tuples of padded int32 planes, ALL luma-padded shape.
     main_plan: (n_waves, K, NPARAMS); filt_plan: (n_waves, Kf, NPARAMS).
-    Returns the reconstructed padded planes."""
+    Returns the reconstructed padded planes. Traceable (used directly
+    under shard_map by parallel/tile_decode)."""
     bd_max = (1 << bitdepth) - 1
     predp = jnp.zeros_like(planes[0])  # filter-intra prediction plane
 
@@ -679,6 +679,9 @@ def intra_scan(planes, res, main_plan, filt_plan, bitdepth, ss_hor,
     (planes, _), _ = jax.lax.scan(step, (planes, predp),
                                   (main_plan, filt_plan))
     return planes
+
+
+intra_scan = jax.jit(intra_scan_impl, static_argnums=(4, 5, 6, 7))
 
 
 # ------------------------------------------------------------------
