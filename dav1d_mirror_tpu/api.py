@@ -75,6 +75,14 @@ class Settings:
     # TPU pipeline routing
     use_tpu_filters: bool = False
     use_tpu_inter: bool = False
+    # Route intra-only frames through the wavefront device intra engine
+    # (models/tpu_intra). Bit-exact and mesh-shardable, but its
+    # lax.scan over dependency waves pays XLA's fixed per-op dispatch
+    # cost hundreds of times per frame, so on current hardware the
+    # hybrid path (host prediction + device residuals/filters) is
+    # faster; flip this on for the sharded multi-tile path or once the
+    # scan is fused into a single Pallas kernel.
+    use_tpu_intra_engine: bool = False
 
 
 @dataclass
@@ -451,7 +459,8 @@ class Decoder:
             else:
                 work = rd.FrameBuffers(seq, fhdr)  # pre-super-res width
             with trace_scope("reconstruction"):
-                if settings.use_tpu_inter and pure_intra:
+                if settings.use_tpu_inter and pure_intra and \
+                        settings.use_tpu_intra_engine:
                     # wavefront device intra engine (models/tpu_intra)
                     from .models.tpu_intra import recon_intra_frame_tpu
                     recon_intra_frame_tpu(seq, fhdr, coders, work)

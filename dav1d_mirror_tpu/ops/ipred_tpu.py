@@ -54,6 +54,9 @@ PAL_MODE = 15
 NPARAMS = 60
 
 _SM_WEIGHTS = jnp.asarray(np.asarray(TABLES["sm_weights"], np.int32))
+# padded so w+ox..+16 windows stay in-bounds for any (w<=64, ox<=48)
+_SM_WEIGHTS_PAD = jnp.asarray(np.concatenate(
+    [np.asarray(TABLES["sm_weights"], np.int32), np.zeros(32, np.int32)]))
 
 
 def _filter_taps():
@@ -68,13 +71,44 @@ def _filter_taps():
     return out
 
 
-_FILTER_TAPS = jnp.asarray(_filter_taps())
+_FILTER_TAPS_NP = _filter_taps()
+_FILTER_TAPS = jnp.asarray(_FILTER_TAPS_NP)
 
-_EDGE_KERNELS = jnp.asarray(
-    np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]],
-             np.int32))
+_EDGE_KERNELS_NP = np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0],
+                             [2, 4, 4, 4, 2]], np.int32)
+_EDGE_KERNELS = jnp.asarray(_EDGE_KERNELS_NP)
 
 C = 128  # edge-buffer center
+
+
+# ------------------------------------------------------------------
+# gather-free vector indexing
+#
+# TPU dynamic gathers carry a large fixed per-op cost (~70us even for a
+# 256-element take), and the predictors index small edge vectors dozens
+# of times per unit. Every traced-index lookup therefore goes through a
+# one-hot contraction instead: values here are < 2^24, so a float32
+# matmul reproduces the integer exactly, and the MXU eats the whole
+# batch in one fused op.
+# ------------------------------------------------------------------
+def _take(vec, idx, n):
+    """vec: (n,) int32; idx: scalar or (...) int32 pre-clipped to
+    [0, n-1]. Returns vec[idx] elementwise, exact (values < 2^24)."""
+    idx = jnp.asarray(idx)
+    oh = jax.nn.one_hot(idx.reshape(-1), n, dtype=jnp.float32)
+    flat = jnp.matmul(oh, vec.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    return flat.reshape(idx.shape).astype(jnp.int32)
+
+
+def _take_t(table, idx):
+    """static int table (n, ...); idx traced scalar or (...)."""
+    tn = np.asarray(table)
+    t = jnp.asarray(tn.reshape(tn.shape[0], -1), jnp.float32)
+    idx = jnp.asarray(idx)
+    oh = jax.nn.one_hot(idx.reshape(-1), tn.shape[0], dtype=jnp.float32)
+    out = jnp.matmul(oh, t, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + tn.shape[1:]).astype(jnp.int32)
 
 
 # ------------------------------------------------------------------
@@ -95,37 +129,36 @@ def edge_build(top_strip, left_strip, p, bitdepth):
     # ---- left column (edge[C-1-j] = left[j], j = 0..127) ----
     j = jnp.arange(128, dtype=jnp.int32)
     szl = p[P_H]
-    # main left: j < szl
-    main = left_strip[1 + jnp.minimum(j, p[P_PXH_LEFT] - 1)]
-    main = jnp.where(have_left > 0, main, fill_left)
-    # bottom-left: j >= szl
-    jj = j - szl
-    bl = left_strip[1 + szl + jnp.minimum(jj, p[P_PXH_BL] - 1)]
-    # !have_bl -> replicate left[szl-1]
-    last_main = jnp.where(have_left > 0,
-                          left_strip[1 + jnp.minimum(szl - 1,
-                                                     p[P_PXH_LEFT] - 1)],
-                          fill_left)
-    bl = jnp.where(p[P_PXH_BL] > 0, bl, last_main)
+    # combined strip index for main-left / bottom-left / replication:
+    # j < szl -> 1 + min(j, pxh_left-1); j >= szl and have_bl ->
+    # 1 + szl + min(j - szl, pxh_bl-1); else replicate left[szl-1]
+    last_idx = 1 + jnp.minimum(szl - 1, p[P_PXH_LEFT] - 1)
+    li = jnp.where(j < szl, 1 + jnp.minimum(j, p[P_PXH_LEFT] - 1),
+                   jnp.where(p[P_PXH_BL] > 0,
+                             1 + szl + jnp.minimum(j - szl,
+                                                   p[P_PXH_BL] - 1),
+                             last_idx))
+    lvals = _take(left_strip, jnp.clip(li, 0, 129), 130)
+    # !have_left -> the whole region (incl. bottom-left, which requires
+    # have_left) is the fill value
     leftv = jnp.where((p[P_NEEDS_LEFT] > 0) &
                       (j < jnp.where(p[P_NEEDS_BL] > 0, 2 * szl, szl)),
-                      jnp.where(j < szl, main, bl), 0)
+                      jnp.where(have_left > 0, lvals, fill_left), 0)
 
     # ---- top row (edge[C+1+i] = top[i], i = 0..127) ----
     i = jnp.arange(128, dtype=jnp.int32)
     szt = p[P_W]
-    tmain = top_strip[1 + jnp.minimum(i, p[P_PXH_TOP] - 1)]
-    tmain = jnp.where(have_top > 0, tmain, fill_top)
-    ii = i - szt
-    tr = top_strip[1 + szt + jnp.minimum(ii, p[P_PXH_TR] - 1)]
-    tlast = jnp.where(have_top > 0,
-                      top_strip[1 + jnp.minimum(szt - 1,
-                                                p[P_PXH_TOP] - 1)],
-                      fill_top)
-    tr = jnp.where(p[P_PXH_TR] > 0, tr, tlast)
+    tlast_idx = 1 + jnp.minimum(szt - 1, p[P_PXH_TOP] - 1)
+    ti = jnp.where(i < szt, 1 + jnp.minimum(i, p[P_PXH_TOP] - 1),
+                   jnp.where(p[P_PXH_TR] > 0,
+                             1 + szt + jnp.minimum(i - szt,
+                                                   p[P_PXH_TR] - 1),
+                             tlast_idx))
+    tvals = _take(top_strip, jnp.clip(ti, 0, 129), 130)
+    topv = jnp.where(have_top > 0, tvals, fill_top)
     topv = jnp.where((p[P_NEEDS_TOP] > 0) &
                      (i < jnp.where(p[P_NEEDS_TR] > 0, 2 * szt, szt)),
-                     jnp.where(i < szt, tmain, tr), 0)
+                     topv, 0)
 
     # ---- topleft ----
     tl_have_l = jnp.where(have_top > 0, top_strip[0], left_strip[1])
@@ -133,14 +166,15 @@ def edge_build(top_strip, left_strip, p, bitdepth):
     tlv = jnp.where(have_left > 0, tl_have_l, tl_no_l)
     tlv = jnp.where(p[P_NEEDS_TL] > 0, tlv, 0)
 
-    edge = jnp.zeros(257, jnp.int32)
-    edge = edge.at[C - 1 - j].set(leftv.astype(jnp.int32))
-    edge = edge.at[C + 1 + i].set(topv.astype(jnp.int32))
-    edge = edge.at[C].set(tlv.astype(jnp.int32))
+    # Z2 topleft filter (prepare_intra_edges tail); edge[C-1] = leftv[0],
+    # edge[C+1] = topv[0]
+    filt_tl = ((leftv[0] + topv[0]) * 5 + tlv * 6 + 8) >> 4
+    tlv = jnp.where(p[P_Z2TLF] > 0, filt_tl, tlv)
 
-    # Z2 topleft filter (prepare_intra_edges tail)
-    filt_tl = ((edge[C - 1] + edge[C + 1]) * 5 + edge[C] * 6 + 8) >> 4
-    edge = edge.at[C].set(jnp.where(p[P_Z2TLF] > 0, filt_tl, edge[C]))
+    # edge = [left reversed | topleft | top] — pure concatenation
+    edge = jnp.concatenate([leftv[::-1].astype(jnp.int32),
+                            tlv.astype(jnp.int32)[None],
+                            topv.astype(jnp.int32)])
     return edge
 
 
@@ -148,8 +182,11 @@ def edge_build(top_strip, left_strip, p, bitdepth):
 # generic edge filtering / upsampling over the edge buffer
 # (ops/ref/ipred.py filter_edge / upsample_edge)
 # ------------------------------------------------------------------
-def _edge_at(edge, base, idx, frm, to):
-    return edge[base + jnp.clip(idx, frm, to - 1)]
+def _edge_take(edge, base, idx, frm, to):
+    """edge[base + clip(idx, frm, to-1)] via one-hot contraction; idx of
+    any shape."""
+    k = base + jnp.clip(idx, frm, to - 1)
+    return _take(edge, jnp.clip(k, 0, 256), 257)
 
 
 def filter_edge_j(edge, base, sz, lim_from, lim_to, frm, to, strength,
@@ -157,15 +194,18 @@ def filter_edge_j(edge, base, sz, lim_from, lim_to, frm, to, strength,
     """n_out static; returns (n_out,), entries >= sz unspecified-as-ref
     (index clamped)."""
     i = jnp.arange(n_out, dtype=jnp.int32)
-    ker = _EDGE_KERNELS[jnp.maximum(strength - 1, 0)]
-    s = jnp.zeros(n_out, jnp.int32)
-    for jj in range(5):
-        s = s + _edge_at(edge, base, i - 2 + jj, frm, to) * ker[jj]
+    ker = _take_t(_EDGE_KERNELS_NP, jnp.maximum(strength - 1, 0))
+    taps = _edge_take(edge, base,
+                      i[:, None] - 2 + jnp.arange(5)[None, :], frm, to)
+    s = jnp.sum(taps * ker[None, :], axis=1)
     filt = (s + 8) >> 4
-    raw = _edge_at(edge, base, i, frm, to)
+    raw = taps[:, 2]
     use_raw = (i < jnp.minimum(sz, lim_from)) | (i >= jnp.minimum(lim_to,
                                                                   sz))
     return jnp.where(use_raw, raw, filt)
+
+
+_UPS_K = np.asarray([-1, 9, 9, -1], np.int32)
 
 
 def upsample_edge_j(edge, base, hsz, frm, to, bitdepth, n_out):
@@ -173,12 +213,11 @@ def upsample_edge_j(edge, base, hsz, frm, to, bitdepth, n_out):
     src, odd = 4-tap)."""
     i = jnp.arange(n_out, dtype=jnp.int32)
     half = i >> 1
-    src = _edge_at(edge, base, half, frm, to)
+    taps = _edge_take(edge, base,
+                      half[:, None] - 1 + jnp.arange(4)[None, :], frm, to)
+    src = taps[:, 1]
     bd_max = (1 << bitdepth) - 1
-    s = (-_edge_at(edge, base, half - 1, frm, to) +
-         9 * _edge_at(edge, base, half, frm, to) +
-         9 * _edge_at(edge, base, half + 1, frm, to) -
-         _edge_at(edge, base, half + 2, frm, to))
+    s = jnp.sum(taps * jnp.asarray(_UPS_K)[None, :], axis=1)
     odd = jnp.clip((s + 8) >> 4, 0, bd_max)
     # the final entry (i == 2*(hsz-1)) is a plain copy
     return jnp.where((i & 1) == 0, src, odd)
@@ -189,8 +228,8 @@ def upsample_edge_j(edge, base, hsz, frm, to, bitdepth, n_out):
 # ------------------------------------------------------------------
 def _dc_value(edge, p):
     i = jnp.arange(128, dtype=jnp.int32)
-    top_sum = jnp.sum(jnp.where(i < p[P_W], edge[C + 1 + i], 0))
-    left_sum = jnp.sum(jnp.where(i < p[P_H], edge[C - 1 - i], 0))
+    top_sum = jnp.sum(jnp.where(i < p[P_W], edge[C + 1:C + 129], 0))
+    left_sum = jnp.sum(jnp.where(i < p[P_H], edge[C - 128:C][::-1], 0))
     dc = (p[P_DC_BIAS] + top_sum * p[P_DC_USE_TOP] +
           left_sum * p[P_DC_USE_LEFT]) >> p[P_DC_SH1]
     dc = (dc * p[P_DC_MULT]) >> p[P_DC_SH2]
@@ -215,8 +254,12 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
     gxb = jnp.broadcast_to(gx, (TILE, TILE))
     gyb = jnp.broadcast_to(gy, (TILE, TILE))
 
-    top_g = edge[C + 1 + gxb]          # top[gx]
-    left_g = edge[C - 1 - gyb]         # left[gy]
+    # top/left rows are contiguous windows of the edge buffer
+    top_row = jax.lax.dynamic_slice(edge, (C + 1 + p[P_OX],), (TILE,))
+    left_col = jax.lax.dynamic_slice(edge, (C - TILE - p[P_OY],),
+                                     (TILE,))[::-1]
+    top_g = jnp.broadcast_to(top_row[None, :], (TILE, TILE))
+    left_g = jnp.broadcast_to(left_col[:, None], (TILE, TILE))
     tl = edge[C]
 
     # ---- DC family / CFL dc ----
@@ -235,10 +278,15 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
                       jnp.where(tdiff <= tldiff, top_g, tl))
 
     # ---- SMOOTH family ----
-    wh_w = _SM_WEIGHTS[w + gxb]
-    wv_w = _SM_WEIGHTS[h + gyb]
-    right = edge[C + w]
-    bottom = edge[C - h]
+    wh_row = jax.lax.dynamic_slice(_SM_WEIGHTS_PAD,
+                                   (w + p[P_OX],), (TILE,))
+    wv_col = jax.lax.dynamic_slice(_SM_WEIGHTS_PAD,
+                                   (h + p[P_OY],), (TILE,))
+    wh_w = jnp.broadcast_to(wh_row[None, :], (TILE, TILE))
+    wv_w = jnp.broadcast_to(wv_col[:, None], (TILE, TILE))
+    sc = _take(edge, jnp.stack([C + w, C - h, C + 1, C - 1]), 257)
+    right = sc[0]
+    bottom = sc[1]
     smooth = (wv_w * top_g + (256 - wv_w) * bottom +
               wh_w * left_g + (256 - wh_w) * right + 256) >> 9
     smooth_v = (wv_w * top_g + (256 - wv_w) * bottom + 128) >> 8
@@ -252,7 +300,8 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
     z1_ups = upsample_edge_j(edge, C + 1, p[P_UPS_HSZ_T], p[P_UPS_FRM_T],
                              p[P_UPS_TO_T], bitdepth, 256)
     i256 = jnp.arange(256, dtype=jnp.int32)
-    z1_raw = edge[C + 1 + jnp.minimum(i256, 127)]
+    z1_raw = jnp.concatenate([edge[C + 1:], jnp.full(128, edge[256],
+                                                     jnp.int32)])
     z_top = jnp.where(p[P_US_ABOVE] > 0, z1_ups,
                       jnp.where(p[P_FS_ABOVE] > 0, z1_flt, z1_raw))
 
@@ -264,31 +313,35 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
     z3_ups = upsample_edge_j(edge, C - (w + h), p[P_UPS_HSZ_L],
                              p[P_UPS_FRM_L], p[P_UPS_TO_L], bitdepth, 256)
     # raw: left_arr = tl, left_c = C-1 -> larr[k] = edge[C-1-k]
-    z3_raw = edge[C - 1 - jnp.minimum(i256, 127)]
+    z3_raw = jnp.concatenate([edge[:C][::-1], jnp.full(128, edge[0],
+                                                       jnp.int32)])
     # filtered: left_c = w+h-1 -> larr[k] = flt[w+h-1-k]
     k_f = jnp.clip(w + h - 1 - i256, 0, 255)
     # upsampled: left_c = 2*(w+h)-2 -> larr[k] = ups[2*(w+h)-2-k]
     k_u = jnp.clip(2 * (w + h) - 2 - i256, 0, 255)
-    z_left = jnp.where(p[P_US_LEFT] > 0, z3_ups[k_u],
-                       jnp.where(p[P_FS_LEFT] > 0, z3_flt[k_f], z3_raw))
+    z_left = jnp.where(p[P_US_LEFT] > 0, _take(z3_ups, k_u, 256),
+                       jnp.where(p[P_FS_LEFT] > 0, _take(z3_flt, k_f,
+                                                         256), z3_raw))
 
     # ---- Z1 ----
     xpos1 = p[P_DX] * (gyb + 1)
     frac1 = xpos1 & 0x3E
     base1 = (xpos1 >> 6) + (1 + p[P_US_ABOVE]) * gxb
     b1c = jnp.minimum(base1, p[P_MAX_BASE_X])
-    z1v = (z_top[b1c] * (64 - frac1) +
-           z_top[jnp.minimum(b1c + 1, 255)] * frac1 + 32) >> 6
-    z1 = jnp.where(base1 < p[P_MAX_BASE_X], z1v, z_top[p[P_MAX_BASE_X]])
+    z1v = (_take(z_top, b1c, 256) * (64 - frac1) +
+           _take(z_top, jnp.minimum(b1c + 1, 255), 256) * frac1 + 32) >> 6
+    z1_last = _take(z_top, p[P_MAX_BASE_X], 256)
+    z1 = jnp.where(base1 < p[P_MAX_BASE_X], z1v, z1_last)
 
     # ---- Z3 ----
     ypos3 = p[P_DY] * (gxb + 1)
     frac3 = ypos3 & 0x3E
     base3 = (ypos3 >> 6) + (1 + p[P_US_LEFT]) * gyb
     b3c = jnp.minimum(base3, p[P_MAX_BASE_Y])
-    z3v = (z_left[b3c] * (64 - frac3) +
-           z_left[jnp.minimum(b3c + 1, 255)] * frac3 + 32) >> 6
-    z3 = jnp.where(base3 < p[P_MAX_BASE_Y], z3v, z_left[p[P_MAX_BASE_Y]])
+    z3v = (_take(z_left, b3c, 256) * (64 - frac3) +
+           _take(z_left, jnp.minimum(b3c + 1, 255), 256) * frac3 + 32) >> 6
+    z3_last = _take(z_left, p[P_MAX_BASE_Y], 256)
+    z3 = jnp.where(base3 < p[P_MAX_BASE_Y], z3v, z3_last)
 
     # ---- Z2 ----
     # edge2: 129 entries, center EC=64 (ops/ref/ipred.py _z2)
@@ -302,10 +355,10 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
     kk = e2i - EC  # offset from center (top side: kk >= 1)
     top_part = jnp.where(
         p[P_US_ABOVE] > 0,
-        z2t_ups[jnp.clip(kk, 0, 128)],
+        _take(z2t_ups, jnp.clip(kk, 0, 128), 129),
         jnp.where(p[P_FS_ABOVE] > 0,
-                  z2t_flt[jnp.clip(kk - 1, 0, 128)],
-                  edge[C + jnp.clip(kk, 0, 128)]))
+                  _take(z2t_flt, jnp.clip(kk - 1, 0, 128), 129),
+                  edge[C - EC:C - EC + 129]))
     # left part: entries EC-2h..EC-1 (upsample: ups over h+1 from C-h,
     #   edge2[ec-2h..ec] = ups) / EC-h..EC-1 filtered or raw
     z2l_ups = upsample_edge_j(edge, C - h, p[P_H] + 1, 0, p[P_H] + 1,
@@ -314,10 +367,11 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
                             p[P_H], 0, p[P_H] + 1, p[P_FS_LEFT], 129)
     neg = EC - e2i  # left side: neg >= 1; edge2[EC - n]
     # upsample: edge2[ec - 2h + m] = ups[m] -> edge2[EC-n] = ups[2h-n]
-    lu = z2l_ups[jnp.clip(2 * h - neg, 0, 128)]
+    lu = _take(z2l_ups, jnp.clip(2 * h - neg, 0, 128), 129)
     # filtered: edge2[ec-h + m] = flt[m] -> edge2[EC-n] = flt[h-n]
-    lf = z2l_flt[jnp.clip(h - neg, 0, 128)]
-    lr_ = edge[C - jnp.clip(neg, 0, 128)]
+    lf = _take(z2l_flt, jnp.clip(h - neg, 0, 128), 129)
+    lr_ = edge[C - 128:C + 1][::-1][jnp.clip(neg, 0, 128)] \
+        if False else _take(edge, C - jnp.clip(neg, 0, 128), 257)
     left_part = jnp.where(p[P_US_LEFT] > 0, lu,
                           jnp.where(p[P_FS_LEFT] > 0, lf, lr_))
     edge2 = jnp.where(e2i > EC, top_part,
@@ -332,18 +386,28 @@ def pred_main_tile(top_strip, left_strip, own, luma_reg, p, bitdepth,
     base_y2 = ypos2 >> 6
     frac_y2 = ypos2 & 0x3E
     left_c2 = EC - (1 + p[P_US_LEFT])
-    vx = (edge2[jnp.clip(EC + base_x2, 0, 128)] * (64 - frac_x2) +
-          edge2[jnp.clip(EC + base_x2 + 1, 0, 128)] * frac_x2)
-    vy = (edge2[jnp.clip(left_c2 - base_y2, 0, 128)] * (64 - frac_y2) +
-          edge2[jnp.clip(left_c2 - (base_y2 + 1), 0, 128)] * frac_y2)
+    vx = (_take(edge2, jnp.clip(EC + base_x2, 0, 128), 129) *
+          (64 - frac_x2) +
+          _take(edge2, jnp.clip(EC + base_x2 + 1, 0, 128), 129) *
+          frac_x2)
+    vy = (_take(edge2, jnp.clip(left_c2 - base_y2, 0, 128), 129) *
+          (64 - frac_y2) +
+          _take(edge2, jnp.clip(left_c2 - (base_y2 + 1), 0, 128), 129) *
+          frac_y2)
     z2 = (jnp.where(base_x2 >= 0, vx, vy) + 32) >> 6
 
     # ---- CFL ----
     ds = _cfl_ac_ds(luma_reg, ss_hor, ss_ver)
     # replicate-pad + mean removal
     cw_i = jnp.arange(32, dtype=jnp.int32)
-    ac_full = ds[jnp.minimum(cw_i, p[P_CFL_HCL] - 1)[:, None],
-                 jnp.minimum(cw_i, p[P_CFL_WCL] - 1)[None, :]]
+    rsel = jax.nn.one_hot(jnp.minimum(cw_i, p[P_CFL_HCL] - 1), 32,
+                          dtype=jnp.float32)
+    csel = jax.nn.one_hot(jnp.minimum(cw_i, p[P_CFL_WCL] - 1), 32,
+                          dtype=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    ac_full = jnp.matmul(
+        jnp.matmul(rsel, ds.astype(jnp.float32), precision=hi),
+        csel.T, precision=hi).astype(jnp.int32)
     mask = (cw_i[:, None] < h) & (cw_i[None, :] < w)
     total = jnp.sum(jnp.where(mask, ac_full, 0))
     log2sz = p[P_CFL_LOG2SZ]
@@ -402,7 +466,7 @@ def pred_filter_cell(planes_pad, predp_pad, p, bitdepth):
     px, py = p[P_PX], p[P_PY]
     bpx, bpy = p[P_BPX], p[P_BPY]
     bd_max = (1 << bitdepth) - 1
-    flt = _FILTER_TAPS[p[P_MISC]]  # (8, 7)
+    flt = _take_t(_FILTER_TAPS_NP, p[P_MISC])  # (8, 7)
 
     # edge buffer of the parent block
     top_strip = jax.lax.dynamic_slice(
@@ -422,12 +486,13 @@ def pred_filter_cell(planes_pad, predp_pad, p, bitdepth):
     #   x == 0 -> edge[C] else left... for oy == 0 the row above is the
     #   block's top edge: get(-1, ox + xi): xi + ox >= 0 -> edge[C+1+..],
     #   xi + ox == -1 -> edge[C]
-    etop = jnp.where(ox + xi >= 0, edge[C + 1 + jnp.clip(ox + xi, 0, 127)],
+    etop = jnp.where(ox + xi >= 0,
+                     _take(edge, C + 1 + jnp.clip(ox + xi, 0, 127), 257),
                      edge[C])
     top5 = jnp.where(oy > 0, ptop, etop)
     # except: the corner (x-1, y-1): when oy>0 and ox==0 the left column
     # source applies for x==-1 -> block left edge at row oy-1
-    corner_left_edge = edge[C - 1 - jnp.clip(oy - 1, 0, 127)]
+    corner_left_edge = _take(edge, C - 1 - jnp.clip(oy - 1, 0, 127), 257)
     top5 = top5.at[0].set(
         jnp.where((oy > 0) & (ox == 0), corner_left_edge, top5[0]))
 
@@ -435,7 +500,7 @@ def pred_filter_cell(planes_pad, predp_pad, p, bitdepth):
     # else block left edge
     pleft = jax.lax.dynamic_slice(predp_pad, (py + PADT, px - 1 + PADT),
                                   (4, 1))[:, 0]
-    eleft = edge[C - 1 - (oy + jnp.arange(4, dtype=jnp.int32))]
+    eleft = jax.lax.dynamic_slice(edge, (C - 4 - oy,), (4,))[::-1]
     left4 = jnp.where(ox > 0, pleft, eleft)
 
     out = jnp.zeros((4, 4), jnp.int32)

@@ -50,7 +50,8 @@ def test_tpu_intra_oracle_exact(ci, oracle_bin, tmp_path):
     assert r.returncode == 0, r.stderr
     want = r.stdout.strip()
 
-    dec = api.Decoder(api.Settings(use_tpu_inter=True))
+    dec = api.Decoder(api.Settings(use_tpu_inter=True,
+                                   use_tpu_intra_engine=True))
     mux = MD5Muxer("-")
     _, units = open_demuxer(ivf)
     for obus in units:
