@@ -120,6 +120,11 @@ class Decoder:
         self.s = settings or Settings()
         if self.s.frame_size_limit and self.s.frame_size_limit < 0:
             raise ValueError("invalid frame_size_limit")
+        if self.s.use_tpu_inter or self.s.use_tpu_filters:
+            # amortize XLA compiles across processes (tunneled-TPU
+            # compiles cost seconds; see utils/jit_cache)
+            from .utils.jit_cache import enable_persistent_cache
+            enable_persistent_cache()
         # frame pipelining (dav1d frame threading re-expressed as
         # host-entropy(N+1) || device-pixels(N) software pipelining):
         # a single in-order pixel worker; entropy and all reference-state

@@ -25,10 +25,47 @@ import jax.numpy as jnp
 
 from ..host.tilecoder import (T_BLOCK_DIM, T_TXFM, COMP_INTER_NONE,
                               COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG)
-from ..ops.mc_tpu import (mc_unit_batch, mc_hv_batch, w_avg_batch,
-                          scatter_units, scatter_add_units)
+from ..ops.mc_tpu import (mc_unit_batch, mc_hv_batch,
+                          scatter_units, scatter_add_units, PAD_OOB)
 from ..ops.itx import itx_residual
 from .ref_decoder import _recon_tile, _gmv_warp_params
+
+
+# ---------------------------------------------------------------------
+# Shape stabilization.  Every batched kernel call pads its batch dim to
+# a power of two so the set of XLA programs a stream compiles is small
+# and converges after a few frames (one program per kernel x size class
+# instead of one per frame x bucket occupancy).  Pad entries carry a
+# PAD_OOB destination row, which XLA scatter drops — exact no-ops.
+# ---------------------------------------------------------------------
+def _p2(n: int, floor: int = 8) -> int:
+    p = floor
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pad_rows(arr: np.ndarray, ycol: int | None):
+    """Pad (B, ...) int32 array to pow2 rows (dup of last row); mark the
+    pad rows' scatter origin column OOB when ycol is given."""
+    b = arr.shape[0]
+    p = _p2(b)
+    if p == b:
+        return arr
+    pad = np.repeat(arr[-1:], p - b, axis=0)
+    if ycol is not None:
+        pad[:, ycol] = PAD_OOB
+    return np.concatenate([arr, pad], axis=0)
+
+
+def _pad_vec(vec: np.ndarray, oob: bool):
+    """Pad a (B,) vector to pow2 (dup last, or PAD_OOB markers)."""
+    b = vec.shape[0]
+    p = _p2(b)
+    if p == b:
+        return vec
+    fill = np.full(p - b, PAD_OOB if oob else vec[-1], vec.dtype)
+    return np.concatenate([vec, fill])
 
 
 def _block_device_class(fhdr, coder, b, refs, cur_w, cur_h):
@@ -242,8 +279,10 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
     intra_frame = fhdr.frame_type in (0, 2)
-    from ..ops.mc_tpu import (warp8x8_batch, mc_scaled_batch, w_mask_batch,
-                              mask_batch, obmc_blend_batch)
+    from ..ops.mc_tpu import (warp8x8_batch, mc_scaled_batch,
+                              obmc_blend_batch, set_slots,
+                              scatter_slot_units, comp_join_wavg,
+                              comp_join_wmask, comp_join_mask)
     from ..ops.ref.wedge import wedge_mask
 
     plan = _FramePlan(n_planes)
@@ -467,7 +506,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     for pl in range(n_planes):
         for key, lst in sorted(plan.put[pl].items()):
             uw, uh, has_h, has_v = key
-            arr = np.asarray(lst, np.int32)
+            arr = _pad_rows(np.asarray(lst, np.int32), 6)
             if has_h and has_v:
                 out = mc_hv_batch(ref_stacks[pl], arr[:, :6], uw, uh, bd,
                                   False, hcaches[pl])
@@ -486,9 +525,12 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
     for pl in range(n_planes):
         if not plan.warp_put[pl]:
             continue
-        rows = np.asarray([r for r, _, _ in plan.warp_put[pl]], np.int32)
-        ys = np.asarray([y for _, y, _ in plan.warp_put[pl]], np.int32)
-        xs = np.asarray([x for _, _, x in plan.warp_put[pl]], np.int32)
+        rows = _pad_rows(np.asarray([r for r, _, _ in plan.warp_put[pl]],
+                                    np.int32), None)
+        ys = _pad_vec(np.asarray([y for _, y, _ in plan.warp_put[pl]],
+                                 np.int32), True)
+        xs = _pad_vec(np.asarray([x for _, _, x in plan.warp_put[pl]],
+                                 np.int32), False)
         out = warp8x8_batch(ref_stacks[pl], jnp.asarray(rows), bd, False)
         dev_planes[pl] = scatter_units(dev_planes[pl], out,
                                        jnp.asarray(ys), jnp.asarray(xs),
@@ -499,8 +541,11 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
         for (uw, uh, ref_i), lst in sorted(plan.scaled_put[pl].items()):
             rows = np.asarray([r for r, _, _ in lst], np.int32)
             rows[:, 0] = 0
-            ys = np.asarray([y for _, y, _ in lst], np.int32)
-            xs = np.asarray([x for _, _, x in lst], np.int32)
+            rows = _pad_rows(rows, None)
+            ys = _pad_vec(np.asarray([y for _, y, _ in lst], np.int32),
+                          True)
+            xs = _pad_vec(np.asarray([x for _, _, x in lst], np.int32),
+                          False)
             out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
                                   jnp.asarray(rows), uw, uh,
                                   2 * uw + 10, 2 * uh + 10, bd, False)
@@ -515,6 +560,13 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
         ssv = ss_ver if pl else 0
         for key, group in sorted(plan.comp[pl].items()):
             bwp, bhp = key
+            # shape-stabilize: pad the group to pow2 with copies of the
+            # last entry whose destination is OOB (scatter drops them)
+            npad = _p2(len(group)) - len(group)
+            if npad:
+                last = group[-1]
+                group = group + [dict(last, dst=(PAD_OOB, 0))
+                                 for _ in range(npad)]
             N = len(group)
             tmps = []
             for i in (0, 1):
@@ -541,45 +593,43 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                                               []).append(
                                 (slot, row, sy, sx))
                 for (hh, hv), lst in sorted(tcases.items()):
-                    arr = np.asarray([u[:6] for _, u in lst], np.int32)
-                    slots = jnp.asarray(
-                        np.asarray([s for s, _ in lst], np.int32))
+                    arr = _pad_rows(np.asarray([u[:6] for _, u in lst],
+                                               np.int32), None)
+                    slots = jnp.asarray(_pad_vec(
+                        np.asarray([s for s, _ in lst], np.int32),
+                        False))
                     out = mc_unit_batch(
                         (ref_stacks[pl], jnp.asarray(arr[:, 0]),
                          jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
                          jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
                          jnp.asarray(arr[:, 5])),
                         bwp, bhp, bool(hh), bool(hv), bd, True)
-                    tmp = tmp.at[slots].set(out)
+                    tmp = set_slots(tmp, slots, out)
                 if wunits:
-                    rows = np.asarray([r for _, r, _, _ in wunits],
-                                      np.int32)
+                    rows = _pad_rows(
+                        np.asarray([r for _, r, _, _ in wunits],
+                                   np.int32), None)
                     out = warp8x8_batch(ref_stacks[pl],
                                         jnp.asarray(rows), bd, True)
-                    base = np.asarray(
+                    base = _pad_vec(np.asarray(
                         [s * bhp * bwp + sy * bwp + sx
-                         for s, _, sy, sx in wunits], np.int32)
-                    fi = (jnp.asarray(base)[:, None, None] +
-                          jnp.arange(8)[None, :, None] * bwp +
-                          jnp.arange(8)[None, None, :])
-                    tmp = tmp.reshape(-1).at[fi.reshape(-1)].set(
-                        out.reshape(-1)).reshape(N, bhp, bwp)
+                         for s, _, sy, sx in wunits], np.int32), False)
+                    tmp = scatter_slot_units(tmp, jnp.asarray(base),
+                                             out, 8, 8, bwp)
                 for (uw, uh, ref_i), lst in sorted(sunits.items()):
                     rows = np.asarray([r for _, r, _, _ in lst],
                                       np.int32)
                     rows[:, 0] = 0
+                    rows = _pad_rows(rows, None)
                     out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
                                           jnp.asarray(rows), uw, uh,
                                           2 * uw + 10, 2 * uh + 10, bd,
                                           True)
-                    base = np.asarray(
+                    base = _pad_vec(np.asarray(
                         [s * bhp * bwp + sy * bwp + sx
-                         for s, _, sy, sx in lst], np.int32)
-                    fi = (jnp.asarray(base)[:, None, None] +
-                          jnp.arange(uh)[None, :, None] * bwp +
-                          jnp.arange(uw)[None, None, :])
-                    tmp = tmp.reshape(-1).at[fi.reshape(-1)].set(
-                        out.reshape(-1)).reshape(N, bhp, bwp)
+                         for s, _, sy, sx in lst], np.int32), False)
+                    tmp = scatter_slot_units(tmp, jnp.asarray(base),
+                                             out, uh, uw, bwp)
                 tmps.append(tmp)
 
             out = jnp.zeros((N, bhp, bwp), jnp.int32)
@@ -587,28 +637,37 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
             for slot, e in enumerate(group):
                 idx_by_kind.setdefault(e["join"][0], []).append(slot)
             for kind, slots in sorted(idx_by_kind.items()):
+                slots = slots + [slots[-1]] * (_p2(len(slots)) -
+                                               len(slots))
                 sl = jnp.asarray(np.asarray(slots, np.int32))
                 sgn = jnp.asarray(np.asarray(
                     [group[s]["sign"] for s in slots], np.int32))
-                t0 = tmps[0][sl]
-                t1 = tmps[1][sl]
-                a = jnp.where(sgn[:, None, None] == 0, t0, t1)
-                bb = jnp.where(sgn[:, None, None] == 0, t1, t0)
                 if kind in ("avg", "wavg"):
                     w_arr = jnp.asarray(np.asarray(
                         [group[s]["join"][1] for s in slots],
                         np.int32))[:, None, None]
-                    res = w_avg_batch(t0, t1, w_arr, bd)
+                    out = comp_join_wavg(out, tmps[0], tmps[1], sl,
+                                         w_arr, bd)
                 elif kind == "seg":
                     if pl == 0:
-                        res, cm = w_mask_batch(a, bb, sgn, ss_hor,
-                                               ss_ver, bd)
+                        out, cm = comp_join_wmask(out, tmps[0], tmps[1],
+                                                  sl, sgn, ss_hor,
+                                                  ss_ver, bd)
+                        # defer per-slot slicing: chroma gathers rows
+                        # from the batch in one op
                         for j, s in enumerate(slots):
-                            group[s]["cmask"] = cm[j]
+                            group[s]["cmask"] = (cm, j)
                     else:
-                        cms = jnp.stack([group[s]["luma"]["cmask"]
-                                         for s in slots])
-                        res = mask_batch(a, bb, cms, bd)
+                        crefs = [group[s]["luma"]["cmask"]
+                                 for s in slots]
+                        if all(r[0] is crefs[0][0] for r in crefs):
+                            cms = crefs[0][0][jnp.asarray(
+                                np.asarray([r[1] for r in crefs],
+                                           np.int32))]
+                        else:   # slots span several luma batches
+                            cms = jnp.stack([r[0][r[1]] for r in crefs])
+                        out = comp_join_mask(out, tmps[0], tmps[1], sl,
+                                             sgn, cms, bd)
                 else:  # wedge
                     if pl == 0:
                         masks = np.stack([
@@ -622,8 +681,8 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                                        group[s]["sign"],
                                        group[s]["join"][1])
                             [:bhp, :bwp] for s in slots]).astype(np.int32)
-                    res = mask_batch(a, bb, jnp.asarray(masks), bd)
-                out = out.at[sl].set(res)
+                    out = comp_join_mask(out, tmps[0], tmps[1], sl,
+                                         sgn, jnp.asarray(masks), bd)
 
             ys = jnp.asarray(np.asarray([e["dst"][0] for e in group],
                                         np.int32))
@@ -639,6 +698,9 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                     plan.laps[pl].items()):
                 if ph_ != phase:
                     continue
+                lk, lr, _ = lst[-1]
+                lst = lst + [(lk, lr, (PAD_OOB, 0))] * (_p2(len(lst)) -
+                                                        len(lst))
                 lapbuf = jnp.zeros((len(lst), lh, lw), jnp.int32)
                 tcases, sunits = {}, {}
                 for slot, (kind, row, d) in enumerate(lst):
@@ -649,26 +711,30 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                         sunits.setdefault((row[0],), []).append(
                             (slot, row))
                 for (hh, hv), l2 in sorted(tcases.items()):
-                    arr = np.asarray([u for _, u in l2], np.int32)
-                    slots = jnp.asarray(
-                        np.asarray([s for s, _ in l2], np.int32))
+                    arr = _pad_rows(np.asarray([u for _, u in l2],
+                                               np.int32), None)
+                    slots = jnp.asarray(_pad_vec(
+                        np.asarray([s for s, _ in l2], np.int32),
+                        False))
                     out = mc_unit_batch(
                         (ref_stacks[pl], jnp.asarray(arr[:, 0]),
                          jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
                          jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
                          jnp.asarray(arr[:, 5])),
                         lw, lh, bool(hh), bool(hv), bd, False)
-                    lapbuf = lapbuf.at[slots].set(out)
+                    lapbuf = set_slots(lapbuf, slots, out)
                 for (ref_i,), l2 in sorted(sunits.items()):
                     rows = np.asarray([r for _, r in l2], np.int32)
                     rows[:, 0] = 0
-                    slots = jnp.asarray(
-                        np.asarray([s for s, _ in l2], np.int32))
+                    rows = _pad_rows(rows, None)
+                    slots = jnp.asarray(_pad_vec(
+                        np.asarray([s for s, _ in l2], np.int32),
+                        False))
                     out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
                                           jnp.asarray(rows), lw, lh,
                                           2 * lw + 10, 2 * lh + 10, bd,
                                           False)
-                    lapbuf = lapbuf.at[slots].set(out)
+                    lapbuf = set_slots(lapbuf, slots, out)
                 ys = jnp.asarray(np.asarray([d[0] for _, _, d in lst],
                                             np.int32))
                 xs = jnp.asarray(np.asarray([d[1] for _, _, d in lst],
@@ -697,16 +763,20 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                 dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
                     (cb.cf, cb.y * 4, cb.x * 4))
     for (pl, tx, txtp), lst in sorted(rplans.items()):
-        cfs = jnp.asarray(np.stack([e[0] for e in lst]).astype(np.int32))
+        cfs = jnp.asarray(_pad_rows(
+            np.stack([e[0] for e in lst]).astype(np.int32), None))
         res = itx_residual(cfs, tx, txtp, bd)
-        ys = jnp.asarray(np.asarray([e[1] for e in lst], np.int32))
-        xs = jnp.asarray(np.asarray([e[2] for e in lst], np.int32))
+        ys = jnp.asarray(_pad_vec(
+            np.asarray([e[1] for e in lst], np.int32), True))
+        xs = jnp.asarray(_pad_vec(
+            np.asarray([e[2] for e in lst], np.int32), False))
         h_px, w_px = res.shape[1], res.shape[2]
         dev_planes[pl] = scatter_add_units(dev_planes[pl], res, ys, xs,
                                            h_px, w_px, bd)
     residual_map = {}
     for (pl, tx, txtp), lst in sorted(hplans.items()):
-        cfs = jnp.asarray(np.stack([e[0] for e in lst]).astype(np.int32))
+        cfs = jnp.asarray(_pad_rows(
+            np.stack([e[0] for e in lst]).astype(np.int32), None))
         res = np.asarray(itx_residual(cfs, tx, txtp, bd))
         for i, (_, y_px, x_px) in enumerate(lst):
             residual_map[(pl, y_px // 4, x_px // 4)] = res[i]

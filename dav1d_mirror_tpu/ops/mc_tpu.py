@@ -183,7 +183,11 @@ def mc_hv_combos(arr, uw):
     filt_row = np.where(uw <= 4, 3 + (th & 1), th)
     key = np.stack([arr[:, 0], filt_row, arr[:, 3]], axis=1)
     combos, slot = np.unique(key, axis=0, return_inverse=True)
-    padded = -(-combos.shape[0] // 8) * 8
+    # pow2 padding (min 8): the H-plane stack's leading dim stays in a
+    # log-sized set of shapes so XLA programs are reused across frames
+    padded = 8
+    while padded < combos.shape[0]:
+        padded <<= 1
     if padded != combos.shape[0]:
         combos = np.concatenate(
             [combos, np.repeat(combos[-1:], padded - combos.shape[0], 0)])
@@ -256,8 +260,13 @@ def mask_batch(tmp1, tmp2, m, bitdepth):
                     (1 << bitdepth) - 1)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
 def scatter_units(plane, units, ys, xs, uh, uw):
-    """Write (B, uh, uw) units into plane at top-left (ys, xs) (disjoint)."""
+    """Write (B, uh, uw) units into plane at top-left (ys, xs) (disjoint).
+
+    Padding protocol: batch entries whose ys is out of bounds (PAD_OOB)
+    are dropped entirely by XLA's scatter semantics — shape-stabilizing
+    pad rows are exact no-ops."""
     B = units.shape[0]
     yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
     xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
@@ -271,6 +280,13 @@ def gather_units(plane, ys, xs, uh, uw):
     return plane[yy, xx]
 
 
+# Sentinel row origin marking shape-padding batch entries: far enough out
+# of bounds that every scatter index of the unit is dropped, small enough
+# that index arithmetic cannot overflow int32.
+PAD_OOB = 1 << 20
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def scatter_add_units(plane, units, ys, xs, uh, uw, bitdepth):
     """Residual add with pixel clip at unit positions (disjoint units)."""
     B = units.shape[0]
@@ -279,6 +295,59 @@ def scatter_add_units(plane, units, ys, xs, uh, uw, bitdepth):
     cur = plane[yy, xx].astype(jnp.int32)
     out = jnp.clip(cur + units, 0, (1 << bitdepth) - 1)
     return plane.at[yy, xx].set(out.astype(plane.dtype))
+
+
+# ---------------------------------------------------------------------
+# Fused glue for the frame recon driver (models/tpu_inter).  Each helper
+# collapses what would otherwise be a chain of eager ops into ONE
+# compiled program per shape class — on a tunneled TPU every dispatched
+# op costs fixed host latency and (cold) a compile, so the driver's
+# steady state must be a few large dispatches per bucket, not dozens.
+# ---------------------------------------------------------------------
+@jax.jit
+def set_slots(buf, slots, vals):
+    """buf[slots] = vals (duplicate slots carry identical values)."""
+    return buf.at[slots].set(vals)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def scatter_slot_units(buf, base, vals, uh: int, uw: int, row_w: int):
+    """Write (B, uh, uw) vals at flat offsets `base` into the flattened
+    (N, bhp, bwp) slot buffer (sub-rect writes within compound slots)."""
+    shp = buf.shape
+    fi = (base[:, None, None] +
+          jnp.arange(uh)[None, :, None] * row_w +
+          jnp.arange(uw)[None, None, :])
+    return buf.reshape(-1).at[fi.reshape(-1)].set(
+        vals.reshape(-1)).reshape(shp)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def comp_join_wavg(out, tmp0, tmp1, sl, w, bitdepth: int):
+    """(weighted-)average join for slots sl; w: (B,1,1) dist weights
+    (8 = plain avg — same rounding, dav1d mc_tmpl.c avg:585)."""
+    return out.at[sl].set(w_avg_batch(tmp0[sl], tmp1[sl], w, bitdepth))
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def comp_join_wmask(out, tmp0, tmp1, sl, sgn, ss_hor: int, ss_ver: int,
+                    bitdepth: int):
+    """seg-mask join, luma: derives the sign-ordered operands, computes
+    the w_mask and returns (updated out, chroma-subsampled masks)."""
+    t0, t1 = tmp0[sl], tmp1[sl]
+    a = jnp.where(sgn[:, None, None] == 0, t0, t1)
+    b = jnp.where(sgn[:, None, None] == 0, t1, t0)
+    res, cm = w_mask_batch(a, b, sgn, ss_hor, ss_ver, bitdepth)
+    return out.at[sl].set(res), cm
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def comp_join_mask(out, tmp0, tmp1, sl, sgn, masks, bitdepth: int):
+    """wedge / seg-chroma masked join for slots sl."""
+    t0, t1 = tmp0[sl], tmp1[sl]
+    a = jnp.where(sgn[:, None, None] == 0, t0, t1)
+    b = jnp.where(sgn[:, None, None] == 0, t1, t0)
+    return out.at[sl].set(mask_batch(a, b, masks, bitdepth))
 
 
 # ---------------------------------------------------------------------

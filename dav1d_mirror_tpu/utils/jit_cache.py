@@ -1,0 +1,46 @@
+"""Persistent XLA compilation cache for decode sessions.
+
+The decoder's device path compiles one XLA program per (kernel, padded
+bucket shape).  Shape padding (models/tpu_inter) keeps that set small,
+but on a tunneled TPU a cold compile still costs seconds — the reference
+amortizes its setup cost across the process (dav1d init once, decode
+many); we additionally amortize across *processes* by pointing JAX's
+persistent compilation cache at a stable directory, so a second run of
+the CLI/bench skips every compile the first run did.
+
+Enabled automatically by `api.Decoder` when a device path is requested,
+and by `bench.py`.  Override the location with DAV1D_TPU_JAX_CACHE;
+set it to "0" to disable.
+"""
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_persistent_cache() -> str | None:
+    """Idempotently point jax at an on-disk compilation cache."""
+    global _done
+    if _done:
+        return None
+    _done = True
+    loc = os.environ.get("DAV1D_TPU_JAX_CACHE")
+    if loc == "0":
+        return None
+    if not loc:
+        loc = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "dav1d_mirror_tpu", "jax_cache")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          0)
+        return loc
+    except Exception:
+        return None
