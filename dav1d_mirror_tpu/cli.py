@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--frametimes", metavar="FILE",
                    help="dump per-frame decode times (one ns value per "
                         "line, like the reference CLI)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax profiler trace of the decode into "
+                        "DIR (view with TensorBoard / xprof; device-side "
+                        "analogue of the reference's --frametimes+perf "
+                        "workflow)")
     p.add_argument("--tracestats", action="store_true",
                    help="print per-stage decode timing summary to stderr")
     p.add_argument("--realtime", action="store_true",
@@ -110,6 +115,10 @@ def main(argv=None):
         trace.enabled = True
         trace.reset()
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
     n = 0
     frametimes = [] if args.frametimes else None
     t0 = time.perf_counter()
@@ -143,6 +152,9 @@ def main(argv=None):
             f.write("".join(f"{t}\n" for t in frametimes))
     digest = mux.finish()
     dt = time.perf_counter() - t0
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
 
     if not args.quiet:
         fps = n / dt if dt else 0.0
