@@ -19,7 +19,7 @@ pytestmark = pytest.mark.slow
 
 CFGS = {
     "1080p_inter_cdef_txsw": dict(
-        w=1920, h=1080, n_inter=2, q=80, txsw=True,
+        w=1920, h=1080, n_inter=1, q=80, txsw=True,
         lf=(20, 20, 16, 12, 1),
         cdef=dict(damping=4, n_bits=1, y_strength=[6, 11],
                   uv_strength=[3, 0])),
