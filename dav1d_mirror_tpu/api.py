@@ -104,8 +104,8 @@ class Picture:
     new_temporal_unit: bool = False
 
 
-class DecodeError(Exception):
-    pass
+from .errors import DecodeError  # noqa: E402  (re-export; shared so
+#                                  deep decode stages raise it directly)
 
 
 # Dav1dEventFlags (dav1d.h:268-295)

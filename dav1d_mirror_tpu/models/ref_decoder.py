@@ -8,6 +8,8 @@ Reference parity: dav1d src/recon_tmpl.c dav1d_recon_b_intra:1195.
 """
 from __future__ import annotations
 
+from ..errors import DecodeError
+
 import numpy as np
 
 from ..host import headers as h
@@ -341,7 +343,8 @@ def _recon_b_inter(seq, fhdr, coder, bufs, refs, b, state):
 
     def refbufs(ri):
         rb = refs[fhdr.refidx[ri]]
-        assert rb is not None, "missing reference frame"
+        if rb is None:
+            raise DecodeError("missing reference frame")
         return rb
 
     if fhdr.frame_type in (0, 2):
