@@ -495,8 +495,11 @@ def bench_e2e_device(name, cfg, seed=9):
                                 "-q", "--threads", "1"],
                                capture_output=True)
                 t0 = time.perf_counter()
+                # --filmgrain 1: dav1d's md5 muxer disables grain by
+                # default; force it on so the hash covers grain synthesis
                 r = subprocess.run([ORACLE, "-i", src, "--muxer", "md5",
-                                    "-o", "-", "-q", "--threads", "1"],
+                                    "-o", "-", "-q", "--threads", "1",
+                                    "--filmgrain", "1"],
                                    capture_output=True, text=True)
                 o_dt = time.perf_counter() - t0
                 if r.returncode == 0:

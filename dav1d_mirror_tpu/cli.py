@@ -85,7 +85,8 @@ def main(argv=None):
     if not args.muxer:
         args.muxer = "null" if args.output in ("-", "/dev/null") else "yuv"
     if args.filmgrain is None:
-        args.filmgrain = 0 if args.muxer == "md5" else 1
+        # dav1d_cli_parse.c:143 — grain off by default for hash muxers
+        args.filmgrain = 0 if args.muxer in ("md5", "xxh3") else 1
 
     with open(args.input, "rb") as f:
         data = f.read()

@@ -19,7 +19,8 @@ from ..host.lf import build_lf_arrays
 from ..ops.ref.loopfilter import calc_eih
 from ..ops.loopfilter_tpu import deblock_plane_tpu
 from ..ops.cdef_tpu import cdef_frame_tpu
-from ..ops.looprestoration_tpu import (wiener_batch_tpu, sgr_batch_tpu)
+from ..ops.looprestoration_tpu import (wiener_batch_tpu, sgr_batch_tpu,
+                                       pad_stripes_tpu)
 from ..ops.ref.looprestoration import (LR_HAVE_LEFT, LR_HAVE_RIGHT,
                                        LR_HAVE_TOP, LR_HAVE_BOTTOM,
                                        RESTORATION_WIENER, SGR_PARAMS)
@@ -165,17 +166,21 @@ def _pad_stripe_np(pre_lr, pre, x, y, w, h, edges, plane_w):
 
 
 def lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef, restore_planes):
-    """planes: device int32 arrays (post-CDEF). pre_cdef: host int32 copies
-    of the post-deblock planes. Batches equal-geometry stripe-units per
-    filter family and runs them as single device calls."""
+    """planes: device int32 arrays (post-CDEF). pre_cdef: device int32
+    post-deblock planes (boundary-row source). Batches equal-geometry
+    stripe-units per filter family; padding, filtering and write-back
+    all stay device-resident (pad_stripes_tpu gather + scatter_units),
+    with pow2 batch padding for shape stability."""
+    from ..ops.mc_tpu import scatter_units, gather_units, PAD_OOB
+    from ..models.tpu_inter import _p2
+
     bd = seq.bitdepth
     out = list(planes)
     for p in range(len(planes)):
         if not ((restore_planes >> p) & 1):
             continue
-        pre_lr = np.asarray(planes[p])
+        pre_lr = out[p]
         pre = pre_cdef[p]
-        plane_w = pre_lr.shape[1]
 
         groups = {}  # (kind-key) -> list of units
         for u in _lr_stripe_plan(seq, fhdr, coders, bufs, p):
@@ -190,47 +195,48 @@ def lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef, restore_planes):
                 key = ("sgr", kind, u["w"], u["h"])
             groups.setdefault(key, []).append(u)
 
-        plane = np.asarray(out[p]).copy()
-        for key, units in groups.items():
+        plane = out[p]
+        for key, units in sorted(groups.items()):
             B = len(units)
+            P = _p2(B)
             w, h = key[-2], key[-1]
-            padded = np.stack([
-                _pad_stripe_np(pre_lr, pre, u["x"], u["y"], w, h,
-                               u["edges"], plane_w) for u in units])
+
+            def col(f, dtype=np.int32, pad=None):
+                v = np.asarray([f(u) for u in units], dtype)
+                if P != B:
+                    fill = v[-1] if pad is None else pad
+                    v = np.concatenate([v, np.full(P - B, fill, dtype)])
+                return jnp.asarray(v)
+
+            xs = col(lambda u: u["x"])
+            ys_in = col(lambda u: u["y"])            # gather: in bounds
+            ys_out = col(lambda u: u["y"], pad=PAD_OOB)  # scatter: drop
+            eg = col(lambda u: u["edges"])
+            padded = pad_stripes_tpu(pre_lr, pre, xs, ys_in, eg, w, h)
             if key[0] == "wiener":
-                fh = np.zeros((B, 7), np.int32)
-                fv = np.zeros((B, 7), np.int32)
-                for i, u in enumerate(units):
-                    f3h = u["lr"]["filter_h"]
-                    f3v = u["lr"]["filter_v"]
-                    fh[i, :3] = f3h
-                    fh[i, 4:] = f3h[::-1]
-                    fh[i, 3] = 128 - 2 * (f3h[0] + f3h[1] + f3h[2])
-                    fv[i, :3] = f3v
-                    fv[i, 4:] = f3v[::-1]
-                    fv[i, 3] = 128 - 2 * (f3v[0] + f3v[1] + f3v[2])
-                res = np.asarray(wiener_batch_tpu(padded, fh, fv, w, h, bd))
+                def taps(name):
+                    f = np.zeros((P, 7), np.int32)
+                    for i, u in enumerate(units):
+                        f3 = u["lr"][name]
+                        f[i, :3] = f3
+                        f[i, 4:] = f3[::-1]
+                        f[i, 3] = 128 - 2 * (f3[0] + f3[1] + f3[2])
+                    f[B:] = f[B - 1]
+                    return jnp.asarray(f)
+                res = wiener_batch_tpu(padded, taps("filter_h"),
+                                       taps("filter_v"), w, h, bd)
             else:
                 kind = key[1]
-                s0 = np.zeros(B, np.int32)
-                s1 = np.zeros(B, np.int32)
-                w0 = np.zeros(B, np.int32)
-                w1 = np.zeros(B, np.int32)
-                cur = np.stack([plane[u["y"]:u["y"] + h,
-                                      u["x"]:u["x"] + w] for u in units])
-                for i, u in enumerate(units):
-                    sgr_idx = u["lr"]["type"] - 3
-                    s0[i] = int(SGR_PARAMS[sgr_idx][0])
-                    s1[i] = int(SGR_PARAMS[sgr_idx][1])
-                    sw = u["lr"]["sgr_weights"]
-                    w0[i] = sw[0]
-                    w1[i] = 128 - (sw[0] + sw[1])
-                res = np.asarray(sgr_batch_tpu(
-                    padded, cur.astype(np.int32), s0, s1, w0, w1, w, h, bd,
-                    kind))
-            for i, u in enumerate(units):
-                plane[u["y"]:u["y"] + h, u["x"]:u["x"] + w] = res[i]
-        out[p] = jnp.asarray(plane)
+                s0 = col(lambda u: int(SGR_PARAMS[u["lr"]["type"] - 3][0]))
+                s1 = col(lambda u: int(SGR_PARAMS[u["lr"]["type"] - 3][1]))
+                w0 = col(lambda u: u["lr"]["sgr_weights"][0])
+                w1 = col(lambda u: 128 - (u["lr"]["sgr_weights"][0] +
+                                          u["lr"]["sgr_weights"][1]))
+                cur = gather_units(plane, ys_in, xs, h, w)
+                res = sgr_batch_tpu(padded, cur, s0, s1, w0, w1, w, h,
+                                    bd, kind)
+            plane = scatter_units(plane, res, ys_out, xs, h, w)
+        out[p] = plane
     return out
 
 
@@ -272,7 +278,7 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
                          for p in range(3)) if (filters_mask & 4) else 0
-    pre_cdef = [np.asarray(p) for p in planes] if restore_planes else None
+    pre_cdef = list(planes) if restore_planes else None  # device snapshot
 
     if (filters_mask & 2) and seq.cdef and \
             (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
@@ -290,10 +296,8 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     if fhdr.width[0] != fhdr.width[1]:
         new_bufs, planes = _super_res_tpu(seq, fhdr, coders, bufs, planes)
         if restore_planes:
-            _, pre_sr = _super_res_tpu(
-                seq, fhdr, coders, bufs,
-                [jnp.asarray(p) for p in pre_cdef])
-            pre_cdef = [np.asarray(p) for p in pre_sr]
+            _, pre_cdef = _super_res_tpu(seq, fhdr, coders, bufs,
+                                         pre_cdef)
         bufs = new_bufs
 
     if restore_planes:

@@ -285,8 +285,20 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                               comp_join_wmask, comp_join_mask)
     from ..ops.ref.wedge import wedge_mask
 
+    from ..utils.trace import trace_scope
+    import contextlib
+    _scopes = []
+
+    def _phase(name):
+        while _scopes:
+            _scopes.pop().__exit__(None, None, None)
+        c = trace_scope(f"recon.{name}")
+        c.__enter__()
+        _scopes.append(c)
+
     plan = _FramePlan(n_planes)
     device_blocks = set()
+    _phase("plan")
 
     def ref_of(i):
         return refs[fhdr.refidx[i]]
@@ -475,6 +487,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                             []).append(centry)
             f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
 
+    _phase("ref-upload")
     # --- device reference stacks ---
     dev_planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes] \
         if not intra_frame else None
@@ -501,6 +514,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
         ref_stacks.append(jnp.asarray(
             np.stack([s[:h_vis, :w_vis] for s in stack])))
 
+    _phase("puts")
     # --- translational put batches ---
     hcaches = [dict() for _ in range(n_planes)]
     for pl in range(n_planes):
@@ -553,6 +567,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                                            jnp.asarray(ys),
                                            jnp.asarray(xs), uh, uw)
 
+    _phase("compound")
     # --- compound batches (luma first: seg chroma masks derive from the
     # luma preps) ---
     for pl in range(n_planes):
@@ -691,6 +706,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
             dev_planes[pl] = scatter_units(dev_planes[pl], out, ys, xs,
                                            bhp, bwp)
 
+    _phase("obmc")
     # --- OBMC lap batches (after ALL puts; top phase, then left) ---
     for phase in (0, 1):
         for pl in range(n_planes):
@@ -743,6 +759,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                     dev_planes[pl], lapbuf, ys, xs, lh, lw,
                     region if phase == 0 else lw, phase == 1)
 
+    _phase("residuals")
     # --- residual inverse transforms, ALL blocks ---
     # Device-covered inter blocks scatter-add straight onto the plane
     # (their prediction is already there). Every other block — intra,
@@ -781,16 +798,20 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
         for i, (_, y_px, x_px) in enumerate(lst):
             residual_map[(pl, y_px // 4, x_px // 4)] = res[i]
 
+    _phase("download")
     # download
     if not intra_frame:
         for pl in range(n_planes):
             bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
                 bufs.planes[pl].dtype)
 
+    _phase("host-pass2")
     # --- pass 2 (host): intra + uncovered inter blocks in decode order ---
     for ci, coder in enumerate(coders):
         skip_set = {bi for bi in range(len(coder.blocks))
                     if (ci, bi) in device_blocks}
         _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
                     device_done=skip_set, residuals=residual_map)
+    while _scopes:
+        _scopes.pop().__exit__(None, None, None)
     return bufs

@@ -22,6 +22,46 @@ from ..data.tables import TABLES
 SGR_X_BY_X = np.asarray(TABLES["sgr_x_by_x"], np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("w", "h"))
+def pad_stripes_tpu(pre_lr, pre, xs, ys, edges, w: int, h: int):
+    """Device stripe padding: batched (h+6, w+6) windows gathered from
+    the pre-LR plane (body) and the pre-CDEF plane (top/bottom boundary
+    rows, dav1d's lr_copy semantics — see ops/ref/looprestoration
+    pad_stripe / models/tpu_filters._pad_stripe_np for the host spec).
+    Edge replication is expressed as clamped gather indices, so the
+    whole frame's LR stays device-resident.
+
+    pre_lr/pre: (H, W) int32 planes. xs/ys: (B,) unit origins.
+    edges: (B,) LR_HAVE_* masks. Returns (B, h+6, w+6)."""
+    ph, pw = pre_lr.shape
+    have_l = (edges & 1).astype(jnp.int32)       # LR_HAVE_LEFT
+    have_r = ((edges >> 1) & 1).astype(jnp.int32)
+    have_t = ((edges >> 2) & 1).astype(jnp.int32)
+    have_b = ((edges >> 3) & 1).astype(jnp.int32)
+
+    c = jnp.arange(w + 6)[None, :]               # (1, w+6)
+    lo = -3 * have_l[:, None]
+    hi = (w - 1) + 3 * have_r[:, None]
+    col = xs[:, None] + jnp.clip(c - 3, lo, hi)
+    col = jnp.clip(col, 0, pw - 1)               # (B, w+6)
+
+    r = jnp.arange(h + 6)[None, :]               # (1, h+6)
+    # body rows (and top/bottom replication when boundary rows absent)
+    row_lr = ys[:, None] + jnp.clip(r - 3, 0, h - 1)
+    # boundary rows from the pre-CDEF plane:
+    #   r 0,1 -> y-2 ; r 2 -> y-1 ; r h+3 -> y+h ; r h+4,h+5 -> y+h+1
+    row_pre = jnp.where(r < 3,
+                        ys[:, None] - jnp.where(r < 2, 2, 1),
+                        ys[:, None] + h + jnp.where(r > h + 3, 1, 0))
+    row_pre = jnp.clip(row_pre, 0, pre.shape[0] - 1)
+    use_pre = ((r < 3) & (have_t[:, None] == 1)) | \
+              ((r >= h + 3) & (have_b[:, None] == 1))   # (B, h+6)
+
+    body = pre_lr[row_lr[:, :, None], col[:, None, :]]
+    bound = pre[row_pre[:, :, None], col[:, None, :]]
+    return jnp.where(use_pre[:, :, None], bound, body)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "h", "bitdepth"))
 def wiener_batch_tpu(padded, fh, fv, w, h, bitdepth):
     """padded: (B, h+6, w+6) int32 stripes; fh/fv: (B, 7) int32 filters.

@@ -183,11 +183,13 @@ def mc_hv_combos(arr, uw):
     filt_row = np.where(uw <= 4, 3 + (th & 1), th)
     key = np.stack([arr[:, 0], filt_row, arr[:, 3]], axis=1)
     combos, slot = np.unique(key, axis=0, return_inverse=True)
-    # pow2 padding (min 8): the H-plane stack's leading dim stays in a
-    # log-sized set of shapes so XLA programs are reused across frames
+    # quantized padding (8, 16, 24, 40, 64, 96, 144, ... — 1.5x steps
+    # kept multiples of 8): the H-plane stack's leading dim stays in a
+    # log-sized set of shapes so XLA programs are reused across frames,
+    # while the pad overhead (wasted full-plane H filters) stays <= 50%
     padded = 8
     while padded < combos.shape[0]:
-        padded <<= 1
+        padded = (padded + (padded >> 1) + 7) & ~7
     if padded != combos.shape[0]:
         combos = np.concatenate(
             [combos, np.repeat(combos[-1:], padded - combos.shape[0], 0)])
