@@ -9,7 +9,11 @@ import os
 # Must be set before jax is imported anywhere. Note: the axon sitecustomize
 # (/root/.axon_site) sets JAX_PLATFORMS=axon at interpreter startup, so we
 # must overwrite (not setdefault) here.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# DAV1D_TPU_TEST_PLATFORM=axon runs the suite against the real chip
+# (used to record the on-TPU kernel-equivalence artifact,
+# tests/artifacts/); default is the virtual 8-device CPU mesh.
+_plat = os.environ.get("DAV1D_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,7 +25,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # env vars alone don't win — force it through the config API.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _plat)
 
 import pytest  # noqa: E402
 
