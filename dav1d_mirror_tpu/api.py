@@ -472,7 +472,8 @@ class Decoder:
                 elif settings.use_tpu_inter:
                     from .models.tpu_inter import recon_frame_tpu
                     recon_frame_tpu(seq, fhdr, coders, work,
-                                    refs_snapshot, jnt_weights)
+                                    refs_snapshot, jnt_weights,
+                                    keep_device=settings.use_tpu_filters)
                 else:
                     rd.recon_frame(seq, fhdr, coders, work,
                                    refs_snapshot, jnt_weights)
@@ -490,6 +491,7 @@ class Decoder:
             if out is not final_bufs:
                 for i in range(len(final_bufs.planes)):
                     final_bufs.planes[i][...] = out.planes[i]
+                final_bufs.dev_planes = out.dev_planes
             return final_bufs
 
         if self._pipe is not None:

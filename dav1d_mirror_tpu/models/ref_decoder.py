@@ -44,6 +44,10 @@ class FrameBuffers:
         aw = (w + 127) & ~127
         ah = (hgt + 127) & ~127
         self.width, self.height = w, hgt
+        # device-resident copies of the (padded) planes, populated by
+        # the TPU pixel path so reference frames never re-upload over
+        # the (slow) host<->device link; None on the host path
+        self.dev_planes = None
         self.planes = [np.zeros((ah, aw), dt)]
         if seq.layout != h.PIXEL_LAYOUT_I400:
             cw = aw >> self.ss_hor

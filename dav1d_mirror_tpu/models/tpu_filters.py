@@ -269,8 +269,14 @@ def _super_res_tpu(seq, fhdr, coders, bufs, planes):
 def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     """Full TPU in-loop filter chain over bufs.planes (numpy in/out).
     Equivalent to models.ref_decoder.apply_inloop_filters, including the
-    debug enable mask and super-resolution (which always runs)."""
-    planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
+    debug enable mask and super-resolution (which always runs).  When
+    the recon stage left device-resident planes (bufs.dev_planes) the
+    chain starts from them — no re-upload; the filtered device planes
+    are published back on the returned bufs for future reference reads."""
+    if bufs.dev_planes is not None:
+        planes = list(bufs.dev_planes)
+    else:
+        planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
 
     if (filters_mask & 1) and (fhdr.loopfilter_level_y[0] or
                                fhdr.loopfilter_level_y[1]):
@@ -306,6 +312,7 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
 
     for i, p in enumerate(planes):
         bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
+    bufs.dev_planes = [p.astype(jnp.int32) for p in planes]
     return bufs
 
 

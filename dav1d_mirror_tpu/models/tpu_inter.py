@@ -27,7 +27,7 @@ from ..host.tilecoder import (T_BLOCK_DIM, T_TXFM, COMP_INTER_NONE,
                               COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG)
 from ..ops.mc_tpu import (mc_unit_batch, mc_hv_batch,
                           scatter_units, scatter_add_units, PAD_OOB)
-from ..ops.itx import itx_residual
+from ..ops.itx import itx_residual, itx_scatter_flat
 from .ref_decoder import _recon_tile, _gmv_warp_params
 
 
@@ -272,7 +272,8 @@ def _plan_obmc(plan, pl, ssh, ssv, coder, fhdr, refs, rf, f2d_map, b,
             y += step4
 
 
-def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
+def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
+                    keep_device=False):
     """Device-batched inter reconstruction; mutates bufs.planes."""
     bd = seq.bitdepth
     cur_w, cur_h = fhdr.width[0], fhdr.height
@@ -489,13 +490,25 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
 
     _phase("ref-upload")
     # --- device reference stacks ---
-    dev_planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes] \
+    # fresh FrameBuffers planes are all-zero: create on device instead
+    # of uploading 0s; reference planes reuse the device copies the
+    # previous frames' filter chains left behind (rb.dev_planes) and
+    # only upload when a ref was decoded on the host path.
+    dev_planes = [jnp.zeros(p.shape, jnp.int32) for p in bufs.planes] \
         if not intra_frame else None
+
+    def _ref_plane(rb, pl):
+        if rb.dev_planes is not None:
+            return rb.dev_planes[pl].astype(jnp.int32)
+        return jnp.asarray(rb.planes[pl].astype(np.int32))
+
     ref_stacks = []
     sref_stacks = {}
     for pl in range(n_planes if not intra_frame else 0):
         ssh = ss_hor if pl else 0
         ssv = ss_ver if pl else 0
+        w_vis = (cur_w + ssh) >> ssh
+        h_vis = (cur_h + ssv) >> ssv
         stack = []
         for i in range(7):
             rb = refs[fhdr.refidx[i]]
@@ -503,16 +516,12 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                 if rb is not None and (pl, i) not in sref_stacks:
                     w_v = (rb.width + ssh) >> ssh
                     h_v = (rb.height + ssv) >> ssv
-                    sref_stacks[(pl, i)] = jnp.asarray(
-                        rb.planes[pl][:h_v, :w_v].astype(np.int32)[None])
-                stack.append(np.zeros_like(bufs.planes[pl],
-                                           dtype=np.int32))
+                    sref_stacks[(pl, i)] = \
+                        _ref_plane(rb, pl)[:h_v, :w_v][None]
+                stack.append(jnp.zeros((h_vis, w_vis), jnp.int32))
             else:
-                stack.append(rb.planes[pl].astype(np.int32))
-        w_vis = (cur_w + ssh) >> ssh
-        h_vis = (cur_h + ssv) >> ssv
-        ref_stacks.append(jnp.asarray(
-            np.stack([s[:h_vis, :w_vis] for s in stack])))
+                stack.append(_ref_plane(rb, pl)[:h_vis, :w_vis])
+        ref_stacks.append(jnp.stack(stack))
 
     _phase("puts")
     # --- translational put batches ---
@@ -779,17 +788,35 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
                     continue
                 dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
                     (cb.cf, cb.y * 4, cb.x * 4))
-    for (pl, tx, txtp), lst in sorted(rplans.items()):
-        cfs = jnp.asarray(_pad_rows(
-            np.stack([e[0] for e in lst]).astype(np.int32), None))
-        res = itx_residual(cfs, tx, txtp, bd)
-        ys = jnp.asarray(_pad_vec(
-            np.asarray([e[1] for e in lst], np.int32), True))
-        xs = jnp.asarray(_pad_vec(
-            np.asarray([e[2] for e in lst], np.int32), False))
-        h_px, w_px = res.shape[1], res.shape[2]
-        dev_planes[pl] = scatter_add_units(dev_planes[pl], res, ys, xs,
-                                           h_px, w_px, bd)
+    # pack every scatter-add bucket into ONE flat upload, then one fused
+    # itx+scatter dispatch per bucket with dynamic offsets (per-bucket
+    # transfers dominated this phase on tunneled devices)
+    order = sorted(rplans.items())
+    metas, tot_cf, tot_u = [], 0, 0
+    for (pl, tx, txtp), lst in order:
+        sh, sw = lst[0][0].shape
+        P = _p2(len(lst))
+        metas.append((pl, tx, txtp, sh, sw, P, len(lst), tot_cf, tot_u))
+        tot_cf += P * sh * sw
+        tot_u += P
+    if metas:
+        flat_cf = np.zeros(tot_cf, np.int32)
+        flat_ys = np.full(tot_u, PAD_OOB, np.int32)
+        flat_xs = np.zeros(tot_u, np.int32)
+        for meta, (_, lst) in zip(metas, order):
+            _, _, _, sh, sw, P, B, ocf, ou = meta
+            seg = flat_cf[ocf:ocf + P * sh * sw].reshape(P, sh, sw)
+            for i, (cf, y_px, x_px) in enumerate(lst):
+                seg[i] = cf
+                flat_ys[ou + i] = y_px
+                flat_xs[ou + i] = x_px
+        fcf = jnp.asarray(flat_cf)
+        fys = jnp.asarray(flat_ys)
+        fxs = jnp.asarray(flat_xs)
+        for pl, tx, txtp, sh, sw, P, B, ocf, ou in metas:
+            dev_planes[pl] = itx_scatter_flat(
+                dev_planes[pl], fcf, fys, fxs, np.int32(ocf),
+                np.int32(ou), P, sh, sw, tx, txtp, bd)
     residual_map = {}
     for (pl, tx, txtp), lst in sorted(hplans.items()):
         cfs = jnp.asarray(_pad_rows(
@@ -807,11 +834,23 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None):
 
     _phase("host-pass2")
     # --- pass 2 (host): intra + uncovered inter blocks in decode order ---
+    n_blocks = 0
     for ci, coder in enumerate(coders):
+        n_blocks += len(coder.blocks)
         skip_set = {bi for bi in range(len(coder.blocks))
                     if (ci, bi) in device_blocks}
         _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
                     device_done=skip_set, residuals=residual_map)
+
+    # hand the device copies to the filter chain / future ref reads
+    # (keep_device: the caller's filter path runs on device, so the
+    # copy stays authoritative; when the host pass touched any block,
+    # refresh from the numpy planes the host just wrote)
+    if keep_device and not intra_frame:
+        if len(device_blocks) != n_blocks or hplans:
+            dev_planes = [jnp.asarray(p.astype(np.int32))
+                          for p in bufs.planes]
+        bufs.dev_planes = dev_planes
     while _scopes:
         _scopes.pop().__exit__(None, None, None)
     return bufs
