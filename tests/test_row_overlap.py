@@ -49,6 +49,66 @@ def test_mv_row_pad_bounds():
     assert mv_row_pad(0, 64) == 1
 
 
+def _chain_units(F, H, W, band_rows, pad, uw, uh, seed=0):
+    """Random per-frame MC unit grids whose read reach respects the
+    band gate: oy + uh + 7 <= (band + pad + 1) * band_rows."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    for f in range(F):
+        rows = []
+        for dy in range(0, H - uh + 1, uh):
+            for dx in range(0, W - uw + 1, uw):
+                band = dy // band_rows
+                lo = -16                      # reads above: always done
+                hi = (band + pad + 1) * band_rows - uh - 7
+                oy = int(rng.integers(lo, max(hi, lo + 1)))
+                ox = int(rng.integers(-8, W - uw))
+                rows.append((dy, dx, oy, ox,
+                             int(rng.integers(1, 16)),
+                             int(rng.integers(1, 16)),
+                             int(rng.integers(0, 9))))
+        frames.append(np.asarray(rows, np.int32))
+    return frames
+
+
+def test_banded_chain_bit_exact():
+    """Overlapped wave execution == sequential frame-by-frame decode on
+    the real 8-tap MC kernel: the schedule's dependency property holds
+    on actual pixels, not just on the wave graph."""
+    from dav1d_mirror_tpu.parallel.row_overlap import run_banded_chain
+    F, H, W, band_rows, pad, uw, uh = 3, 64, 64, 16, 1, 8, 8
+    rng = np.random.default_rng(3)
+    ref0 = rng.integers(0, 256, (H, W)).astype(np.int32)
+    frames = _chain_units(F, H, W, band_rows, pad, uw, uh)
+    seq = np.asarray(run_banded_chain(ref0, frames, H // band_rows,
+                                      band_rows, pad, uw, uh,
+                                      sequential=True))
+    ovl = np.asarray(run_banded_chain(ref0, frames, H // band_rows,
+                                      band_rows, pad, uw, uh))
+    np.testing.assert_array_equal(seq, ovl)
+
+
+def test_banded_chain_on_mesh():
+    """Same schedule with each wave's unit batch sharded over an 8-device
+    mesh (GSPMD gathers/scatters across devices); still bit-exact."""
+    import jax
+    from jax.sharding import Mesh
+    from dav1d_mirror_tpu.parallel.row_overlap import run_banded_chain
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    F, H, W, band_rows, pad, uw, uh = 2, 64, 64, 16, 1, 8, 8
+    rng = np.random.default_rng(5)
+    ref0 = rng.integers(0, 256, (H, W)).astype(np.int32)
+    frames = _chain_units(F, H, W, band_rows, pad, uw, uh, seed=11)
+    base = np.asarray(run_banded_chain(ref0, frames, H // band_rows,
+                                       band_rows, pad, uw, uh))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("u",))
+    sh = np.asarray(run_banded_chain(ref0, frames, H // band_rows,
+                                     band_rows, pad, uw, uh, mesh=mesh))
+    np.testing.assert_array_equal(base, sh)
+
+
 def test_keyframe_restarts_pipeline():
     deps = [[], [0], [], [2]]      # two 2-frame GOPs
     B, pad = 4, 1
