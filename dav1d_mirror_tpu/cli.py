@@ -68,6 +68,10 @@ def parse_args(argv=None):
                         "(tools/dav1d.c:93 synchronization)")
     p.add_argument("--tpu", action="store_true",
                    help="run pixel work on the JAX device pipelines")
+    p.add_argument("--tpuintra", action="store_true",
+                   help="with --tpu: reconstruct pure-intra frames with "
+                        "the device wavefront engine (models/tpu_intra) "
+                        "instead of the host walk")
     p.add_argument("-q", "--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -107,6 +111,7 @@ def main(argv=None):
         strict_std_compliance=bool(args.strict),
         use_tpu_filters=args.tpu,
         use_tpu_inter=args.tpu,
+        use_tpu_intra_engine=args.tpuintra,
     )
     dec = Decoder(settings)
     mux = open_muxer(args.muxer, args.output, fps=fps)

@@ -776,9 +776,19 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
     planes = tuple(jnp.asarray(a) for a in init)
     out = intra_scan(planes, tuple(res), jnp.asarray(mp),
                      jnp.asarray(fpl), bitdepth, ss_hor, ss_ver, n_planes)
+    # hand device-resident crops to the filter chain / future ref reads
+    # (same contract as models/tpu_inter: dev_planes[i] has
+    # bufs.planes[i].shape) while also filling the host planes
+    dev = []
     for i in range(n_planes):
         ph, pw = plane_dims[i]
+        crop = jax.lax.dynamic_slice(out[i], (PADT, PADT), (ph, pw))
+        fh, fw = bufs.planes[i].shape
+        if (fh, fw) != (ph, pw):
+            crop = jnp.zeros((fh, fw), jnp.int32).at[:ph, :pw].set(crop)
+        dev.append(crop)
         bufs.planes[i][:ph, :pw] = np.asarray(
             out[i][PADT:PADT + ph, PADT:PADT + pw]).astype(
                 bufs.planes[i].dtype)
+    bufs.dev_planes = dev
     return bufs
