@@ -83,6 +83,17 @@ _DFT = {"all": DECODEFRAMETYPE_ALL, "reference": DECODEFRAMETYPE_REFERENCE,
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize pins jax_platforms to the TPU backend;
+        # honor an explicit JAX_PLATFORMS request through the config API
+        # so `JAX_PLATFORMS=cpu` CLI runs work under that sitecustomize
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     args = parse_args(argv)
     if args.verify and not args.muxer:
         args.muxer = "md5"

@@ -1,0 +1,328 @@
+"""Fused whole-frame device program: ONE dispatch per frame.
+
+On a tunneled TPU every kernel dispatch and host->device transfer costs
+~1 ms of fixed latency, so the eager per-bucket driver (the original
+models/tpu_inter execution loop: one upload + one or two dispatches per
+(plane, size-class) bucket) spent hundreds of ms of pure host latency
+per 1080p frame. This module re-expresses a frame's ENTIRE device pixel
+stage as one jit-compiled program per frame *signature*:
+
+  * the host planning pass packs every descriptor / coefficient / mask
+    array into a single flat int32 buffer (ONE upload per frame), and
+  * a traced interpreter replays the identical kernel sequence with
+    STATIC slices of that buffer, so XLA sees the whole frame as one
+    program (one dispatch; free inter-kernel fusion and scheduling).
+
+The signature is the tuple of op records (kinds, size classes, padded
+counts, buffer offsets). Pow2 batch padding with OOB-dropped pad rows
+(see models/tpu_inter) keeps the signature set small: a stream converges
+to a handful of compiled programs that are reused across frames and — via
+the persistent compilation cache — across processes.
+
+Kernels are the same bit-exact ops the eager driver used (ops/mc_tpu,
+ops/mc_pallas, ops/itx); this module only changes WHERE their inputs
+come from and how many programs carry them.
+
+Reference mapping: the device half of dav1d's 2-pass decode
+(src/decode.c:3375 submit + src/recon_tmpl.c drivers), compressed into
+one XLA program per frame shape.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.mc_tpu import (mc_unit_batch, mc_unit_batch_hv, mc_hplanes,
+                          mc_hv_combos, warp8x8_batch, mc_scaled_batch,
+                          scatter_units, set_slots, scatter_slot_units,
+                          comp_join_wavg, comp_join_wmask, comp_join_mask,
+                          obmc_blend_batch, _HPAD_L)
+from ..ops import mc_pallas
+from ..ops.itx import _residual_core
+
+
+class FrameProgram:
+    """Builder: accumulates op records + one flat int32 descriptor
+    buffer. Everything static (shapes, size classes, offsets) lives in
+    the op records; everything data lives in the buffer."""
+
+    def __init__(self, n_planes, bitdepth, plane_shapes, ref_shapes,
+                 sref_shapes):
+        self.n_planes = n_planes
+        self.bd = bitdepth
+        self.plane_shapes = tuple(tuple(s) for s in plane_shapes)
+        self.ref_shapes = tuple(tuple(s) for s in ref_shapes)
+        self.sref_shapes = tuple(tuple(s) for s in sref_shapes)
+        self.ops = []
+        self._chunks = []
+        self._off = 0
+        self._hp_ids = {}      # (pl, combos-bytes) -> cache id
+        self._n_cm = 0         # seg-mask registry counter
+        self.n_hres = 0
+        self.use_pallas = mc_pallas.pallas_available()
+
+    # -- packing ----------------------------------------------------
+    def emit(self, arr):
+        a = np.ascontiguousarray(np.asarray(arr, dtype=np.int32))
+        h = (self._off, a.shape)
+        self._chunks.append(a.reshape(-1))
+        self._off += a.size
+        return h
+
+    def op(self, *rec):
+        self.ops.append(rec)
+
+    def hplanes_id(self, pl, combos):
+        """Cache id for an H-filtered plane stack; emits the build op on
+        first use (mirrors the eager driver's per-plane hcache)."""
+        key = (pl, combos.tobytes())
+        cid = self._hp_ids.get(key)
+        if cid is None:
+            cid = len(self._hp_ids)
+            self._hp_ids[key] = cid
+            if self.use_pallas:
+                refmap, taps, remap = mc_pallas.hplanes_prep(combos)
+                self.op("hpp", pl, cid, self.emit(refmap),
+                        self.emit(taps))
+                self._hp_ids[key] = cid = (cid, remap)
+            else:
+                self.op("hpx", pl, cid, self.emit(combos))
+        return self._hp_ids[key]
+
+    def new_cm(self):
+        self._n_cm += 1
+        return self._n_cm - 1
+
+    def new_hres(self):
+        self.n_hres += 1
+        return self.n_hres - 1
+
+    def finalize(self):
+        desc = np.concatenate(self._chunks) if self._chunks else \
+            np.zeros(1, np.int32)
+        sig = (tuple(self.ops), self.n_planes, self.bd,
+               self.plane_shapes, self.ref_shapes, self.sref_shapes)
+        return sig, desc
+
+
+def _fuse_default() -> bool:
+    """Whole-frame fusion pays off when dispatch latency dominates (real
+    TPUs, tunneled or not); on CPU backends the per-signature compile of
+    a hundred-kernel program costs far more than it saves, so the same
+    op sequence runs eagerly there (reusing the individually-jitted
+    kernels). DAV1D_TPU_FUSE=0/1 overrides."""
+    import os
+    env = os.environ.get("DAV1D_TPU_FUSE")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def run_frame_program(prog: FrameProgram, refs, srefs, fuse=None):
+    """Execute the packed program. refs: tuple of (7, H, W) int32 device
+    arrays per plane; srefs: tuple of (1, h, w) int32. Returns
+    (planes tuple, hres tuple)."""
+    sig, desc = prog.finalize()
+    if fuse is None:
+        fuse = _fuse_default()
+    fn = _compiled(sig) if fuse else _interpreter(sig)
+    return fn(jnp.asarray(desc), tuple(refs), tuple(srefs))
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled(sig):
+    return jax.jit(_interpreter(sig))
+
+
+@functools.lru_cache(maxsize=128)
+def _interpreter(sig):
+    ops, n_planes, bd, plane_shapes, ref_shapes, sref_shapes = sig
+
+    def get(desc, h):
+        off, shape = h
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        return desc[off:off + n].reshape(shape)
+
+    def body(desc, refs, srefs):
+        planes = [jnp.zeros(s, jnp.int32) for s in plane_shapes]
+        hp = {}       # cache id -> H-plane stack (xla) / padded (pallas)
+        cms = {}      # seg-mask registry
+        hres = []
+
+        def side_tmp(pl, bwp, bhp, N, subops, prep):
+            tmp = jnp.zeros((N, bhp, bwp), jnp.int32)
+            for s in subops:
+                if s[0] == "t":
+                    _, hh, hv, h_arr, h_sl = s
+                    a = get(desc, h_arr)
+                    out = mc_unit_batch(
+                        (refs[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
+                         a[:, 4], a[:, 5]), bwp, bhp, hh, hv, bd, prep)
+                    tmp = set_slots(tmp, get(desc, h_sl), out)
+                elif s[0] == "w":
+                    _, h_rows, h_base = s
+                    out = warp8x8_batch(refs[pl], get(desc, h_rows), bd,
+                                        prep)
+                    tmp = scatter_slot_units(tmp, get(desc, h_base), out,
+                                             8, 8, bwp)
+                else:
+                    _, sid, uw, uh, h_rows, h_base = s
+                    out = mc_scaled_batch(srefs[sid], get(desc, h_rows),
+                                          uw, uh, 2 * uw + 10,
+                                          2 * uh + 10, bd, prep)
+                    tmp = scatter_slot_units(tmp, get(desc, h_base), out,
+                                             uh, uw, bwp)
+            return tmp
+
+        for rec in ops:
+            kind = rec[0]
+            if kind == "hpx":
+                _, pl, cid, h_combos = rec
+                hp[cid] = mc_hplanes(refs[pl], get(desc, h_combos), bd)
+            elif kind == "hpp":
+                _, pl, cid, h_refmap, h_taps = rec
+                hs = mc_pallas.hplanes_run(refs[pl], get(desc, h_refmap),
+                                           get(desc, h_taps), bd)
+                hp[cid] = (mc_pallas.pad_hstack(hs)[0], int(hs.shape[1]))
+            elif kind == "put":
+                _, pl, uw, uh, hh, hv, h_arr, h_ys, h_xs = rec
+                a = get(desc, h_arr)
+                out = mc_unit_batch(
+                    (refs[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
+                     a[:, 4], a[:, 5]), uw, uh, hh, hv, bd, False)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_ys),
+                                           get(desc, h_xs), uh, uw)
+            elif kind == "puthv_x":
+                (_, pl, uw, uh, cid, h_slot, h_oy, h_ox, h_my, h_tv,
+                 h_ys, h_xs) = rec
+                out = mc_unit_batch_hv(
+                    (hp[cid], get(desc, h_slot), get(desc, h_oy),
+                     get(desc, h_ox), get(desc, h_my), get(desc, h_tv)),
+                    uw, uh, bd, False)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_ys),
+                                           get(desc, h_xs), uh, uw)
+            elif kind == "puthv_p":
+                _, pl, uw, uh, cid, h_cols, B, h_ys, h_xs = rec
+                hpad, Hh = hp[cid]
+                cols = [get(desc, h) for h in h_cols]
+                out = mc_pallas.vpass_run(hpad, *cols, uw, uh, bd,
+                                          False, B)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_ys),
+                                           get(desc, h_xs), uh, uw)
+            elif kind == "warp":
+                _, pl, h_rows, h_ys, h_xs = rec
+                out = warp8x8_batch(refs[pl], get(desc, h_rows), bd,
+                                    False)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_ys),
+                                           get(desc, h_xs), 8, 8)
+            elif kind == "scaled":
+                _, pl, sid, uw, uh, h_rows, h_ys, h_xs = rec
+                out = mc_scaled_batch(srefs[sid], get(desc, h_rows), uw,
+                                      uh, 2 * uw + 10, 2 * uh + 10, bd,
+                                      False)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_ys),
+                                           get(desc, h_xs), uh, uw)
+            elif kind == "comp":
+                (_, pl, bwp, bhp, N, sides, joins, ssh, ssv, h_dy,
+                 h_dx) = rec
+                tmps = [side_tmp(pl, bwp, bhp, N, sides[i], True)
+                        for i in (0, 1)]
+                out = jnp.zeros((N, bhp, bwp), jnp.int32)
+                for j in joins:
+                    if j[0] == "wavg":
+                        _, h_sl, h_w = j
+                        out = comp_join_wavg(
+                            out, tmps[0], tmps[1], get(desc, h_sl),
+                            get(desc, h_w)[:, None, None], bd)
+                    elif j[0] == "segl":
+                        _, h_sl, h_sgn, cmid = j
+                        out, cm = comp_join_wmask(
+                            out, tmps[0], tmps[1], get(desc, h_sl),
+                            get(desc, h_sgn), ssh, ssv, bd)
+                        cms[cmid] = cm
+                    elif j[0] == "segc":
+                        _, h_sl, h_sgn, spec = j
+                        if spec[0] == "one":
+                            m = cms[spec[1]][get(desc, spec[2])]
+                        else:
+                            m = jnp.stack([cms[cmid][jj]
+                                           for cmid, jj in spec[1]])
+                        out = comp_join_mask(out, tmps[0], tmps[1],
+                                             get(desc, h_sl),
+                                             get(desc, h_sgn), m, bd)
+                    else:  # wedge
+                        _, h_sl, h_sgn, h_masks = j
+                        out = comp_join_mask(out, tmps[0], tmps[1],
+                                             get(desc, h_sl),
+                                             get(desc, h_sgn),
+                                             get(desc, h_masks), bd)
+                planes[pl] = scatter_units(planes[pl], out,
+                                           get(desc, h_dy),
+                                           get(desc, h_dx), bhp, bwp)
+            elif kind == "obmc":
+                _, pl, lh, lw, region, vert, nL, subops, h_ys, h_xs = rec
+                lap = side_tmp(pl, lw, lh, nL, subops, False)
+                planes[pl] = obmc_blend_batch(
+                    planes[pl], lap, get(desc, h_ys), get(desc, h_xs),
+                    lh, lw, region, vert)
+            elif kind == "resid":
+                _, pl, sh, sw, tx, txtp, h_cf, h_ys, h_xs = rec
+                cfs = get(desc, h_cf)
+                res = _residual_core(cfs, tx, txtp, bd, jnp)
+                uh, uw = res.shape[1], res.shape[2]
+                ys = get(desc, h_ys)
+                xs = get(desc, h_xs)
+                yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
+                xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
+                cur = planes[pl][yy, xx]
+                out = jnp.clip(cur + res, 0, (1 << bd) - 1)
+                planes[pl] = planes[pl].at[yy, xx].set(out)
+            elif kind == "hres":
+                _, tx, txtp, h_cf = rec
+                hres.append(_residual_core(get(desc, h_cf), tx, txtp,
+                                           bd, jnp))
+        return tuple(planes), tuple(hres)
+
+    return body
+
+
+# ---------------------------------------------------------------------
+# pack helpers shared with the driver (models/tpu_inter)
+# ---------------------------------------------------------------------
+def pack_put_case(prog: FrameProgram, pl, key, arr):
+    """One translational-put bucket. arr: pow2-padded (B, 8) rows
+    (ref, oy, ox, mx, my, f2d, dst_y, dst_x) with PAD_OOB dst_y pads."""
+    uw, uh, has_h, has_v = key
+    h_ys = prog.emit(arr[:, 6])
+    h_xs = prog.emit(arr[:, 7])
+    if has_h and has_v:
+        W = prog.ref_shapes[pl][1]
+        H = prog.ref_shapes[pl][0]
+        combos, slot, tv = mc_hv_combos(arr[:, :6], uw)
+        cid = prog.hplanes_id(pl, combos)
+        if prog.use_pallas:
+            cid, remap = cid
+            cols, _ = mc_pallas.vpass_prep(remap[slot], arr[:, :6], tv,
+                                           uw, uh, H, W)
+            prog.op("puthv_p", pl, uw, uh, cid,
+                    tuple(prog.emit(c) for c in cols), arr.shape[0],
+                    h_ys, h_xs)
+        else:
+            ox = np.clip(arr[:, 2], -_HPAD_L, W - 1).astype(np.int32)
+            prog.op("puthv_x", pl, uw, uh, cid, prog.emit(slot),
+                    prog.emit(arr[:, 1]), prog.emit(ox),
+                    prog.emit(arr[:, 4]), prog.emit(tv), h_ys, h_xs)
+    else:
+        prog.op("put", pl, uw, uh, bool(has_h), bool(has_v),
+                prog.emit(arr[:, :6]), h_ys, h_xs)

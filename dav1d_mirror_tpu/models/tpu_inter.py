@@ -25,9 +25,7 @@ import jax.numpy as jnp
 
 from ..host.tilecoder import (T_BLOCK_DIM, T_TXFM, COMP_INTER_NONE,
                               COMP_INTER_AVG, COMP_INTER_WEIGHTED_AVG)
-from ..ops.mc_tpu import (mc_unit_batch, mc_hv_batch,
-                          scatter_units, scatter_add_units, PAD_OOB)
-from ..ops.itx import itx_residual, itx_scatter_flat
+from ..ops.mc_tpu import PAD_OOB
 from .ref_decoder import _recon_tile, _gmv_warp_params
 
 
@@ -280,10 +278,6 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
     intra_frame = fhdr.frame_type in (0, 2)
-    from ..ops.mc_tpu import (warp8x8_batch, mc_scaled_batch,
-                              obmc_blend_batch, set_slots,
-                              scatter_slot_units, comp_join_wavg,
-                              comp_join_wmask, comp_join_mask)
     from ..ops.ref.wedge import wedge_mask
 
     from ..utils.trace import trace_scope
@@ -490,12 +484,11 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
 
     _phase("ref-upload")
     # --- device reference stacks ---
-    # fresh FrameBuffers planes are all-zero: create on device instead
-    # of uploading 0s; reference planes reuse the device copies the
+    # fresh FrameBuffers planes are all-zero: the fused program creates
+    # them on device; reference planes reuse the device copies the
     # previous frames' filter chains left behind (rb.dev_planes) and
     # only upload when a ref was decoded on the host path.
-    dev_planes = [jnp.zeros(p.shape, jnp.int32) for p in bufs.planes] \
-        if not intra_frame else None
+    dev_planes = None
 
     def _ref_plane(rb, pl):
         if rb.dev_planes is not None:
@@ -523,29 +516,28 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 stack.append(_ref_plane(rb, pl)[:h_vis, :w_vis])
         ref_stacks.append(jnp.stack(stack))
 
-    _phase("puts")
-    # --- translational put batches ---
-    hcaches = [dict() for _ in range(n_planes)]
-    for pl in range(n_planes):
-        for key, lst in sorted(plan.put[pl].items()):
-            uw, uh, has_h, has_v = key
-            arr = _pad_rows(np.asarray(lst, np.int32), 6)
-            if has_h and has_v:
-                out = mc_hv_batch(ref_stacks[pl], arr[:, :6], uw, uh, bd,
-                                  False, hcaches[pl])
-            else:
-                out = mc_unit_batch(
-                    (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                     jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
-                     jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
-                     jnp.asarray(arr[:, 5])),
-                    uw, uh, has_h, has_v, bd, False)
-            dev_planes[pl] = scatter_units(
-                dev_planes[pl], out, jnp.asarray(arr[:, 6]),
-                jnp.asarray(arr[:, 7]), uh, uw)
+    _phase("pack")
+    # --- pack the WHOLE device pixel stage into one fused program ---
+    # (models/frame_exec: one descriptor upload + one dispatch per frame
+    # signature; this loop only builds numpy arrays + static op records)
+    from .frame_exec import FrameProgram, run_frame_program, pack_put_case
+    sref_keys = sorted(sref_stacks)
+    sref_idx = {k: i for i, k in enumerate(sref_keys)}
+    srefs = tuple(sref_stacks[k] for k in sref_keys)
+    prog = FrameProgram(
+        n_planes, bd,
+        [] if intra_frame else [p.shape for p in bufs.planes],
+        [tuple(int(x) for x in r.shape[1:]) for r in ref_stacks],
+        [tuple(int(x) for x in s.shape[1:]) for s in srefs])
 
-    # --- warp put batches ---
-    for pl in range(n_planes):
+    # translational put batches
+    for pl in range(0 if intra_frame else n_planes):
+        for key, lst in sorted(plan.put[pl].items()):
+            arr = _pad_rows(np.asarray(lst, np.int32), 6)
+            pack_put_case(prog, pl, key, arr)
+
+    # warp put batches
+    for pl in range(0 if intra_frame else n_planes):
         if not plan.warp_put[pl]:
             continue
         rows = _pad_rows(np.asarray([r for r, _, _ in plan.warp_put[pl]],
@@ -554,13 +546,11 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                                  np.int32), True)
         xs = _pad_vec(np.asarray([x for _, _, x in plan.warp_put[pl]],
                                  np.int32), False)
-        out = warp8x8_batch(ref_stacks[pl], jnp.asarray(rows), bd, False)
-        dev_planes[pl] = scatter_units(dev_planes[pl], out,
-                                       jnp.asarray(ys), jnp.asarray(xs),
-                                       8, 8)
+        prog.op("warp", pl, prog.emit(rows), prog.emit(ys),
+                prog.emit(xs))
 
-    # --- scaled put batches ---
-    for pl in range(n_planes):
+    # scaled put batches
+    for pl in range(0 if intra_frame else n_planes):
         for (uw, uh, ref_i), lst in sorted(plan.scaled_put[pl].items()):
             rows = np.asarray([r for r, _, _ in lst], np.int32)
             rows[:, 0] = 0
@@ -569,17 +559,57 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                           True)
             xs = _pad_vec(np.asarray([x for _, _, x in lst], np.int32),
                           False)
-            out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
-                                  jnp.asarray(rows), uw, uh,
-                                  2 * uw + 10, 2 * uh + 10, bd, False)
-            dev_planes[pl] = scatter_units(dev_planes[pl], out,
-                                           jnp.asarray(ys),
-                                           jnp.asarray(xs), uh, uw)
+            prog.op("scaled", pl, sref_idx[(pl, ref_i)], uw, uh,
+                    prog.emit(rows), prog.emit(ys), prog.emit(xs))
 
-    _phase("compound")
-    # --- compound batches (luma first: seg chroma masks derive from the
-    # luma preps) ---
-    for pl in range(n_planes):
+    # compound batches (luma first: seg chroma masks derive from the
+    # luma preps)
+    def _pack_side(pl, bwp, bhp, group, i, ssh, ssv):
+        tcases, wunits, sunits = {}, [], {}
+        for slot, e in enumerate(group):
+            kind, payload = e["sides"][i]
+            if kind == "t":
+                ref_i, mv, f2d = payload
+                tmp2 = {}
+                _units_for_block_raw(tmp2, pl, ssh, ssv, e["dims"],
+                                     e["pos"][0], e["pos"][1], mv,
+                                     ref_i, f2d, whole=True)
+                (k2, l2), = tmp2.items()
+                tcases.setdefault(k2[2:4], []).append((slot, l2[0]))
+            elif kind == "w":
+                for row, sy, sx in payload:
+                    wunits.append((slot, row, sy, sx))
+            else:
+                for row, uw, uh, sy, sx in payload:
+                    sunits.setdefault((uw, uh, row[0]), []).append(
+                        (slot, row, sy, sx))
+        subops = []
+        for (hh, hv), lst in sorted(tcases.items()):
+            arr = _pad_rows(np.asarray([u[:6] for _, u in lst],
+                                       np.int32), None)
+            slots = _pad_vec(np.asarray([s for s, _ in lst], np.int32),
+                             False)
+            subops.append(("t", bool(hh), bool(hv), prog.emit(arr),
+                           prog.emit(slots)))
+        if wunits:
+            rows = _pad_rows(np.asarray([r for _, r, _, _ in wunits],
+                                        np.int32), None)
+            base = _pad_vec(np.asarray(
+                [s * bhp * bwp + sy * bwp + sx
+                 for s, _, sy, sx in wunits], np.int32), False)
+            subops.append(("w", prog.emit(rows), prog.emit(base)))
+        for (uw, uh, ref_i), lst in sorted(sunits.items()):
+            rows = np.asarray([r for _, r, _, _ in lst], np.int32)
+            rows[:, 0] = 0
+            rows = _pad_rows(rows, None)
+            base = _pad_vec(np.asarray(
+                [s * bhp * bwp + sy * bwp + sx
+                 for s, _, sy, sx in lst], np.int32), False)
+            subops.append(("s", sref_idx[(pl, ref_i)], uw, uh,
+                           prog.emit(rows), prog.emit(base)))
+        return tuple(subops)
+
+    for pl in range(0 if intra_frame else n_planes):
         ssh = ss_hor if pl else 0
         ssv = ss_ver if pl else 0
         for key, group in sorted(plan.comp[pl].items()):
@@ -592,106 +622,41 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 group = group + [dict(last, dst=(PAD_OOB, 0))
                                  for _ in range(npad)]
             N = len(group)
-            tmps = []
-            for i in (0, 1):
-                tmp = jnp.zeros((N, bhp, bwp), jnp.int32)
-                tcases, wunits, sunits = {}, [], {}
-                for slot, e in enumerate(group):
-                    kind, payload = e["sides"][i]
-                    if kind == "t":
-                        ref_i, mv, f2d = payload
-                        tmp2 = {}
-                        _units_for_block_raw(tmp2, pl, ssh, ssv,
-                                             e["dims"], e["pos"][0],
-                                             e["pos"][1], mv, ref_i, f2d,
-                                             whole=True)
-                        (k2, l2), = tmp2.items()
-                        tcases.setdefault(k2[2:4], []).append(
-                            (slot, l2[0]))
-                    elif kind == "w":
-                        for row, sy, sx in payload:
-                            wunits.append((slot, row, sy, sx))
-                    else:
-                        for row, uw, uh, sy, sx in payload:
-                            sunits.setdefault((uw, uh, row[0]),
-                                              []).append(
-                                (slot, row, sy, sx))
-                for (hh, hv), lst in sorted(tcases.items()):
-                    arr = _pad_rows(np.asarray([u[:6] for _, u in lst],
-                                               np.int32), None)
-                    slots = jnp.asarray(_pad_vec(
-                        np.asarray([s for s, _ in lst], np.int32),
-                        False))
-                    out = mc_unit_batch(
-                        (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
-                         jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
-                         jnp.asarray(arr[:, 5])),
-                        bwp, bhp, bool(hh), bool(hv), bd, True)
-                    tmp = set_slots(tmp, slots, out)
-                if wunits:
-                    rows = _pad_rows(
-                        np.asarray([r for _, r, _, _ in wunits],
-                                   np.int32), None)
-                    out = warp8x8_batch(ref_stacks[pl],
-                                        jnp.asarray(rows), bd, True)
-                    base = _pad_vec(np.asarray(
-                        [s * bhp * bwp + sy * bwp + sx
-                         for s, _, sy, sx in wunits], np.int32), False)
-                    tmp = scatter_slot_units(tmp, jnp.asarray(base),
-                                             out, 8, 8, bwp)
-                for (uw, uh, ref_i), lst in sorted(sunits.items()):
-                    rows = np.asarray([r for _, r, _, _ in lst],
-                                      np.int32)
-                    rows[:, 0] = 0
-                    rows = _pad_rows(rows, None)
-                    out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
-                                          jnp.asarray(rows), uw, uh,
-                                          2 * uw + 10, 2 * uh + 10, bd,
-                                          True)
-                    base = _pad_vec(np.asarray(
-                        [s * bhp * bwp + sy * bwp + sx
-                         for s, _, sy, sx in lst], np.int32), False)
-                    tmp = scatter_slot_units(tmp, jnp.asarray(base),
-                                             out, uh, uw, bwp)
-                tmps.append(tmp)
+            sides = tuple(_pack_side(pl, bwp, bhp, group, i, ssh, ssv)
+                          for i in (0, 1))
 
-            out = jnp.zeros((N, bhp, bwp), jnp.int32)
+            joins = []
             idx_by_kind = {}
             for slot, e in enumerate(group):
                 idx_by_kind.setdefault(e["join"][0], []).append(slot)
             for kind, slots in sorted(idx_by_kind.items()):
                 slots = slots + [slots[-1]] * (_p2(len(slots)) -
                                                len(slots))
-                sl = jnp.asarray(np.asarray(slots, np.int32))
-                sgn = jnp.asarray(np.asarray(
+                h_sl = prog.emit(np.asarray(slots, np.int32))
+                h_sgn = prog.emit(np.asarray(
                     [group[s]["sign"] for s in slots], np.int32))
                 if kind in ("avg", "wavg"):
-                    w_arr = jnp.asarray(np.asarray(
-                        [group[s]["join"][1] for s in slots],
-                        np.int32))[:, None, None]
-                    out = comp_join_wavg(out, tmps[0], tmps[1], sl,
-                                         w_arr, bd)
+                    h_w = prog.emit(np.asarray(
+                        [group[s]["join"][1] for s in slots], np.int32))
+                    joins.append(("wavg", h_sl, h_w))
                 elif kind == "seg":
                     if pl == 0:
-                        out, cm = comp_join_wmask(out, tmps[0], tmps[1],
-                                                  sl, sgn, ss_hor,
-                                                  ss_ver, bd)
+                        cmid = prog.new_cm()
+                        joins.append(("segl", h_sl, h_sgn, cmid))
                         # defer per-slot slicing: chroma gathers rows
-                        # from the batch in one op
+                        # from the registered luma mask batch
                         for j, s in enumerate(slots):
-                            group[s]["cmask"] = (cm, j)
+                            group[s]["cmask"] = (cmid, j)
                     else:
                         crefs = [group[s]["luma"]["cmask"]
                                  for s in slots]
-                        if all(r[0] is crefs[0][0] for r in crefs):
-                            cms = crefs[0][0][jnp.asarray(
+                        if all(r[0] == crefs[0][0] for r in crefs):
+                            spec = ("one", crefs[0][0], prog.emit(
                                 np.asarray([r[1] for r in crefs],
-                                           np.int32))]
+                                           np.int32)))
                         else:   # slots span several luma batches
-                            cms = jnp.stack([r[0][r[1]] for r in crefs])
-                        out = comp_join_mask(out, tmps[0], tmps[1], sl,
-                                             sgn, cms, bd)
+                            spec = ("mix", tuple(crefs))
+                        joins.append(("segc", h_sl, h_sgn, spec))
                 else:  # wedge
                     if pl == 0:
                         masks = np.stack([
@@ -705,20 +670,19 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                                        group[s]["sign"],
                                        group[s]["join"][1])
                             [:bhp, :bwp] for s in slots]).astype(np.int32)
-                    out = comp_join_mask(out, tmps[0], tmps[1], sl,
-                                         sgn, jnp.asarray(masks), bd)
+                    joins.append(("wedge", h_sl, h_sgn,
+                                  prog.emit(masks)))
 
-            ys = jnp.asarray(np.asarray([e["dst"][0] for e in group],
+            h_dy = prog.emit(np.asarray([e["dst"][0] for e in group],
                                         np.int32))
-            xs = jnp.asarray(np.asarray([e["dst"][1] for e in group],
+            h_dx = prog.emit(np.asarray([e["dst"][1] for e in group],
                                         np.int32))
-            dev_planes[pl] = scatter_units(dev_planes[pl], out, ys, xs,
-                                           bhp, bwp)
+            prog.op("comp", pl, bwp, bhp, N, sides, tuple(joins),
+                    ss_hor, ss_ver, h_dy, h_dx)
 
-    _phase("obmc")
-    # --- OBMC lap batches (after ALL puts; top phase, then left) ---
+    # OBMC lap batches (after ALL puts; top phase, then left)
     for phase in (0, 1):
-        for pl in range(n_planes):
+        for pl in range(0 if intra_frame else n_planes):
             for (ph_, lh, lw, region), lst in sorted(
                     plan.laps[pl].items()):
                 if ph_ != phase:
@@ -726,7 +690,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 lk, lr, _ = lst[-1]
                 lst = lst + [(lk, lr, (PAD_OOB, 0))] * (_p2(len(lst)) -
                                                         len(lst))
-                lapbuf = jnp.zeros((len(lst), lh, lw), jnp.int32)
+                nL = len(lst)
                 tcases, sunits = {}, {}
                 for slot, (kind, row, d) in enumerate(lst):
                     if kind == "t":
@@ -735,38 +699,32 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     else:
                         sunits.setdefault((row[0],), []).append(
                             (slot, row))
+                subops = []
                 for (hh, hv), l2 in sorted(tcases.items()):
                     arr = _pad_rows(np.asarray([u for _, u in l2],
                                                np.int32), None)
-                    slots = jnp.asarray(_pad_vec(
-                        np.asarray([s for s, _ in l2], np.int32),
-                        False))
-                    out = mc_unit_batch(
-                        (ref_stacks[pl], jnp.asarray(arr[:, 0]),
-                         jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]),
-                         jnp.asarray(arr[:, 3]), jnp.asarray(arr[:, 4]),
-                         jnp.asarray(arr[:, 5])),
-                        lw, lh, bool(hh), bool(hv), bd, False)
-                    lapbuf = set_slots(lapbuf, slots, out)
+                    slots = _pad_vec(
+                        np.asarray([s for s, _ in l2], np.int32), False)
+                    subops.append(("t", bool(hh), bool(hv),
+                                   prog.emit(arr), prog.emit(slots)))
                 for (ref_i,), l2 in sorted(sunits.items()):
                     rows = np.asarray([r for _, r in l2], np.int32)
                     rows[:, 0] = 0
                     rows = _pad_rows(rows, None)
-                    slots = jnp.asarray(_pad_vec(
-                        np.asarray([s for s, _ in l2], np.int32),
-                        False))
-                    out = mc_scaled_batch(sref_stacks[(pl, ref_i)],
-                                          jnp.asarray(rows), lw, lh,
-                                          2 * lw + 10, 2 * lh + 10, bd,
-                                          False)
-                    lapbuf = set_slots(lapbuf, slots, out)
-                ys = jnp.asarray(np.asarray([d[0] for _, _, d in lst],
+                    # full-slot writes expressed as sub-rect scatters at
+                    # base offset slot*lh*lw (same semantics as set_slots)
+                    base = _pad_vec(
+                        np.asarray([s * lh * lw for s, _ in l2],
+                                   np.int32), False)
+                    subops.append(("s", sref_idx[(pl, ref_i)], lw, lh,
+                                   prog.emit(rows), prog.emit(base)))
+                h_ys = prog.emit(np.asarray([d[0] for _, _, d in lst],
                                             np.int32))
-                xs = jnp.asarray(np.asarray([d[1] for _, _, d in lst],
+                h_xs = prog.emit(np.asarray([d[1] for _, _, d in lst],
                                             np.int32))
-                dev_planes[pl] = obmc_blend_batch(
-                    dev_planes[pl], lapbuf, ys, xs, lh, lw,
-                    region if phase == 0 else lw, phase == 1)
+                prog.op("obmc", pl, lh, lw,
+                        region if phase == 0 else lw, phase == 1, nL,
+                        tuple(subops), h_ys, h_xs)
 
     _phase("residuals")
     # --- residual inverse transforms, ALL blocks ---
@@ -788,40 +746,38 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     continue
                 dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
                     (cb.cf, cb.y * 4, cb.x * 4))
-    # pack every scatter-add bucket into ONE flat upload, then one fused
-    # itx+scatter dispatch per bucket with dynamic offsets (per-bucket
-    # transfers dominated this phase on tunneled devices)
-    order = sorted(rplans.items())
-    metas, tot_cf, tot_u = [], 0, 0
-    for (pl, tx, txtp), lst in order:
+    # scatter-add buckets: part of the fused program (the descriptor
+    # buffer is the frame's single upload, coefficients included)
+    for (pl, tx, txtp), lst in sorted(rplans.items()):
         sh, sw = lst[0][0].shape
         P = _p2(len(lst))
-        metas.append((pl, tx, txtp, sh, sw, P, len(lst), tot_cf, tot_u))
-        tot_cf += P * sh * sw
-        tot_u += P
-    if metas:
-        flat_cf = np.zeros(tot_cf, np.int32)
-        flat_ys = np.full(tot_u, PAD_OOB, np.int32)
-        flat_xs = np.zeros(tot_u, np.int32)
-        for meta, (_, lst) in zip(metas, order):
-            _, _, _, sh, sw, P, B, ocf, ou = meta
-            seg = flat_cf[ocf:ocf + P * sh * sw].reshape(P, sh, sw)
-            for i, (cf, y_px, x_px) in enumerate(lst):
-                seg[i] = cf
-                flat_ys[ou + i] = y_px
-                flat_xs[ou + i] = x_px
-        fcf = jnp.asarray(flat_cf)
-        fys = jnp.asarray(flat_ys)
-        fxs = jnp.asarray(flat_xs)
-        for pl, tx, txtp, sh, sw, P, B, ocf, ou in metas:
-            dev_planes[pl] = itx_scatter_flat(
-                dev_planes[pl], fcf, fys, fxs, np.int32(ocf),
-                np.int32(ou), P, sh, sw, tx, txtp, bd)
-    residual_map = {}
+        cf = np.zeros((P, sh, sw), np.int32)
+        ys = np.full(P, PAD_OOB, np.int32)
+        xs = np.zeros(P, np.int32)
+        for i, (c, y_px, x_px) in enumerate(lst):
+            cf[i] = c
+            ys[i] = y_px
+            xs[i] = x_px
+        prog.op("resid", pl, sh, sw, tx, txtp, prog.emit(cf),
+                prog.emit(ys), prog.emit(xs))
+    # host-map buckets: residuals computed in the same program, fetched
+    # after execution for the decode-order host pass
+    hres_meta = []
     for (pl, tx, txtp), lst in sorted(hplans.items()):
-        cfs = jnp.asarray(_pad_rows(
-            np.stack([e[0] for e in lst]).astype(np.int32), None))
-        res = np.asarray(itx_residual(cfs, tx, txtp, bd))
+        cfs = _pad_rows(np.stack([e[0] for e in lst]).astype(np.int32),
+                        None)
+        prog.op("hres", tx, txtp, prog.emit(cfs))
+        hres_meta.append((pl, lst))
+
+    _phase("execute")
+    # ONE upload + ONE dispatch for the whole frame (per signature)
+    dev_out, hres = run_frame_program(prog, tuple(ref_stacks), srefs)
+    if not intra_frame:
+        dev_planes = list(dev_out)
+
+    residual_map = {}
+    for (pl, lst), res in zip(hres_meta, hres):
+        res = np.asarray(res)
         for i, (_, y_px, x_px) in enumerate(lst):
             residual_map[(pl, y_px // 4, x_px // 4)] = res[i]
 

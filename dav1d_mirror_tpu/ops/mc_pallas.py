@@ -121,14 +121,12 @@ def pad_hstack(hstack):
     return jnp.pad(hpad, ((0, 0), (0, 0), (0, wp - W22))), W22
 
 
-def mc_vpass_pallas(hstack_padded, Hh, W, slot, arr, tv, subpel_table,
-                    uw, uh, bitdepth, prep):
-    """Host prep + kernel run for one has_h&has_v bucket.
-
-    hstack_padded: from pad_hstack; Hh: unpadded mid-plane rows; W:
-    visible ref width; slot: (B,) combo ids; arr: (B, 6) np int32
-    descriptors (ref, oy, ox, mx, my, f2d); tv: (B,) vertical filter
-    type. Returns (B, uh, uw) int32 device array."""
+def vpass_prep(slot, arr, tv, uw, uh, Hh, W):
+    """Host-side prep for the vertical-pass kernel (pure numpy; shared
+    by the eager wrapper below and the fused frame program, which uploads
+    these as part of its single descriptor transfer). Returns
+    (slot, ry, r0, rx, x0, fv_lanes) int32 arrays padded to a CHUNK
+    multiple, plus the padded batch Bp."""
     B = arr.shape[0]
     padn = (-B) % CHUNK
     if padn:
@@ -138,18 +136,38 @@ def mc_vpass_pallas(hstack_padded, Hh, W, slot, arr, tv, subpel_table,
     oy_p = np.clip(arr[:, 1], -PAD_T, Hh - 1) + PAD_T
     oxh = np.clip(arr[:, 2], -15, W - 1) + 15
     rows = np.where(uh <= 4, 3 + (tv & 1), tv)
-    fv = subpel_table[rows, arr[:, 4] - 1].astype(np.int32)  # (B', 8)
+    fv = _SUBPEL_NP[rows, arr[:, 4] - 1].astype(np.int32)  # (B', 8)
     fv_lanes = np.repeat(fv[:, :, None], uw, axis=2)
     fv_lanes = fv_lanes.transpose(1, 0, 2).reshape(8, -1)
+    return ((slot.astype(np.int32), (oy_p & ~7).astype(np.int32),
+             (oy_p & 7).astype(np.int32), (oxh & ~127).astype(np.int32),
+             (oxh & 127).astype(np.int32), fv_lanes.astype(np.int32)),
+            B + padn)
+
+
+def vpass_run(hstack_padded, slot, ry, r0, rx, x0, fv_lanes, uw, uh,
+              bitdepth, prep, n_units):
+    """Traced vertical pass over prepped descriptor arrays (jnp or np);
+    returns (n_units, uh, uw) int32."""
     run = _make_vpass(uw, uh, bitdepth, prep)
-    out = run(hstack_padded, jnp.asarray(slot.astype(np.int32)),
-              jnp.asarray((oy_p & ~7).astype(np.int32)),
-              jnp.asarray((oy_p & 7).astype(np.int32)),
-              jnp.asarray((oxh & ~127).astype(np.int32)),
-              jnp.asarray((oxh & 127).astype(np.int32)),
+    out = run(hstack_padded, jnp.asarray(slot), jnp.asarray(ry),
+              jnp.asarray(r0), jnp.asarray(rx), jnp.asarray(x0),
               jnp.asarray(fv_lanes))
-    Bp = B + padn
-    return jnp.transpose(out.reshape(uh, Bp, uw), (1, 0, 2))[:B]
+    Bp = slot.shape[0]
+    return jnp.transpose(out.reshape(uh, Bp, uw), (1, 0, 2))[:n_units]
+
+
+def mc_vpass_pallas(hstack_padded, Hh, W, slot, arr, tv, subpel_table,
+                    uw, uh, bitdepth, prep):
+    """Host prep + kernel run for one has_h&has_v bucket.
+
+    hstack_padded: from pad_hstack; Hh: unpadded mid-plane rows; W:
+    visible ref width; slot: (B,) combo ids; arr: (B, 6) np int32
+    descriptors (ref, oy, ox, mx, my, f2d); tv: (B,) vertical filter
+    type. Returns (B, uh, uw) int32 device array."""
+    B = arr.shape[0]
+    cols, _ = vpass_prep(slot, arr, tv, uw, uh, Hh, W)
+    return vpass_run(hstack_padded, *cols, uw, uh, bitdepth, prep, B)
 
 
 HROWS = 128     # row band per hplane grid step
@@ -205,15 +223,10 @@ def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int):
     return run
 
 
-def mc_hplanes_pallas(ref_stack, combos, bitdepth):
-    """Pallas counterpart of ops/mc_tpu.mc_hplanes: one grid step per
-    (HGROUP same-ref combos, 128-row band) — bit-exact with the XLA
-    path. Combos are padded per-ref to HGROUP multiples; returns
-    (hstack (C', H, w22) int16, remap (C,) np int32) where remap
-    translates original combo ids to rows of the padded stack.
-    ref_stack: (R, H, W) int32 (pixels); combos: (C, 3) np int32."""
-    R, H, W = (int(s) for s in ref_stack.shape)
-    # per-ref group alignment
+def hplanes_prep(combos):
+    """Host-side prep: pad combos per-ref to HGROUP multiples (same-ref
+    grouping lets the kernel skip ref re-fetches). Returns
+    (refmap (C',) int32, taps (C', 8) int32, remap (C,) int32)."""
     C0 = combos.shape[0]
     groups = []
     remap = np.zeros(C0, np.int32)
@@ -227,6 +240,15 @@ def mc_hplanes_pallas(ref_stack, combos, bitdepth):
             rows = np.concatenate([rows, np.repeat(rows[-1:], padn, 0)])
         groups.append(rows)
     combos = np.concatenate(groups).astype(np.int32)
+    taps = np.asarray(_SUBPEL_NP[combos[:, 1], combos[:, 2] - 1],
+                      np.int32)
+    return combos[:, 0].astype(np.int32), taps, remap
+
+
+def hplanes_run(ref_stack, refmap, taps, bitdepth):
+    """Traced H-pass: refmap/taps from hplanes_prep (jnp or np).
+    Returns hstack (C', H, W+22) int16."""
+    R, H, W = (int(s) for s in ref_stack.shape)
     w_out = W + 22
     w_in_raw = w_out + 7
     w_in = -(-w_in_raw // 128) * 128
@@ -241,11 +263,20 @@ def mc_hplanes_pallas(ref_stack, combos, bitdepth):
         refs_p = jnp.concatenate(
             [refs_p, jnp.repeat(refs_p[:, -1:], n_rb * HROWS - H,
                                 axis=1)], axis=1)
-    taps = jnp.asarray(
-        np.asarray(_SUBPEL_NP[combos[:, 1], combos[:, 2] - 1], np.int32))
     run = _make_hplanes(bitdepth, n_rb, w_in, w_out)
-    out = run(refs_p, jnp.asarray(combos[:, 0].astype(np.int32)), taps)
-    return out[:, :H], remap
+    out = run(refs_p, jnp.asarray(refmap), jnp.asarray(taps))
+    return out[:, :H]
+
+
+def mc_hplanes_pallas(ref_stack, combos, bitdepth):
+    """Pallas counterpart of ops/mc_tpu.mc_hplanes: one grid step per
+    (HGROUP same-ref combos, 128-row band) — bit-exact with the XLA
+    path. Combos are padded per-ref to HGROUP multiples; returns
+    (hstack (C', H, w22) int16, remap (C,) np int32) where remap
+    translates original combo ids to rows of the padded stack.
+    ref_stack: (R, H, W) int32 (pixels); combos: (C, 3) np int32."""
+    refmap, taps, remap = hplanes_prep(combos)
+    return hplanes_run(ref_stack, refmap, taps, bitdepth), remap
 
 
 from ..data.tables import TABLES as _TABLES
