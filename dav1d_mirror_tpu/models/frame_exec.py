@@ -49,13 +49,19 @@ class FrameProgram:
     buffer. Everything static (shapes, size classes, offsets) lives in
     the op records; everything data lives in the buffer."""
 
-    def __init__(self, n_planes, bitdepth, plane_shapes, ref_shapes,
-                 sref_shapes):
+    def __init__(self, n_planes, bitdepth, plane_shapes, refspec=(),
+                 srefspec=()):
+        """refspec: per plane ((h_vis, w_vis), 7-tuple of refsrc index
+        or -1 for an absent/mismatched slot); srefspec: per scaled ref
+        (refsrc index, h_vis, w_vis). The reference stacks are assembled
+        INSIDE the program from the deduped refsrc buffers — reference
+        slot fan-out costs zero dispatches."""
         self.n_planes = n_planes
         self.bd = bitdepth
         self.plane_shapes = tuple(tuple(s) for s in plane_shapes)
-        self.ref_shapes = tuple(tuple(s) for s in ref_shapes)
-        self.sref_shapes = tuple(tuple(s) for s in sref_shapes)
+        self.refspec = tuple(refspec)
+        self.srefspec = tuple(srefspec)
+        self.ref_shapes = tuple(s for s, _ in self.refspec)
         self.ops = []
         self._chunks = []
         self._off = 0
@@ -104,7 +110,7 @@ class FrameProgram:
         desc = np.concatenate(self._chunks) if self._chunks else \
             np.zeros(1, np.int32)
         sig = (tuple(self.ops), self.n_planes, self.bd,
-               self.plane_shapes, self.ref_shapes, self.sref_shapes)
+               self.plane_shapes, self.refspec, self.srefspec)
         return sig, desc
 
 
@@ -124,15 +130,17 @@ def _fuse_default() -> bool:
         return False
 
 
-def run_frame_program(prog: FrameProgram, refs, srefs, fuse=None):
-    """Execute the packed program. refs: tuple of (7, H, W) int32 device
-    arrays per plane; srefs: tuple of (1, h, w) int32. Returns
+def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
+    """Execute the packed program. refsrc: tuple of deduped reference
+    plane buffers (device int32 from previous frames' filter chains, or
+    host uint8/16 uploads); the program assembles the per-plane 7-slot
+    stacks and scaled-ref views from them. Returns
     (planes tuple, hres tuple)."""
     sig, desc = prog.finalize()
     if fuse is None:
         fuse = _fuse_default()
     fn = _compiled(sig) if fuse else _interpreter(sig)
-    return fn(jnp.asarray(desc), tuple(refs), tuple(srefs))
+    return fn(jnp.asarray(desc), tuple(refsrc))
 
 
 @functools.lru_cache(maxsize=128)
@@ -142,14 +150,21 @@ def _compiled(sig):
 
 @functools.lru_cache(maxsize=128)
 def _interpreter(sig):
-    ops, n_planes, bd, plane_shapes, ref_shapes, sref_shapes = sig
+    ops, n_planes, bd, plane_shapes, refspec, srefspec = sig
 
     def get(desc, h):
         off, shape = h
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
         return desc[off:off + n].reshape(shape)
 
-    def body(desc, refs, srefs):
+    def body(desc, refsrc):
+        refs = []
+        for (hv, wv), slots in refspec:
+            refs.append(jnp.stack(
+                [jnp.zeros((hv, wv), jnp.int32) if i < 0 else
+                 refsrc[i][:hv, :wv].astype(jnp.int32) for i in slots]))
+        srefs = [refsrc[i][:h, :w][None].astype(jnp.int32)
+                 for i, h, w in srefspec]
         planes = [jnp.zeros(s, jnp.int32) for s in plane_shapes]
         hp = {}       # cache id -> H-plane stack (xla) / padded (pallas)
         cms = {}      # seg-mask registry

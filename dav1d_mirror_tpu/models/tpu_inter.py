@@ -483,52 +483,56 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
 
     _phase("ref-upload")
-    # --- device reference stacks ---
-    # fresh FrameBuffers planes are all-zero: the fused program creates
-    # them on device; reference planes reuse the device copies the
-    # previous frames' filter chains left behind (rb.dev_planes) and
-    # only upload when a ref was decoded on the host path.
+    # --- reference sources ---
+    # The per-plane 7-slot stacks and scaled-ref views are assembled
+    # INSIDE the fused program from deduped source buffers (zero
+    # dispatches); a source is the device copy a previous frame's filter
+    # chain left behind (rb.dev_planes) or — when a ref was decoded on
+    # the host path — its numpy plane, uploaded in its native dtype.
     dev_planes = None
+    refsrc = []
+    _src_ids = {}
 
-    def _ref_plane(rb, pl):
-        if rb.dev_planes is not None:
-            return rb.dev_planes[pl].astype(jnp.int32)
-        return jnp.asarray(rb.planes[pl].astype(np.int32))
+    def _src(rb, pl):
+        k = (id(rb), pl)
+        if k not in _src_ids:
+            refsrc.append(rb.dev_planes[pl] if rb.dev_planes is not None
+                          else jnp.asarray(rb.planes[pl]))
+            _src_ids[k] = len(refsrc) - 1
+        return _src_ids[k]
 
-    ref_stacks = []
-    sref_stacks = {}
+    refspec = []
+    sref_keys = []
+    srefspec = []
     for pl in range(n_planes if not intra_frame else 0):
         ssh = ss_hor if pl else 0
         ssv = ss_ver if pl else 0
         w_vis = (cur_w + ssh) >> ssh
         h_vis = (cur_h + ssv) >> ssv
-        stack = []
+        slots = []
         for i in range(7):
             rb = refs[fhdr.refidx[i]]
             if rb is None or rb.width != cur_w or rb.height != cur_h:
-                if rb is not None and (pl, i) not in sref_stacks:
+                if rb is not None and (pl, i) not in sref_keys:
                     w_v = (rb.width + ssh) >> ssh
                     h_v = (rb.height + ssv) >> ssv
-                    sref_stacks[(pl, i)] = \
-                        _ref_plane(rb, pl)[:h_v, :w_v][None]
-                stack.append(jnp.zeros((h_vis, w_vis), jnp.int32))
+                    sref_keys.append((pl, i))
+                    srefspec.append((_src(rb, pl), h_v, w_v))
+                slots.append(-1)
             else:
-                stack.append(_ref_plane(rb, pl)[:h_vis, :w_vis])
-        ref_stacks.append(jnp.stack(stack))
+                slots.append(_src(rb, pl))
+        refspec.append(((h_vis, w_vis), tuple(slots)))
 
     _phase("pack")
     # --- pack the WHOLE device pixel stage into one fused program ---
     # (models/frame_exec: one descriptor upload + one dispatch per frame
     # signature; this loop only builds numpy arrays + static op records)
     from .frame_exec import FrameProgram, run_frame_program, pack_put_case
-    sref_keys = sorted(sref_stacks)
     sref_idx = {k: i for i, k in enumerate(sref_keys)}
-    srefs = tuple(sref_stacks[k] for k in sref_keys)
     prog = FrameProgram(
         n_planes, bd,
         [] if intra_frame else [p.shape for p in bufs.planes],
-        [tuple(int(x) for x in r.shape[1:]) for r in ref_stacks],
-        [tuple(int(x) for x in s.shape[1:]) for s in srefs])
+        refspec, srefspec)
 
     # translational put batches
     for pl in range(0 if intra_frame else n_planes):
@@ -771,7 +775,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
 
     _phase("execute")
     # ONE upload + ONE dispatch for the whole frame (per signature)
-    dev_out, hres = run_frame_program(prog, tuple(ref_stacks), srefs)
+    dev_out, hres = run_frame_program(prog, tuple(refsrc))
     if not intra_frame:
         dev_planes = list(dev_out)
 
