@@ -30,6 +30,8 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     from test_e2e_inter import build_stream as inter_stream
     from test_e2e_intra import build_stream as intra_stream
+    from test_e2e_multitile import build_stream as multitile_stream
+    from dav1d_mirror_tpu.host import headers as h
 
     os.makedirs(OUT, exist_ok=True)
     streams = {
@@ -46,6 +48,33 @@ def main():
                          y_points=[(0, 50), (255, 40)], ar_coeff_lag=1,
                          ar_coeffs_y=[2, -5, 9, 4], scaling_shift=9,
                          overlap_flag=1)), 9)[1],
+        # feature-axis coverage (each exercises a distinct kernel/path)
+        "inter_warp_obmc.ivf": lambda: inter_stream(
+            dict(warp=True, swmotion=True, txsw=True,
+                 lf=(20, 20, 15, 15, 0)), 10)[1],
+        "inter_masked.ivf": lambda: inter_stream(
+            dict(comp=True, masked=1, txsw=True,
+                 lf=(25, 25, 18, 18, 1)), 11)[1],
+        "inter_superres.ivf": lambda: inter_stream(
+            dict(sr=12, txsw=True), 12)[1],
+        "inter_tmvs_skip.ivf": lambda: inter_stream(
+            dict(order_hint=1, tmvs=True, comp=True, skipmode=True,
+                 txsw=True), 13)[1],
+        "inter_10bit_lr.ivf": lambda: inter_stream(
+            dict(bitdepth=10, lr=(2, 3, 1), lf=(18, 18, 12, 12, 0),
+                 txsw=True), 14)[1],
+        "inter_444_masked.ivf": lambda: inter_stream(
+            dict(comp=True, masked=1, layout=h.PIXEL_LAYOUT_I444), 15)[1],
+        "intra_filter_pal.ivf": lambda: intra_stream(
+            dict(w=64, h=64, q=60, fi=1, scc=1, txsw=True,
+                 cdef=dict(damping=3, n_bits=1, y_strength=[4, 21],
+                           uv_strength=[2, 9])), 16)[2],
+        "intra_sb128_lr.ivf": lambda: intra_stream(
+            dict(w=128, h=128, q=100, lr=(1, 0, 3), sb128=1, txsw=True,
+                 lf=(25, 25, 20, 20, 0)), 17)[2],
+        "multitile_2x2.ivf": lambda: multitile_stream(
+            dict(w=128, h=128, tiles=(1, 1),
+                 lf=(35, 30, 25, 20, 2)), 18)[1],
     }
     lines = []
     for name, gen in streams.items():
