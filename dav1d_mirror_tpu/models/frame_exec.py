@@ -41,7 +41,23 @@ from ..ops.mc_tpu import (mc_unit_batch, mc_unit_batch_hv, mc_hplanes,
                           comp_join_wavg, comp_join_wmask, comp_join_mask,
                           obmc_blend_batch, _HPAD_L)
 from ..ops import mc_pallas
-from ..ops.itx import _residual_core
+from ..ops.itx import _residual_core, itx_residual
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _resid_scatter(plane, cfs, ys, xs, tx: int, txtp: int,
+                   bitdepth: int):
+    """Inverse-transform one bucket and clip-add at (ys, xs); pad rows
+    carry PAD_OOB ys (dropped). Jitted so the EAGER interpreter path
+    (CPU backends) runs the butterflies compiled, exactly like the old
+    per-bucket driver; inside the fused trace it inlines."""
+    res = _residual_core(cfs, tx, txtp, bitdepth, jnp)
+    uh, uw = res.shape[1], res.shape[2]
+    yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
+    xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
+    cur = plane[yy, xx]
+    out = jnp.clip(cur + res, 0, (1 << bitdepth) - 1)
+    return plane.at[yy, xx].set(out)
 
 
 class FrameProgram:
@@ -50,7 +66,7 @@ class FrameProgram:
     the op records; everything data lives in the buffer."""
 
     def __init__(self, n_planes, bitdepth, plane_shapes, refspec=(),
-                 srefspec=()):
+                 srefspec=(), plane_inputs=False):
         """refspec: per plane ((h_vis, w_vis), 7-tuple of refsrc index
         or -1 for an absent/mismatched slot); srefspec: per scaled ref
         (refsrc index, h_vis, w_vis). The reference stacks are assembled
@@ -62,6 +78,7 @@ class FrameProgram:
         self.refspec = tuple(refspec)
         self.srefspec = tuple(srefspec)
         self.ref_shapes = tuple(s for s, _ in self.refspec)
+        self.plane_inputs = bool(plane_inputs)
         self.ops = []
         self._chunks = []
         self._off = 0
@@ -110,7 +127,8 @@ class FrameProgram:
         desc = np.concatenate(self._chunks) if self._chunks else \
             np.zeros(1, np.int32)
         sig = (tuple(self.ops), self.n_planes, self.bd,
-               self.plane_shapes, self.refspec, self.srefspec)
+               self.plane_shapes, self.refspec, self.srefspec,
+               self.plane_inputs)
         return sig, desc
 
 
@@ -139,18 +157,27 @@ def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
     sig, desc = prog.finalize()
     if fuse is None:
         fuse = _fuse_default()
-    fn = _compiled(sig) if fuse else _interpreter(sig)
-    return fn(jnp.asarray(desc), tuple(refsrc))
+    if fuse:
+        return _compiled(sig)(jnp.asarray(desc), tuple(refsrc))
+    # eager replay: keep the descriptor on the HOST — get() then slices
+    # numpy (free) and the jitted kernels take the numpy views directly,
+    # instead of issuing thousands of tiny device slice ops
+    return _interpreter(sig)(desc, tuple(refsrc))
 
 
 @functools.lru_cache(maxsize=128)
 def _compiled(sig):
-    return jax.jit(_interpreter(sig))
+    # plane-input programs (the filter chain) own their input planes —
+    # donate them so XLA can filter in place instead of allocating a
+    # second set of 1080p planes per frame
+    donate = (1,) if sig[6] else ()
+    return jax.jit(_interpreter(sig), donate_argnums=donate)
 
 
 @functools.lru_cache(maxsize=128)
 def _interpreter(sig):
-    ops, n_planes, bd, plane_shapes, refspec, srefspec = sig
+    (ops, n_planes, bd, plane_shapes, refspec, srefspec,
+     plane_inputs) = sig
 
     def get(desc, h):
         off, shape = h
@@ -165,9 +192,13 @@ def _interpreter(sig):
                  refsrc[i][:hv, :wv].astype(jnp.int32) for i in slots]))
         srefs = [refsrc[i][:h, :w][None].astype(jnp.int32)
                  for i, h, w in srefspec]
-        planes = [jnp.zeros(s, jnp.int32) for s in plane_shapes]
+        if plane_inputs:
+            planes = [p.astype(jnp.int32) for p in refsrc]
+        else:
+            planes = [jnp.zeros(s, jnp.int32) for s in plane_shapes]
         hp = {}       # cache id -> H-plane stack (xla) / padded (pallas)
         cms = {}      # seg-mask registry
+        snap = {}     # filter-chain plane snapshots (pre-CDEF, pre-LR)
         hres = []
 
         def side_tmp(pl, bwp, bhp, N, subops, prep):
@@ -291,22 +322,80 @@ def _interpreter(sig):
                 planes[pl] = obmc_blend_batch(
                     planes[pl], lap, get(desc, h_ys), get(desc, h_xs),
                     lh, lw, region, vert)
+            # ---- in-loop filter chain ops (packed by models/tpu_filters)
+            elif kind == "dbk":
+                (_, pl, luma, sb4, h_ev, h_eh, h_lv, h_lvp, h_lh, h_lhp,
+                 h_el, h_il) = rec
+                from ..ops.loopfilter_tpu import deblock_plane_tpu
+                planes[pl] = deblock_plane_tpu(
+                    planes[pl], get(desc, h_ev), get(desc, h_eh),
+                    get(desc, h_lv), get(desc, h_lvp), get(desc, h_lh),
+                    get(desc, h_lhp), get(desc, h_el), get(desc, h_il),
+                    luma=luma, bitdepth=bd, sb_step4=sb4)
+            elif kind == "snap":
+                snap[rec[1]] = list(planes)
+            elif kind == "cdef":
+                (_, h_idx, h_ns, h_ystr, h_uvstr, damping, ssh, ssv,
+                 mono) = rec
+                from ..ops.cdef_tpu import cdef_frame_tpu
+                new = cdef_frame_tpu(
+                    tuple(planes), get(desc, h_idx),
+                    get(desc, h_ns).astype(bool), get(desc, h_ystr),
+                    get(desc, h_uvstr), damping=damping, bitdepth=bd,
+                    ss_hor=ssh, ss_ver=ssv, monochrome=mono)
+                planes = list(new)
+            elif kind == "sres":
+                _, tgt, pl, out_w, src_w, step, mx0, h_vis, oshape = rec
+                from ..ops.mc_tpu import resize_plane_tpu
+                src = planes[pl] if tgt is None else snap[tgt][pl]
+                res = resize_plane_tpu(src[:h_vis], out_w, src_w, step,
+                                       mx0, bd)
+                new = jax.lax.dynamic_update_slice(
+                    jnp.zeros(oshape, jnp.int32), res, (0, 0))
+                if tgt is None:
+                    planes[pl] = new
+                else:
+                    snap[tgt][pl] = new
+            elif kind == "lrw":
+                (_, pl, snapid, w, h, h_xs, h_ysin, h_ysout, h_eg, h_fh,
+                 h_fv) = rec
+                from ..ops.looprestoration_tpu import (pad_stripes_tpu,
+                                                      wiener_batch_tpu)
+                padded = pad_stripes_tpu(
+                    snap[("prelr", pl)][pl], snap[snapid][pl],
+                    get(desc, h_xs), get(desc, h_ysin), get(desc, h_eg),
+                    w, h)
+                res = wiener_batch_tpu(padded, get(desc, h_fh),
+                                       get(desc, h_fv), w, h, bd)
+                planes[pl] = scatter_units(planes[pl], res,
+                                           get(desc, h_ysout),
+                                           get(desc, h_xs), h, w)
+            elif kind == "lrs":
+                (_, pl, snapid, skind, w, h, h_xs, h_ysin, h_ysout, h_eg,
+                 h_s0, h_s1, h_w0, h_w1) = rec
+                from ..ops.looprestoration_tpu import (pad_stripes_tpu,
+                                                      sgr_batch_tpu)
+                from ..ops.mc_tpu import gather_units
+                padded = pad_stripes_tpu(
+                    snap[("prelr", pl)][pl], snap[snapid][pl],
+                    get(desc, h_xs), get(desc, h_ysin), get(desc, h_eg),
+                    w, h)
+                cur = gather_units(planes[pl], get(desc, h_ysin),
+                                   get(desc, h_xs), h, w)
+                res = sgr_batch_tpu(padded, cur, get(desc, h_s0),
+                                    get(desc, h_s1), get(desc, h_w0),
+                                    get(desc, h_w1), w, h, bd, skind)
+                planes[pl] = scatter_units(planes[pl], res,
+                                           get(desc, h_ysout),
+                                           get(desc, h_xs), h, w)
             elif kind == "resid":
                 _, pl, sh, sw, tx, txtp, h_cf, h_ys, h_xs = rec
-                cfs = get(desc, h_cf)
-                res = _residual_core(cfs, tx, txtp, bd, jnp)
-                uh, uw = res.shape[1], res.shape[2]
-                ys = get(desc, h_ys)
-                xs = get(desc, h_xs)
-                yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
-                xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
-                cur = planes[pl][yy, xx]
-                out = jnp.clip(cur + res, 0, (1 << bd) - 1)
-                planes[pl] = planes[pl].at[yy, xx].set(out)
+                planes[pl] = _resid_scatter(
+                    planes[pl], get(desc, h_cf), get(desc, h_ys),
+                    get(desc, h_xs), tx, txtp, bd)
             elif kind == "hres":
                 _, tx, txtp, h_cf = rec
-                hres.append(_residual_core(get(desc, h_cf), tx, txtp,
-                                           bd, jnp))
+                hres.append(itx_residual(get(desc, h_cf), tx, txtp, bd))
         return tuple(planes), tuple(hres)
 
     return body

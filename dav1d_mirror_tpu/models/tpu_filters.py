@@ -272,47 +272,147 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     debug enable mask and super-resolution (which always runs).  When
     the recon stage left device-resident planes (bufs.dev_planes) the
     chain starts from them — no re-upload; the filtered device planes
-    are published back on the returned bufs for future reference reads."""
-    if bufs.dev_planes is not None:
-        planes = list(bufs.dev_planes)
-    else:
-        planes = [jnp.asarray(p.astype(np.int32)) for p in bufs.planes]
+    are published back on the returned bufs for future reference reads.
 
+    The whole chain (deblock -> snapshot -> CDEF -> super-res -> LR) is
+    packed into one fused program (models/frame_exec plane-input mode):
+    one descriptor upload + one dispatch per frame signature on TPU."""
+    from .frame_exec import FrameProgram, run_frame_program
+    from .tpu_inter import _p2
+    from ..ops.mc_tpu import PAD_OOB
+    from .ref_decoder import FrameBuffers, _resize_params
+
+    if bufs.dev_planes is not None:
+        planes_in = list(bufs.dev_planes)
+    else:
+        planes_in = [jnp.asarray(p) for p in bufs.planes]
+    bd = seq.bitdepth
+    prog = FrameProgram(len(planes_in), bd,
+                        [tuple(p.shape) for p in planes_in],
+                        plane_inputs=True)
+
+    # ---- deblock ----
     if (filters_mask & 1) and (fhdr.loopfilter_level_y[0] or
                                fhdr.loopfilter_level_y[1]):
-        planes = deblock_frame_tpu(seq, fhdr, coders, bufs, planes)
+        lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
+        e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
+        h_el = prog.emit(np.asarray(e_lut))
+        h_il = prog.emit(np.asarray(i_lut))
+        sb_step4 = 32 if seq.sb128 else 16
+        lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
+        prog.op("dbk", 0, True, sb_step4, prog.emit(lf.edge_v_y),
+                prog.emit(lf.edge_h_y), prog.emit(lv), prog.emit(lvp),
+                prog.emit(lh_), prog.emit(lhp), h_el, h_il)
+        if (len(planes_in) > 1 and
+                (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
+            h_ev = prog.emit(lf.edge_v_uv)
+            h_eh = prog.emit(lf.edge_h_uv)
+            for pl in (0, 1):
+                lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
+                prog.op("dbk", 1 + pl, False, sb_step4 >> bufs.ss_ver,
+                        h_ev, h_eh, prog.emit(lv), prog.emit(lvp),
+                        prog.emit(lh_), prog.emit(lhp), h_el, h_il)
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
                          for p in range(3)) if (filters_mask & 4) else 0
-    pre_cdef = list(planes) if restore_planes else None  # device snapshot
+    if restore_planes:
+        prog.op("snap", "precdef")   # boundary-row source for LR
 
+    # ---- CDEF ----
     if (filters_mask & 2) and seq.cdef and \
             (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
              any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
-        bd_m8 = seq.bitdepth - 8
-        new = cdef_frame_tpu(
-            tuple(planes), cdef_idx_map, noskip,
-            np.asarray(fhdr.cdef_y_strength, np.int32),
-            np.asarray(fhdr.cdef_uv_strength, np.int32),
-            fhdr.cdef_damping + bd_m8, seq.bitdepth, bufs.ss_hor,
-            bufs.ss_ver, seq.layout == 0)
-        planes = list(new)
+        prog.op("cdef", prog.emit(cdef_idx_map),
+                prog.emit(noskip.astype(np.int32)),
+                prog.emit(np.asarray(fhdr.cdef_y_strength, np.int32)),
+                prog.emit(np.asarray(fhdr.cdef_uv_strength, np.int32)),
+                fhdr.cdef_damping + (bd - 8), bufs.ss_hor, bufs.ss_ver,
+                seq.layout == 0)
 
+    # ---- super-resolution ----
     if fhdr.width[0] != fhdr.width[1]:
-        new_bufs, planes = _super_res_tpu(seq, fhdr, coders, bufs, planes)
-        if restore_planes:
-            _, pre_cdef = _super_res_tpu(seq, fhdr, coders, bufs,
-                                         pre_cdef)
+        new_bufs = FrameBuffers(seq, fhdr, width=fhdr.width[1])
+        bw4f = ((fhdr.width[0] + 7) >> 3) << 1
+        for pl in range(len(planes_in)):
+            ss_hor = bufs.ss_hor if pl else 0
+            ss_ver = bufs.ss_ver if pl else 0
+            in_w = (fhdr.width[0] + ss_hor) >> ss_hor
+            out_w = (fhdr.width[1] + ss_hor) >> ss_hor
+            step, start = _resize_params(in_w, out_w)
+            src_w = (4 * bw4f + ss_hor) >> ss_hor
+            h_vis = (fhdr.height + ss_ver) >> ss_ver
+            oshape = tuple(new_bufs.planes[pl].shape)
+            prog.op("sres", None, pl, out_w, src_w, step, start, h_vis,
+                    oshape)
+            if restore_planes:
+                prog.op("sres", "precdef", pl, out_w, src_w, step,
+                        start, h_vis, oshape)
         bufs = new_bufs
 
-    if restore_planes:
-        planes = lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef,
-                              restore_planes)
+    # ---- loop restoration ----
+    for p in range(len(planes_in)):
+        if not ((restore_planes >> p) & 1):
+            continue
+        prog.op("snap", ("prelr", p))
+        groups = {}
+        for u in _lr_stripe_plan(seq, fhdr, coders, bufs, p):
+            lr = u["lr"]
+            if lr["type"] == RESTORATION_WIENER:
+                key = ("wiener", u["w"], u["h"])
+            else:
+                sgr_idx = lr["type"] - 3
+                s0 = int(SGR_PARAMS[sgr_idx][0])
+                s1 = int(SGR_PARAMS[sgr_idx][1])
+                kind = 2 if (s0 and s1) else (0 if s0 else 1)
+                key = ("sgr", kind, u["w"], u["h"])
+            groups.setdefault(key, []).append(u)
 
+        for key, units in sorted(groups.items()):
+            B = len(units)
+            P = _p2(B)
+            w, h = key[-2], key[-1]
+
+            def col(f, dtype=np.int32, pad=None):
+                v = np.asarray([f(u) for u in units], dtype)
+                if P != B:
+                    fill = v[-1] if pad is None else pad
+                    v = np.concatenate([v, np.full(P - B, fill, dtype)])
+                return prog.emit(v)
+
+            h_xs = col(lambda u: u["x"])
+            h_ysin = col(lambda u: u["y"])             # gather: in bounds
+            h_ysout = col(lambda u: u["y"], pad=PAD_OOB)  # scatter: drop
+            h_eg = col(lambda u: u["edges"])
+            if key[0] == "wiener":
+                def taps(name):
+                    f = np.zeros((P, 7), np.int32)
+                    for i, u in enumerate(units):
+                        f3 = u["lr"][name]
+                        f[i, :3] = f3
+                        f[i, 4:] = f3[::-1]
+                        f[i, 3] = 128 - 2 * (f3[0] + f3[1] + f3[2])
+                    f[B:] = f[B - 1]
+                    return prog.emit(f)
+                prog.op("lrw", p, "precdef", w, h, h_xs, h_ysin,
+                        h_ysout, h_eg, taps("filter_h"),
+                        taps("filter_v"))
+            else:
+                skind = key[1]
+                h_s0 = col(lambda u: int(
+                    SGR_PARAMS[u["lr"]["type"] - 3][0]))
+                h_s1 = col(lambda u: int(
+                    SGR_PARAMS[u["lr"]["type"] - 3][1]))
+                h_w0 = col(lambda u: u["lr"]["sgr_weights"][0])
+                h_w1 = col(lambda u: 128 - (u["lr"]["sgr_weights"][0] +
+                                            u["lr"]["sgr_weights"][1]))
+                prog.op("lrs", p, "precdef", skind, w, h, h_xs, h_ysin,
+                        h_ysout, h_eg, h_s0, h_s1, h_w0, h_w1)
+
+    planes, _ = run_frame_program(prog, tuple(planes_in))
     for i, p in enumerate(planes):
         bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
-    bufs.dev_planes = [p.astype(jnp.int32) for p in planes]
+    bufs.dev_planes = list(planes)
     return bufs
 
 

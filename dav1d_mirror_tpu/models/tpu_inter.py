@@ -786,28 +786,34 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             residual_map[(pl, y_px // 4, x_px // 4)] = res[i]
 
     _phase("download")
-    # download
-    if not intra_frame:
+    # When the device covered EVERY block and the caller's filter chain
+    # runs on device (keep_device), the pre-filter pixels never need to
+    # touch the host: the filter chain downloads the final planes. Only
+    # frames with host-pass2 work (intra/inter-intra blocks) download
+    # here, because _recon_tile reads/writes around them.
+    total_blocks = sum(len(c.blocks) for c in coders)
+    full_device = (keep_device and not intra_frame and not hplans and
+                   len(device_blocks) == total_blocks)
+    if not intra_frame and not full_device:
         for pl in range(n_planes):
             bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
                 bufs.planes[pl].dtype)
 
     _phase("host-pass2")
     # --- pass 2 (host): intra + uncovered inter blocks in decode order ---
-    n_blocks = 0
-    for ci, coder in enumerate(coders):
-        n_blocks += len(coder.blocks)
-        skip_set = {bi for bi in range(len(coder.blocks))
-                    if (ci, bi) in device_blocks}
-        _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
-                    device_done=skip_set, residuals=residual_map)
+    if not full_device:
+        for ci, coder in enumerate(coders):
+            skip_set = {bi for bi in range(len(coder.blocks))
+                        if (ci, bi) in device_blocks}
+            _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
+                        device_done=skip_set, residuals=residual_map)
 
     # hand the device copies to the filter chain / future ref reads
     # (keep_device: the caller's filter path runs on device, so the
     # copy stays authoritative; when the host pass touched any block,
     # refresh from the numpy planes the host just wrote)
     if keep_device and not intra_frame:
-        if len(device_blocks) != n_blocks or hplans:
+        if len(device_blocks) != total_blocks or hplans:
             dev_planes = [jnp.asarray(p.astype(np.int32))
                           for p in bufs.planes]
         bufs.dev_planes = dev_planes
