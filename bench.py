@@ -507,8 +507,12 @@ def bench_e2e_device(name, cfg, seed=9):
                     o_fps = (1 + cfg.get("n_inter", 3)) / o_dt
 
         def run(collect_md5):
+            # n_threads=2: host entropy of frame N+1 overlaps device
+            # pixels of frame N (the reference's frame threading reborn
+            # as software pipelining; output stays in-order + bit-exact)
             dec = api.Decoder(api.Settings(use_tpu_inter=True,
-                                           use_tpu_filters=True))
+                                           use_tpu_filters=True,
+                                           n_threads=2))
             mux = MD5Muxer() if collect_md5 else None
             times = []
             t0 = time.perf_counter()

@@ -45,6 +45,18 @@ from ..ops.itx import _residual_core, itx_residual
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _resraw_scatter(plane, cfs, ys, xs, tx: int, txtp: int,
+                    bitdepth: int):
+    """Raw (no clip-add) residual scatter for the intra engine's
+    residual planes; pad rows carry PAD_OOB ys (dropped)."""
+    res = _residual_core(cfs, tx, txtp, bitdepth, jnp)
+    uh, uw = res.shape[1], res.shape[2]
+    yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
+    xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
+    return plane.at[yy, xx].set(res, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _resid_scatter(plane, cfs, ys, xs, tx: int, txtp: int,
                    bitdepth: int):
     """Inverse-transform one bucket and clip-add at (ys, xs); pad rows
@@ -393,6 +405,34 @@ def _interpreter(sig):
                 planes[pl] = _resid_scatter(
                     planes[pl], get(desc, h_cf), get(desc, h_ys),
                     get(desc, h_xs), tx, txtp, bd)
+            # ---- intra wavefront engine ops (models/tpu_intra) ----
+            elif kind == "setplane":
+                _, pl, h_arr = rec
+                planes[pl] = jnp.asarray(get(desc, h_arr))
+            elif kind == "newres":
+                snap["res"] = [jnp.zeros_like(p) for p in planes]
+            elif kind == "resraw":
+                _, pl, tx, txtp, h_cf, h_ys, h_xs = rec
+                snap["res"][pl] = _resraw_scatter(
+                    snap["res"][pl], get(desc, h_cf), get(desc, h_ys),
+                    get(desc, h_xs), tx, txtp, bd)
+            elif kind == "intrascan":
+                _, h_mp, h_fpl, ssh, ssv, npl = rec
+                from .tpu_intra import intra_scan
+                out = intra_scan(
+                    tuple(planes[:npl]), tuple(snap["res"][:npl]),
+                    jnp.asarray(get(desc, h_mp)),
+                    jnp.asarray(get(desc, h_fpl)), bd, ssh, ssv, npl)
+                for i in range(npl):
+                    planes[i] = out[i]
+            elif kind == "crop":
+                _, pl, oy, ox, ph, pw, fh, fw = rec
+                crop = jax.lax.dynamic_slice(planes[pl], (oy, ox),
+                                             (ph, pw))
+                if (fh, fw) != (ph, pw):
+                    crop = jnp.zeros((fh, fw),
+                                     jnp.int32).at[:ph, :pw].set(crop)
+                planes[pl] = crop
             elif kind == "hres":
                 _, tx, txtp, h_cf = rec
                 hres.append(itx_residual(get(desc, h_cf), tx, txtp, bd))

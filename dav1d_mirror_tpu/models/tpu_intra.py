@@ -734,8 +734,18 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
                         init[pl][py:py + cbh4 * 4, px:px + cbw4 * 4] = \
                             np.asarray(b.pal[pl], np.int64)[b.pal_idx_uv]
 
-    # ---- residual planes (batched device itx, scattered raw) ----
-    res = [jnp.zeros((Hp, Wp), jnp.int32) for _ in range(n_planes)]
+    # ---- fused program: palette init + batched residual scatters +
+    # wavefront scan + crops, packed as ONE device program (frame_exec;
+    # one descriptor upload, one dispatch per frame signature) ----
+    from .frame_exec import FrameProgram, run_frame_program
+    from .tpu_inter import _p2
+    from ..ops.mc_tpu import PAD_OOB
+
+    prog = FrameProgram(n_planes, bd, [(Hp, Wp)] * n_planes)
+    for pl in range(n_planes):
+        if init[pl].any():
+            prog.op("setplane", pl, prog.emit(init[pl]))
+    prog.op("newres")
     buckets = {}
     for coder in coders:
         for cb in coder.coefs:
@@ -743,18 +753,17 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
                 continue
             buckets.setdefault((cb.plane, cb.tx, cb.txtp), []).append(cb)
     for (pl, tx, txtp), lst in sorted(buckets.items()):
-        cfs = jnp.asarray(np.stack([e.cf for e in lst]).astype(np.int32))
-        r = itx_residual(cfs, tx, txtp, bd)  # (B, hpx, wpx)
-        hpx, wpx = r.shape[1], r.shape[2]
-        ys = jnp.asarray(np.asarray([e.y * 4 for e in lst], np.int32))
-        xs = jnp.asarray(np.asarray([e.x * 4 for e in lst], np.int32))
-        dy = jnp.arange(hpx, dtype=jnp.int32)
-        dx = jnp.arange(wpx, dtype=jnp.int32)
-        fy = ys[:, None, None] + dy[None, :, None] + PADT
-        fx = xs[:, None, None] + dx[None, None, :] + PADT
-        flat = fy * Wp + fx
-        res[pl] = res[pl].reshape(-1).at[flat.reshape(-1)].set(
-            r.reshape(-1), mode="drop").reshape(Hp, Wp)
+        sh, sw = lst[0].cf.shape
+        P = _p2(len(lst))
+        cf = np.zeros((P, sh, sw), np.int32)
+        ys = np.full(P, PAD_OOB, np.int32)
+        xs = np.zeros(P, np.int32)
+        for i, e in enumerate(lst):
+            cf[i] = e.cf
+            ys[i] = e.y * 4 + PADT
+            xs[i] = e.x * 4 + PADT
+        prog.op("resraw", pl, tx, txtp, prog.emit(cf), prog.emit(ys),
+                prog.emit(xs))
 
     # ---- plan ----
     done = [np.zeros((bh, bw), np.int32),
@@ -773,22 +782,19 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
     fpl = np.zeros((nw, k_f, NPARAMS), np.int32)
     fpl[:filt_plan.shape[0], :filt_plan.shape[1]] = filt_plan
 
-    planes = tuple(jnp.asarray(a) for a in init)
-    out = intra_scan(planes, tuple(res), jnp.asarray(mp),
-                     jnp.asarray(fpl), bitdepth, ss_hor, ss_ver, n_planes)
-    # hand device-resident crops to the filter chain / future ref reads
-    # (same contract as models/tpu_inter: dev_planes[i] has
-    # bufs.planes[i].shape) while also filling the host planes
-    dev = []
+    prog.op("intrascan", prog.emit(mp), prog.emit(fpl), ss_hor, ss_ver,
+            n_planes)
+    # crops: dev_planes[i] takes bufs.planes[i]'s shape (the contract
+    # the filter chain / future ref reads expect)
     for i in range(n_planes):
         ph, pw = plane_dims[i]
-        crop = jax.lax.dynamic_slice(out[i], (PADT, PADT), (ph, pw))
         fh, fw = bufs.planes[i].shape
-        if (fh, fw) != (ph, pw):
-            crop = jnp.zeros((fh, fw), jnp.int32).at[:ph, :pw].set(crop)
-        dev.append(crop)
-        bufs.planes[i][:ph, :pw] = np.asarray(
-            out[i][PADT:PADT + ph, PADT:PADT + pw]).astype(
-                bufs.planes[i].dtype)
+        prog.op("crop", i, PADT, PADT, ph, pw, fh, fw)
+    out, _ = run_frame_program(prog, ())
+    dev = list(out)
+    for i in range(n_planes):
+        ph, pw = plane_dims[i]
+        bufs.planes[i][:ph, :pw] = np.asarray(dev[i][:ph, :pw]).astype(
+            bufs.planes[i].dtype)
     bufs.dev_planes = dev
     return bufs
