@@ -78,7 +78,7 @@ class FrameProgram:
     the op records; everything data lives in the buffer."""
 
     def __init__(self, n_planes, bitdepth, plane_shapes, refspec=(),
-                 srefspec=(), plane_inputs=False):
+                 srefspec=(), plane_inputs=False, out_dtype=None):
         """refspec: per plane ((h_vis, w_vis), 7-tuple of refsrc index
         or -1 for an absent/mismatched slot); srefspec: per scaled ref
         (refsrc index, h_vis, w_vis). The reference stacks are assembled
@@ -91,6 +91,10 @@ class FrameProgram:
         self.srefspec = tuple(srefspec)
         self.ref_shapes = tuple(s for s, _ in self.refspec)
         self.plane_inputs = bool(plane_inputs)
+        # plane pixel values fit the frame's native dtype; casting the
+        # output planes on device quarters the download (and the HBM
+        # footprint of reference planes — consumers re-cast to int32)
+        self.out_dtype = np.dtype(out_dtype).name if out_dtype else None
         self.ops = []
         self._chunks = []
         self._off = 0
@@ -140,7 +144,7 @@ class FrameProgram:
             np.zeros(1, np.int32)
         sig = (tuple(self.ops), self.n_planes, self.bd,
                self.plane_shapes, self.refspec, self.srefspec,
-               self.plane_inputs)
+               self.plane_inputs, self.out_dtype)
         return sig, desc
 
 
@@ -189,7 +193,7 @@ def _compiled(sig):
 @functools.lru_cache(maxsize=128)
 def _interpreter(sig):
     (ops, n_planes, bd, plane_shapes, refspec, srefspec,
-     plane_inputs) = sig
+     plane_inputs, out_dtype) = sig
 
     def get(desc, h):
         off, shape = h
@@ -436,6 +440,8 @@ def _interpreter(sig):
             elif kind == "hres":
                 _, tx, txtp, h_cf = rec
                 hres.append(itx_residual(get(desc, h_cf), tx, txtp, bd))
+            elif kind == "out":
+                planes = [p.astype(jnp.dtype(out_dtype)) for p in planes]
         return tuple(planes), tuple(hres)
 
     return body
