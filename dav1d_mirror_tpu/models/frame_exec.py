@@ -100,7 +100,6 @@ class FrameProgram:
         self._off = 0
         self._hp_ids = {}      # (pl, combos-bytes) -> cache id
         self._n_cm = 0         # seg-mask registry counter
-        self.n_hres = 0
         self.use_pallas = mc_pallas.pallas_available()
 
     # -- packing ----------------------------------------------------
@@ -134,10 +133,6 @@ class FrameProgram:
     def new_cm(self):
         self._n_cm += 1
         return self._n_cm - 1
-
-    def new_hres(self):
-        self.n_hres += 1
-        return self.n_hres - 1
 
     def finalize(self):
         desc = np.concatenate(self._chunks) if self._chunks else \

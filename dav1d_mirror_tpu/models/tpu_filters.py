@@ -36,34 +36,6 @@ def _prep_lvls(lvl, ci_v, ci_h):
     return lv, lv_prev, lh, lh_prev
 
 
-def deblock_frame_tpu(seq, fhdr, coders, bufs, planes):
-    """planes: list of device int32 arrays. Returns deblocked planes."""
-    lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
-    e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
-    e_lut = np.asarray(e_lut)
-    i_lut = np.asarray(i_lut)
-    bd = seq.bitdepth
-    sb_step4 = 32 if seq.sb128 else 16
-
-    lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
-    out = [deblock_plane_tpu(planes[0], lf.edge_v_y.astype(np.int32),
-                             lf.edge_h_y.astype(np.int32), lv, lvp, lh_,
-                             lhp, e_lut, i_lut, luma=True, bitdepth=bd,
-                             sb_step4=sb_step4)]
-    if (len(planes) > 1 and
-            (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
-        for pl in (0, 1):
-            lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
-            out.append(deblock_plane_tpu(
-                planes[1 + pl], lf.edge_v_uv.astype(np.int32),
-                lf.edge_h_uv.astype(np.int32), lv, lvp, lh_, lhp, e_lut,
-                i_lut, luma=False, bitdepth=bd,
-                sb_step4=sb_step4 >> bufs.ss_ver))
-    else:
-        out.extend(planes[1:])
-    return out
-
-
 def build_cdef_plan(fhdr, coders):
     """Host plan for CDEF: per-64x64 index map + 4x4 noskip map."""
     from ..host.tilecoder import T_BLOCK_DIM
@@ -163,107 +135,6 @@ def _pad_stripe_np(pre_lr, pre, x, y, w, h, edges, plane_w):
     if not (edges & LR_HAVE_RIGHT):
         out[:, w + 3] = out[:, w + 4] = out[:, w + 5] = out[:, w + 2]
     return out
-
-
-def lr_frame_tpu(seq, fhdr, coders, bufs, planes, pre_cdef, restore_planes):
-    """planes: device int32 arrays (post-CDEF). pre_cdef: device int32
-    post-deblock planes (boundary-row source). Batches equal-geometry
-    stripe-units per filter family; padding, filtering and write-back
-    all stay device-resident (pad_stripes_tpu gather + scatter_units),
-    with pow2 batch padding for shape stability."""
-    from ..ops.mc_tpu import scatter_units, gather_units, PAD_OOB
-    from ..models.tpu_inter import _p2
-
-    bd = seq.bitdepth
-    out = list(planes)
-    for p in range(len(planes)):
-        if not ((restore_planes >> p) & 1):
-            continue
-        pre_lr = out[p]
-        pre = pre_cdef[p]
-
-        groups = {}  # (kind-key) -> list of units
-        for u in _lr_stripe_plan(seq, fhdr, coders, bufs, p):
-            lr = u["lr"]
-            if lr["type"] == RESTORATION_WIENER:
-                key = ("wiener", u["w"], u["h"])
-            else:
-                sgr_idx = lr["type"] - 3
-                s0 = int(SGR_PARAMS[sgr_idx][0])
-                s1 = int(SGR_PARAMS[sgr_idx][1])
-                kind = 2 if (s0 and s1) else (0 if s0 else 1)
-                key = ("sgr", kind, u["w"], u["h"])
-            groups.setdefault(key, []).append(u)
-
-        plane = out[p]
-        for key, units in sorted(groups.items()):
-            B = len(units)
-            P = _p2(B)
-            w, h = key[-2], key[-1]
-
-            def col(f, dtype=np.int32, pad=None):
-                v = np.asarray([f(u) for u in units], dtype)
-                if P != B:
-                    fill = v[-1] if pad is None else pad
-                    v = np.concatenate([v, np.full(P - B, fill, dtype)])
-                return jnp.asarray(v)
-
-            xs = col(lambda u: u["x"])
-            ys_in = col(lambda u: u["y"])            # gather: in bounds
-            ys_out = col(lambda u: u["y"], pad=PAD_OOB)  # scatter: drop
-            eg = col(lambda u: u["edges"])
-            padded = pad_stripes_tpu(pre_lr, pre, xs, ys_in, eg, w, h)
-            if key[0] == "wiener":
-                def taps(name):
-                    f = np.zeros((P, 7), np.int32)
-                    for i, u in enumerate(units):
-                        f3 = u["lr"][name]
-                        f[i, :3] = f3
-                        f[i, 4:] = f3[::-1]
-                        f[i, 3] = 128 - 2 * (f3[0] + f3[1] + f3[2])
-                    f[B:] = f[B - 1]
-                    return jnp.asarray(f)
-                res = wiener_batch_tpu(padded, taps("filter_h"),
-                                       taps("filter_v"), w, h, bd)
-            else:
-                kind = key[1]
-                s0 = col(lambda u: int(SGR_PARAMS[u["lr"]["type"] - 3][0]))
-                s1 = col(lambda u: int(SGR_PARAMS[u["lr"]["type"] - 3][1]))
-                w0 = col(lambda u: u["lr"]["sgr_weights"][0])
-                w1 = col(lambda u: 128 - (u["lr"]["sgr_weights"][0] +
-                                          u["lr"]["sgr_weights"][1]))
-                cur = gather_units(plane, ys_in, xs, h, w)
-                res = sgr_batch_tpu(padded, cur, s0, s1, w0, w1, w, h,
-                                    bd, kind)
-            plane = scatter_units(plane, res, ys_out, xs, h, w)
-        out[p] = plane
-    return out
-
-
-def _super_res_tpu(seq, fhdr, coders, bufs, planes):
-    """Device horizontal super-res of every plane (dav1d recon_tmpl.c
-    filter_sbrow_resize:2104); returns (new FrameBuffers for the
-    upscaled width, new device planes)."""
-    from .ref_decoder import FrameBuffers, _resize_params
-    from ..ops.mc_tpu import resize_plane_tpu
-    out = FrameBuffers(seq, fhdr, width=fhdr.width[1])
-    bd = seq.bitdepth
-    bw4f = ((fhdr.width[0] + 7) >> 3) << 1
-    new_planes = []
-    for pl, plane in enumerate(planes):
-        ss_hor = bufs.ss_hor if pl else 0
-        ss_ver = bufs.ss_ver if pl else 0
-        in_w = (fhdr.width[0] + ss_hor) >> ss_hor
-        out_w = (fhdr.width[1] + ss_hor) >> ss_hor
-        step, start = _resize_params(in_w, out_w)
-        src_w = (4 * bw4f + ss_hor) >> ss_hor
-        h_vis = (fhdr.height + ss_ver) >> ss_ver
-        res = resize_plane_tpu(plane[:h_vis], out_w, src_w, step, start,
-                               bd)
-        dst = jnp.zeros(out.planes[pl].shape, jnp.int32)
-        dst = jax.lax.dynamic_update_slice(dst, res, (0, 0))
-        new_planes.append(dst)
-    return out, new_planes
 
 
 def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
