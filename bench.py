@@ -453,8 +453,12 @@ def _bench_stream(name, cfg, seed):
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
-    from test_e2e_inter import build_stream
-    _, ivf, _ = build_stream(cfg, seed=seed)
+    if "tiles" in cfg:
+        from test_e2e_multitile import build_stream
+        _, ivf, _ = build_stream(cfg, seed=seed)
+    else:
+        from test_e2e_inter import build_stream
+        _, ivf, _ = build_stream(cfg, seed=seed)
     with open(path, "wb") as f:
         f.write(ivf)
     return ivf
@@ -555,6 +559,12 @@ E2E_CONFIGS = {
                 y_points=[(0, 40), (80, 90), (255, 20)],
                 ar_coeff_lag=1, ar_coeffs_y=[3, -7, 12, 5],
                 scaling_shift=8, overlap_flag=1)),
+    # BASELINE.md config 4 (single-chip leg): 4K 10-bit 2x2-tile frame
+    # (the tile-sharded mesh leg is validated on the 8-virtual-device
+    # mesh by test_tile_decode / dryrun_multichip)
+    "e2e_4k_10bit_multitile": dict(
+        w=3840, h=2160, tiles=(1, 1), n_inter=2, q=100, bitdepth=10,
+        lf=(20, 20, 16, 12, 1)),
 }
 
 
