@@ -455,10 +455,9 @@ def _bench_stream(name, cfg, seed):
         os.path.abspath(__file__)), "tests"))
     if "tiles" in cfg:
         from test_e2e_multitile import build_stream
-        _, ivf, _ = build_stream(cfg, seed=seed)
     else:
         from test_e2e_inter import build_stream
-        _, ivf, _ = build_stream(cfg, seed=seed)
+    _, ivf, _ = build_stream(cfg, seed=seed)
     with open(path, "wb") as f:
         f.write(ivf)
     return ivf

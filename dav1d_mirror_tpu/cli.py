@@ -92,8 +92,11 @@ def main(argv=None):
             import jax
             jax.config.update("jax_platforms",
                               os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+        except Exception as e:
+            import sys as _sys
+            print(f"dav1d_mirror_tpu: could not apply "
+                  f"JAX_PLATFORMS={os.environ['JAX_PLATFORMS']}: {e}",
+                  file=_sys.stderr)
     args = parse_args(argv)
     if args.verify and not args.muxer:
         args.muxer = "md5"

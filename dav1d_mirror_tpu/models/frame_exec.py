@@ -44,32 +44,23 @@ from ..ops import mc_pallas
 from ..ops.itx import _residual_core, itx_residual
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _resraw_scatter(plane, cfs, ys, xs, tx: int, txtp: int,
-                    bitdepth: int):
-    """Raw (no clip-add) residual scatter for the intra engine's
-    residual planes; pad rows carry PAD_OOB ys (dropped)."""
-    res = _residual_core(cfs, tx, txtp, bitdepth, jnp)
-    uh, uw = res.shape[1], res.shape[2]
-    yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
-    xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
-    return plane.at[yy, xx].set(res, mode="drop")
-
-
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _resid_scatter(plane, cfs, ys, xs, tx: int, txtp: int,
-                   bitdepth: int):
-    """Inverse-transform one bucket and clip-add at (ys, xs); pad rows
-    carry PAD_OOB ys (dropped). Jitted so the EAGER interpreter path
-    (CPU backends) runs the butterflies compiled, exactly like the old
-    per-bucket driver; inside the fused trace it inlines."""
+                   bitdepth: int, add: bool = True):
+    """Inverse-transform one bucket and scatter at (ys, xs): clip-add
+    onto reconstructed pixels (add=True, the inter driver) or raw-set
+    into a residual plane (add=False, the intra engine). Pad rows carry
+    PAD_OOB ys — dropped by mode=\"drop\". Jitted so the EAGER
+    interpreter path (CPU backends) runs the butterflies compiled,
+    exactly like the old per-bucket driver; inside the fused trace it
+    inlines."""
     res = _residual_core(cfs, tx, txtp, bitdepth, jnp)
     uh, uw = res.shape[1], res.shape[2]
     yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
     xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
-    cur = plane[yy, xx]
-    out = jnp.clip(cur + res, 0, (1 << bitdepth) - 1)
-    return plane.at[yy, xx].set(out)
+    if add:
+        res = jnp.clip(plane[yy, xx] + res, 0, (1 << bitdepth) - 1)
+    return plane.at[yy, xx].set(res, mode="drop")
 
 
 class FrameProgram:
@@ -246,7 +237,7 @@ def _interpreter(sig):
                 _, pl, cid, h_refmap, h_taps = rec
                 hs = mc_pallas.hplanes_run(refs[pl], get(desc, h_refmap),
                                            get(desc, h_taps), bd)
-                hp[cid] = (mc_pallas.pad_hstack(hs)[0], int(hs.shape[1]))
+                hp[cid] = mc_pallas.pad_hstack(hs)[0]
             elif kind == "put":
                 _, pl, uw, uh, hh, hv, h_arr, h_ys, h_xs = rec
                 a = get(desc, h_arr)
@@ -268,7 +259,7 @@ def _interpreter(sig):
                                            get(desc, h_xs), uh, uw)
             elif kind == "puthv_p":
                 _, pl, uw, uh, cid, h_cols, B, h_ys, h_xs = rec
-                hpad, Hh = hp[cid]
+                hpad = hp[cid]
                 cols = [get(desc, h) for h in h_cols]
                 out = mc_pallas.vpass_run(hpad, *cols, uw, uh, bd,
                                           False, B)
@@ -412,9 +403,9 @@ def _interpreter(sig):
                 snap["res"] = [jnp.zeros_like(p) for p in planes]
             elif kind == "resraw":
                 _, pl, tx, txtp, h_cf, h_ys, h_xs = rec
-                snap["res"][pl] = _resraw_scatter(
+                snap["res"][pl] = _resid_scatter(
                     snap["res"][pl], get(desc, h_cf), get(desc, h_ys),
-                    get(desc, h_xs), tx, txtp, bd)
+                    get(desc, h_xs), tx, txtp, bd, False)
             elif kind == "intrascan":
                 _, h_mp, h_fpl, ssh, ssv, npl = rec
                 from .tpu_intra import intra_scan

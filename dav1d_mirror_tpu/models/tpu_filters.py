@@ -153,6 +153,7 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
     from ..ops.mc_tpu import PAD_OOB
     from .ref_decoder import FrameBuffers, _resize_params
 
+    orig_bufs = bufs
     if bufs.dev_planes is not None:
         planes_in = list(bufs.dev_planes)
     else:
@@ -283,6 +284,10 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
 
     prog.op("out")   # native-dtype planes: 4x smaller downloads/refs
     planes, _ = run_frame_program(prog, tuple(planes_in))
+    if orig_bufs is not bufs:
+        # super-res rebound `bufs`; the (possibly donated) input buffers
+        # on the original FrameBuffers are dead — no dangling refs
+        orig_bufs.dev_planes = None
     for i, p in enumerate(planes):
         bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
     bufs.dev_planes = list(planes)

@@ -90,30 +90,6 @@ def itx_residual_np(coefs, tx: int, txtp: int, bitdepth: int):
                           bitdepth, np)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
-def itx_scatter_flat(plane, flat_cf, flat_ys, flat_xs, off_cf, off_u,
-                     P: int, sh: int, sw: int, tx: int, txtp: int,
-                     bitdepth: int):
-    """One fused dispatch per residual bucket: slice this bucket's
-    coefficients/positions out of the frame's single flat upload
-    (dynamic offsets — no recompile across frames), inverse-transform,
-    and clip-add onto the plane.  Pad rows carry PAD_OOB destinations
-    (dropped by the scatter).  Replaces the per-bucket
-    upload->itx->scatter_add chain that dominated the residual phase on
-    tunneled devices."""
-    cfs = jax.lax.dynamic_slice(flat_cf, (off_cf,),
-                                (P * sh * sw,)).reshape(P, sh, sw)
-    ys = jax.lax.dynamic_slice(flat_ys, (off_u,), (P,))
-    xs = jax.lax.dynamic_slice(flat_xs, (off_u,), (P,))
-    res = _residual_core(cfs, tx, txtp, bitdepth, jnp)
-    uh, uw = res.shape[1], res.shape[2]
-    yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
-    xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
-    cur = plane[yy, xx].astype(jnp.int32)
-    out = jnp.clip(cur + res, 0, (1 << bitdepth) - 1)
-    return plane.at[yy, xx].set(out.astype(plane.dtype))
-
-
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def itx_add(pred: jax.Array, coefs: jax.Array, tx: int, txtp: int,
             bitdepth: int):
