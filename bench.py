@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import sys
 import tempfile
 import time
 
@@ -602,10 +603,35 @@ def bench_e2e_host():
         return 0.0
 
 
+def _probe_backend(timeout_s=420):
+    """The axon tunnel can be unreachable and HANG backend init for tens
+    of minutes. Probe it in a subprocess with a bounded wait; on failure
+    fall back to the CPU backend so the bench still reports (honestly
+    labeled) instead of producing nothing."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=timeout_s)
+    return r.stdout.strip() if r.returncode == 0 else None
+
+
 def main():
     from dav1d_mirror_tpu.utils.jit_cache import enable_persistent_cache
     enable_persistent_cache()
+    fallback_note = None
+    try:
+        plat = _probe_backend()
+    except subprocess.TimeoutExpired:
+        plat = None
+    if plat is None:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        fallback_note = ("TPU backend unavailable at bench time "
+                         "(tunnel init failed/hung); numbers below are "
+                         "the CPU-backend fallback, NOT TPU performance")
     mpix, pix_s, device = bench_device_pipeline()
+    if fallback_note:
+        device = f"{device} [FALLBACK: {fallback_note}]"
     base_mpix, base_fps = bench_dav1d_baseline()
     e2e_fps = bench_e2e_host()
     kernels = {}
