@@ -755,14 +755,14 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # buffer is the frame's single upload, coefficients included)
     for (pl, tx, txtp), lst in sorted(rplans.items()):
         sh, sw = lst[0][0].shape
-        P = _p2(len(lst))
+        B = len(lst)
+        P = _p2(B)
         cf = np.zeros((P, sh, sw), np.int32)
+        cf[:B] = np.stack([c for c, _, _ in lst])
         ys = np.full(P, PAD_OOB, np.int32)
         xs = np.zeros(P, np.int32)
-        for i, (c, y_px, x_px) in enumerate(lst):
-            cf[i] = c
-            ys[i] = y_px
-            xs[i] = x_px
+        ys[:B] = np.fromiter((y for _, y, _ in lst), np.int32, B)
+        xs[:B] = np.fromiter((x for _, _, x in lst), np.int32, B)
         prog.op("resid", pl, sh, sw, tx, txtp, prog.emit(cf),
                 prog.emit(ys), prog.emit(xs))
     # host-map buckets: residuals computed in the same program, fetched

@@ -755,14 +755,14 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
             buckets.setdefault((cb.plane, cb.tx, cb.txtp), []).append(cb)
     for (pl, tx, txtp), lst in sorted(buckets.items()):
         sh, sw = lst[0].cf.shape
-        P = _p2(len(lst))
+        B = len(lst)
+        P = _p2(B)
         cf = np.zeros((P, sh, sw), np.int32)
+        cf[:B] = np.stack([e.cf for e in lst])
         ys = np.full(P, PAD_OOB, np.int32)
         xs = np.zeros(P, np.int32)
-        for i, e in enumerate(lst):
-            cf[i] = e.cf
-            ys[i] = e.y * 4 + PADT
-            xs[i] = e.x * 4 + PADT
+        ys[:B] = np.fromiter((e.y * 4 + PADT for e in lst), np.int32, B)
+        xs[:B] = np.fromiter((e.x * 4 + PADT for e in lst), np.int32, B)
         prog.op("resraw", pl, tx, txtp, prog.emit(cf), prog.emit(ys),
                 prog.emit(xs))
 
