@@ -616,8 +616,6 @@ def _probe_backend(timeout_s=420):
 
 
 def main():
-    from dav1d_mirror_tpu.utils.jit_cache import enable_persistent_cache
-    enable_persistent_cache()
     fallback_note = None
     try:
         plat = _probe_backend()
@@ -626,9 +624,17 @@ def main():
     if plat is None:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # leave the persistent cache OFF: its entries were produced for
+        # the TPU backend/remote-compile machine profile, and loading
+        # mismatched CPU AOT results can SIGILL/crash (observed)
+        os.environ["DAV1D_TPU_JAX_CACHE"] = "0"
         fallback_note = ("TPU backend unavailable at bench time "
                          "(tunnel init failed/hung); numbers below are "
                          "the CPU-backend fallback, NOT TPU performance")
+    else:
+        from dav1d_mirror_tpu.utils.jit_cache import (
+            enable_persistent_cache)
+        enable_persistent_cache()
     mpix, pix_s, device = bench_device_pipeline()
     if fallback_note:
         device = f"{device} [FALLBACK: {fallback_note}]"

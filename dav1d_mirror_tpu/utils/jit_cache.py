@@ -29,10 +29,20 @@ def enable_persistent_cache() -> str | None:
     if loc == "0":
         return None
     if not loc:
+        # partition by requested platform: AOT results compiled for one
+        # backend/machine profile must never be loaded by another
+        # (mismatched CPU-feature entries have caused SIGILL/crashes)
+        try:
+            import jax
+            plat = jax.config.jax_platforms or \
+                os.environ.get("JAX_PLATFORMS") or "default"
+        except Exception:
+            plat = os.environ.get("JAX_PLATFORMS") or "default"
+        plat = "".join(c for c in plat if c.isalnum()) or "default"
         loc = os.path.join(
             os.environ.get("XDG_CACHE_HOME",
                            os.path.expanduser("~/.cache")),
-            "dav1d_mirror_tpu", "jax_cache")
+            "dav1d_mirror_tpu", f"jax_cache_{plat}")
     try:
         os.makedirs(loc, exist_ok=True)
         import jax
