@@ -616,6 +616,17 @@ def _probe_backend(timeout_s=420):
 
 
 def main():
+    # a full bench compiles thousands of XLA executables (~8 mmaps
+    # each, pinned for the process lifetime); the stock
+    # vm.max_map_count=65530 is exhaustible mid-run (observed: LLVM
+    # "Cannot allocate memory" then SIGSEGV). Raise it best-effort.
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            if int(f.read()) < 1 << 20:
+                with open("/proc/sys/vm/max_map_count", "w") as g:
+                    g.write(str(1 << 20))
+    except Exception:
+        pass
     fallback_note = None
     try:
         plat = _probe_backend()
@@ -635,18 +646,37 @@ def main():
         from dav1d_mirror_tpu.utils.jit_cache import (
             enable_persistent_cache)
         enable_persistent_cache()
+    def note(msg):
+        # each XLA CPU executable pins ~8 mmaps for the process
+        # lifetime; a full bench compiles thousands of kernel variants
+        # across its sections, which can exhaust vm.max_map_count
+        # (observed as LLVM "Cannot allocate memory" + segfault).
+        # Dropping dead jit caches between sections bounds the peak.
+        import jax
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    note("device pipeline")
     mpix, pix_s, device = bench_device_pipeline()
     if fallback_note:
         device = f"{device} [FALLBACK: {fallback_note}]"
+    note("dav1d baseline")
     base_mpix, base_fps = bench_dav1d_baseline()
+    note("e2e host")
     e2e_fps = bench_e2e_host()
     kernels = {}
     try:
+        note("kernel table")
         kernels = bench_kernel_table()
     except Exception as e:
         kernels = {"error": repr(e)[:200]}
-    e2e = {name: bench_e2e_device(name, cfg)
-           for name, cfg in E2E_CONFIGS.items()}
+    e2e = {}
+    for name, cfg in E2E_CONFIGS.items():
+        note(f"e2e {name}")
+        e2e[name] = bench_e2e_device(name, cfg)
     vs = round(mpix / base_mpix, 3) if base_mpix else 0.0
     print(json.dumps({
         "metric": "device_pixel_pipeline_Mpix_per_sec",
