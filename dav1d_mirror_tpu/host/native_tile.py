@@ -297,6 +297,10 @@ def code_tile_native(coder) -> None:
 
     n_blocks, n_coefs = int(counts[0]), int(counts[1])
 
+    # retain the dense records for the native pass-2 walk
+    # (host/native_recon.py) — no per-block Python objects on that path
+    coder.native_arrays = (blk[:n_blocks], coef[:n_coefs], pal, palidx)
+
     # ---- coefs ----
     T_TXFM = TABLES["txfm_dimensions"]
     coefs = []

@@ -746,11 +746,12 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             if b.skip:
                 continue
             dst = rplans if (ci, bi) in device_blocks else hplans
-            for cb in coder.coefs[b.coef_lo:b.coef_hi]:
+            for cj in range(b.coef_lo, b.coef_hi):
+                cb = coder.coefs[cj]
                 if cb.eob < 0:
                     continue
                 dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
-                    (cb.cf, cb.y * 4, cb.x * 4))
+                    (cb.cf, cb.y * 4, cb.x * 4, ci, cj))
     # scatter-add buckets: part of the fused program (the descriptor
     # buffer is the frame's single upload, coefficients included)
     for (pl, tx, txtp), lst in sorted(rplans.items()):
@@ -758,11 +759,11 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         B = len(lst)
         P = _p2(B)
         cf = np.zeros((P, sh, sw), np.int32)
-        cf[:B] = np.stack([c for c, _, _ in lst])
+        cf[:B] = np.stack([e[0] for e in lst])
         ys = np.full(P, PAD_OOB, np.int32)
         xs = np.zeros(P, np.int32)
-        ys[:B] = np.fromiter((y for _, y, _ in lst), np.int32, B)
-        xs[:B] = np.fromiter((x for _, _, x in lst), np.int32, B)
+        ys[:B] = np.fromiter((e[1] for e in lst), np.int32, B)
+        xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
         prog.op("resid", pl, sh, sw, tx, txtp, prog.emit(cf),
                 prog.emit(ys), prog.emit(xs))
     # host-map buckets: residuals computed in the same program, fetched
@@ -783,12 +784,6 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     if not intra_frame:
         dev_planes = list(dev_out)
 
-    residual_map = {}
-    for (pl, lst), res in zip(hres_meta, hres):
-        res = np.asarray(res)
-        for i, (_, y_px, x_px) in enumerate(lst):
-            residual_map[(pl, y_px // 4, x_px // 4)] = res[i]
-
     _phase("download")
     # When the device covered EVERY block and the caller's filter chain
     # runs on device (keep_device), the pre-filter pixels never need to
@@ -804,13 +799,40 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 bufs.planes[pl].dtype)
 
     _phase("host-pass2")
-    # --- pass 2 (host): intra + uncovered inter blocks in decode order ---
+    # --- pass 2 (host): intra + uncovered inter blocks in decode order.
+    # Native C++ walk (host/native_recon.py) when every host block is
+    # plain intra and the dense tile records exist; Python walk
+    # (_recon_tile) otherwise (intrabc / inter-intra / Python entropy).
     if not full_device:
-        for ci, coder in enumerate(coders):
-            skip_set = {bi for bi in range(len(coder.blocks))
-                        if (ci, bi) in device_blocks}
-            _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
-                        device_done=skip_set, residuals=residual_map)
+        from ..host import native_recon
+        done = False
+        if native_recon.available() and all(
+                getattr(c, "native_arrays", None) is not None
+                for c in coders):
+            res_buf, offs = native_recon.pack_residuals(
+                coders, hres_meta, hres)
+            dd_per = [np.zeros(len(c.blocks), np.uint8) for c in coders]
+            for (cj, bj) in device_blocks:
+                dd_per[cj][bj] = 1
+            done = True
+            for ci, coder in enumerate(coders):
+                rc = native_recon.recon_tile_native(
+                    seq, fhdr, coder, bufs, dd_per[ci], res_buf,
+                    offs[ci])
+                if rc != 0:
+                    done = False
+                    break
+        if not done:
+            residual_map = {}
+            for (pl, lst), res in zip(hres_meta, hres):
+                res = np.asarray(res)
+                for i, e in enumerate(lst):
+                    residual_map[(pl, e[1] // 4, e[2] // 4)] = res[i]
+            for ci, coder in enumerate(coders):
+                skip_set = {bi for bi in range(len(coder.blocks))
+                            if (ci, bi) in device_blocks}
+                _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
+                            device_done=skip_set, residuals=residual_map)
 
     # hand the device copies to the filter chain / future ref reads
     # (keep_device: the caller's filter path runs on device, so the
