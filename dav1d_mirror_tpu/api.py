@@ -458,22 +458,40 @@ class Decoder:
         pure_intra = all(b.intra for c in coders for b in c.blocks)
         settings = self.s
 
+        if fhdr.width[0] == fhdr.width[1]:
+            work_bufs = final_bufs
+        else:
+            work_bufs = rd.FrameBuffers(seq, fhdr)  # pre-super-res width
+
+        # Build the fused frame program NOW, on the entropy thread: it
+        # reads only entropy products + reference metadata, so it can
+        # run while the in-order pixel worker is still executing earlier
+        # frames. The worker then only binds ref pixels + dispatches —
+        # plan/pack cost overlaps device time instead of serializing
+        # with it (dav1d frame threading's tile-vs-recon split,
+        # thread_task.c:268-310, reborn for the host/device pipeline).
+        built = None
+        if settings.use_tpu_inter and not (pure_intra and
+                                           settings.use_tpu_intra_engine):
+            from .models.tpu_inter import (build_frame_program,
+                                           execute_frame_program)
+            with trace_scope("build-program"):
+                built = build_frame_program(
+                    seq, fhdr, coders, work_bufs, refs_snapshot,
+                    jnt_weights, keep_device=settings.use_tpu_filters)
+
         def pixel_work():
-            if fhdr.width[0] == fhdr.width[1]:
-                work = final_bufs
-            else:
-                work = rd.FrameBuffers(seq, fhdr)  # pre-super-res width
+            work = work_bufs
             with trace_scope("reconstruction"):
-                if settings.use_tpu_inter and pure_intra and \
+                if built is not None:
+                    execute_frame_program(
+                        built, seq, fhdr, coders, work, refs_snapshot,
+                        jnt_weights, keep_device=settings.use_tpu_filters)
+                elif settings.use_tpu_inter and pure_intra and \
                         settings.use_tpu_intra_engine:
                     # wavefront device intra engine (models/tpu_intra)
                     from .models.tpu_intra import recon_intra_frame_tpu
                     recon_intra_frame_tpu(seq, fhdr, coders, work)
-                elif settings.use_tpu_inter:
-                    from .models.tpu_inter import recon_frame_tpu
-                    recon_frame_tpu(seq, fhdr, coders, work,
-                                    refs_snapshot, jnt_weights,
-                                    keep_device=settings.use_tpu_filters)
                 else:
                     rd.recon_frame(seq, fhdr, coders, work,
                                    refs_snapshot, jnt_weights)

@@ -270,9 +270,32 @@ def _plan_obmc(plan, pl, ssh, ssv, coder, fhdr, refs, rf, f2d_map, b,
             y += step4
 
 
+class BuiltFrame:
+    """Output of build_frame_program: the frame's fused device program
+    plus everything execute_frame_program needs. Holds only entropy-
+    stage products and reference IDENTITY — no reference pixels — so it
+    can be built for frame N+1 while frame N is still executing (the
+    second leg of the host/device software pipeline)."""
+    __slots__ = ("prog", "ref_desc", "hres_meta", "device_blocks",
+                 "intra_frame", "full_device")
+
+
 def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     keep_device=False):
     """Device-batched inter reconstruction; mutates bufs.planes."""
+    built = build_frame_program(seq, fhdr, coders, bufs, refs,
+                                jnt_weights, keep_device=keep_device)
+    return execute_frame_program(built, seq, fhdr, coders, bufs, refs,
+                                 jnt_weights, keep_device=keep_device)
+
+
+def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
+                        keep_device=False):
+    """Plan + pack the whole per-frame device pixel stage. Reads only
+    entropy products (blocks/coefs/refmvs) and reference METADATA
+    (dims/slots) — reference pixels are bound later by
+    execute_frame_program, so this can run ahead of the in-order pixel
+    worker."""
     bd = seq.bitdepth
     cur_w, cur_h = fhdr.width[0], fhdr.height
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
@@ -489,16 +512,17 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # dispatches); a source is the device copy a previous frame's filter
     # chain left behind (rb.dev_planes) or — when a ref was decoded on
     # the host path — its numpy plane, uploaded in its native dtype.
-    dev_planes = None
-    refsrc = []
+    # Only the (buffer, plane) IDENTITY is recorded here; the actual
+    # handles are bound by execute_frame_program, after the in-order
+    # pixel worker has finished producing those reference pixels.
+    ref_desc = []
     _src_ids = {}
 
     def _src(rb, pl):
         k = (id(rb), pl)
         if k not in _src_ids:
-            refsrc.append(rb.dev_planes[pl] if rb.dev_planes is not None
-                          else jnp.asarray(rb.planes[pl]))
-            _src_ids[k] = len(refsrc) - 1
+            ref_desc.append((rb, pl))
+            _src_ids[k] = len(ref_desc) - 1
         return _src_ids[k]
 
     refspec = []
@@ -778,9 +802,53 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     if not intra_frame:
         prog.op("out")   # native-dtype planes: 4x smaller downloads/refs
 
+    total_blocks = sum(len(c.blocks) for c in coders)
+    built = BuiltFrame()
+    built.prog = prog
+    built.ref_desc = ref_desc
+    built.hres_meta = hres_meta
+    built.device_blocks = device_blocks
+    built.intra_frame = intra_frame
+    built.full_device = (keep_device and not intra_frame and not hplans
+                         and len(device_blocks) == total_blocks)
+    while _scopes:
+        _scopes.pop().__exit__(None, None, None)
+    return built
+
+
+def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
+                          jnt_weights=None, keep_device=False):
+    """Bind reference pixel buffers, run the fused frame program, and
+    finish the frame on the host (download + decode-order pass 2).
+    Mutates bufs.planes."""
+    from .frame_exec import run_frame_program
+    from ..utils.trace import trace_scope
+    n_planes = len(bufs.planes)
+    intra_frame = built.intra_frame
+    full_device = built.full_device
+    hres_meta = built.hres_meta
+    device_blocks = built.device_blocks
+    _scopes = []
+
+    def _phase(name):
+        while _scopes:
+            _scopes.pop().__exit__(None, None, None)
+        c = trace_scope(f"recon.{name}")
+        c.__enter__()
+        _scopes.append(c)
+
+    _phase("ref-bind")
+    # materialize the deduped reference sources recorded at build time
+    # (device copies from previous frames' filter chains, or native-
+    # dtype uploads of host-decoded planes)
+    refsrc = [rb.dev_planes[pl] if rb.dev_planes is not None
+              else jnp.asarray(rb.planes[pl])
+              for rb, pl in built.ref_desc]
+    dev_planes = None
+
     _phase("execute")
     # ONE upload + ONE dispatch for the whole frame (per signature)
-    dev_out, hres = run_frame_program(prog, tuple(refsrc))
+    dev_out, hres = run_frame_program(built.prog, tuple(refsrc))
     if not intra_frame:
         dev_planes = list(dev_out)
 
@@ -790,9 +858,6 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # touch the host: the filter chain downloads the final planes. Only
     # frames with host-pass2 work (intra/inter-intra blocks) download
     # here, because _recon_tile reads/writes around them.
-    total_blocks = sum(len(c.blocks) for c in coders)
-    full_device = (keep_device and not intra_frame and not hplans and
-                   len(device_blocks) == total_blocks)
     if not intra_frame and not full_device:
         for pl in range(n_planes):
             bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
@@ -839,7 +904,7 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # copy stays authoritative; when the host pass touched any block,
     # refresh from the numpy planes the host just wrote)
     if keep_device and not intra_frame:
-        if len(device_blocks) != total_blocks or hplans:
+        if not full_device:
             # native-dtype upload (consumers cast to int32 on device)
             dev_planes = [jnp.asarray(p) for p in bufs.planes]
         bufs.dev_planes = dev_planes
