@@ -130,10 +130,15 @@ class Decoder:
         # a single in-order pixel worker; entropy and all reference-state
         # updates stay on the caller thread (they only depend on entropy).
         self._pipe = None
+        self._build_pipe = None
         self._inflight = []
         if self.s.n_threads > 1 or self.s.max_frame_delay > 1:
             import concurrent.futures as _cf
             self._pipe = _cf.ThreadPoolExecutor(max_workers=1)
+            # program building gets its own in-order worker, making the
+            # pipeline 3-stage: entropy(N+2) [native, GIL-free] ||
+            # build(N+1) [Python planning] || device-pixels(N)
+            self._build_pipe = _cf.ThreadPoolExecutor(max_workers=1)
             self._frame_delay = max(self.s.max_frame_delay, 2)
         self.flush()
 
@@ -170,6 +175,9 @@ class Decoder:
         if self._pipe is not None:
             self._pipe.shutdown(wait=True)
             self._pipe = None
+        if self._build_pipe is not None:
+            self._build_pipe.shutdown(wait=True)
+            self._build_pipe = None
         self._out = []
         self._refs = [None] * 8
 
@@ -470,23 +478,33 @@ class Decoder:
         # plan/pack cost overlaps device time instead of serializing
         # with it (dav1d frame threading's tile-vs-recon split,
         # thread_task.c:268-310, reborn for the host/device pipeline).
-        built = None
+        built_fut = None
         if settings.use_tpu_inter and not (pure_intra and
                                            settings.use_tpu_intra_engine):
             from .models.tpu_inter import (build_frame_program,
                                            execute_frame_program)
-            with trace_scope("build-program"):
-                built = build_frame_program(
-                    seq, fhdr, coders, work_bufs, refs_snapshot,
-                    jnt_weights, keep_device=settings.use_tpu_filters)
+
+            def build_work():
+                with trace_scope("build-program"):
+                    return build_frame_program(
+                        seq, fhdr, coders, work_bufs, refs_snapshot,
+                        jnt_weights, keep_device=settings.use_tpu_filters)
+
+            if self._build_pipe is not None:
+                built_fut = self._build_pipe.submit(build_work)
+            else:
+                _built = build_work()
+                built_fut = type("_Now", (), {
+                    "result": staticmethod(lambda: _built)})()
 
         def pixel_work():
             work = work_bufs
             with trace_scope("reconstruction"):
-                if built is not None:
+                if built_fut is not None:
                     execute_frame_program(
-                        built, seq, fhdr, coders, work, refs_snapshot,
-                        jnt_weights, keep_device=settings.use_tpu_filters)
+                        built_fut.result(), seq, fhdr, coders, work,
+                        refs_snapshot, jnt_weights,
+                        keep_device=settings.use_tpu_filters)
                 elif settings.use_tpu_inter and pure_intra and \
                         settings.use_tpu_intra_engine:
                     # wavefront device intra engine (models/tpu_intra)

@@ -53,6 +53,58 @@ class LfArrays:
         self.lvl_uv = np.zeros((ch4, cw4, 2), np.uint8)
 
 
+_lf_native_checked = False
+_LF_TABS = None
+
+
+def _lf_native():
+    """Native builder (native/lf.cpp) or None."""
+    global _lf_native_checked
+    from .native import LIB
+    if LIB is None or not hasattr(LIB, "lf_build"):
+        return None
+    if not _lf_native_checked:
+        import ctypes as ct
+        LIB.lf_build.restype = None
+        LIB.lf_build.argtypes = [ct.c_void_p] * 4
+        LIB.lf_cfg_size.restype = ct.c_int
+        _lf_native_checked = True
+    return LIB
+
+
+def _build_lf_arrays_native(LIB, seq, coders, w4, h4, cw4, ch4, ss_hor,
+                            ss_ver, monochrome) -> LfArrays:
+    """One native call per tile over the dense block records, sharing
+    the frame-global maps/edge arrays exactly like the Python walk."""
+    from ..data.tables import TABLES
+    lf = LfArrays(w4, h4, cw4, ch4)
+    txw_map = np.full((h4 + 32, w4 + 32), 2, np.uint8)
+    txh_map = np.full((h4 + 32, w4 + 32), 2, np.uint8)
+    ctxw_map = np.full((ch4 + 32, cw4 + 32), 1, np.uint8)
+    ctxh_map = np.full((ch4 + 32, cw4 + 32), 1, np.uint8)
+    global _LF_TABS
+    if _LF_TABS is None:
+        keep = [np.ascontiguousarray(TABLES["block_dimensions"],
+                                     np.uint8),
+                np.ascontiguousarray(TABLES["txfm_dimensions"],
+                                     np.uint8)]
+        _LF_TABS = (np.array([a.ctypes.data for a in keep], np.uint64),
+                    keep)
+    tabs = _LF_TABS[0]
+    outp = np.array([a.ctypes.data for a in
+                     (lf.edge_v_y, lf.edge_h_y, lf.edge_v_uv,
+                      lf.edge_h_uv, lf.lvl_y, lf.lvl_uv, txw_map,
+                      txh_map, ctxw_map, ctxh_map)], np.uint64)
+    for coder in coders:
+        blk = coder.native_arrays[0]
+        cfg = np.array([w4, h4, cw4, ch4, ss_hor, ss_ver,
+                        int(monochrome), blk.shape[0]], np.int32)
+        assert cfg.shape[0] == LIB.lf_cfg_size()
+        LIB.lf_build(cfg.ctypes.data, tabs.ctypes.data, blk.ctypes.data,
+                     outp.ctypes.data)
+    return lf
+
+
 def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
     ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
     ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
@@ -60,8 +112,14 @@ def build_lf_arrays(seq, fhdr, coders, width, height) -> LfArrays:
     h4 = (height + 3) >> 2
     cw4 = (w4 + ss_hor) >> ss_hor
     ch4 = (h4 + ss_ver) >> ss_ver
-    lf = LfArrays(w4, h4, cw4, ch4)
     monochrome = seq.layout == h.PIXEL_LAYOUT_I400
+    LIB = _lf_native()
+    if LIB is not None and all(
+            getattr(c, "native_arrays", None) is not None
+            for c in coders):
+        return _build_lf_arrays_native(LIB, seq, coders, w4, h4, cw4,
+                                       ch4, ss_hor, ss_ver, monochrome)
+    lf = LfArrays(w4, h4, cw4, ch4)
 
     # frame-global per-4x4 tx-size-class maps: neighbour lookups then work
     # across tile boundaries exactly like dav1d's tx_lpf edge fixups

@@ -31,7 +31,7 @@ def available() -> bool:
         return False
     if not _checked:
         LIB.recon_intra_pass.restype = ct.c_int
-        LIB.recon_intra_pass.argtypes = [ct.c_void_p] * 10
+        LIB.recon_intra_pass.argtypes = [ct.c_void_p] * 12
         LIB.recon_cfg_size.restype = ct.c_int
         _checked = True
     return True
@@ -72,11 +72,52 @@ def pack_residuals(coders, hres_meta, hres):
     return res_buf, offs
 
 
+_II_EMPTY = (np.zeros(1, np.uint8), np.full(1, -1, np.int64))
+
+
+def _pack_ii_masks(coder, blk, device_done, ss_hor, ss_ver, has_chroma):
+    """Flatten inter-intra blend masks (ops/ref/wedge.ii_mask, cached
+    spec tables) for blocks flagged 2 in device_done. Returns
+    (mask_buf u8, offsets (n_blocks, 2) int64 with -1 = none)."""
+    if not (device_done == 2).any():
+        return _II_EMPTY
+    from ..ops.ref.wedge import ii_mask
+    from ..data.tables import TABLES
+    T_BD = TABLES["block_dimensions"]
+    offs = np.full((len(device_done), 2), -1, np.int64)
+    chunks = []
+    base = 0
+    for bi in np.nonzero(device_done == 2)[0]:
+        r = blk[bi]
+        bs = int(r[2])          # B_BS
+        itype = int(r[32])      # B_INTERINTRA_TYPE
+        imode = int(r[33])      # B_INTERINTRA_MODE
+        widx = int(r[34])       # B_WEDGE_IDX
+        bw4, bh4 = int(T_BD[bs][0]), int(T_BD[bs][1])
+        m = np.ascontiguousarray(
+            ii_mask(0, bs, itype, imode, widx)[:bh4 * 4, :bw4 * 4],
+            np.uint8)
+        chunks.append(m.reshape(-1))
+        offs[bi, 0] = base
+        base += m.size
+        if has_chroma:
+            cbw4 = (bw4 + ss_hor) >> ss_hor
+            cbh4 = (bh4 + ss_ver) >> ss_ver
+            cm = np.ascontiguousarray(
+                ii_mask(ss_hor + ss_ver, bs, itype, imode, widx)
+                [:cbh4 * 4, :cbw4 * 4], np.uint8)
+            chunks.append(cm.reshape(-1))
+            offs[bi, 1] = base
+            base += cm.size
+    return np.concatenate(chunks), offs
+
+
 def recon_tile_native(seq, fhdr, coder, bufs, device_done, res_buf,
                       offs) -> int:
     """Run the native pass-2 walk for one tile. Returns the native rc:
-    0 ok; -1 tile has host-inter blocks (nothing written); -2/-3
-    internal ordering/residual errors (callers must fall back)."""
+    0 ok; -1 tile has unsupported host-inter blocks (nothing written);
+    -2/-3/-4 internal ordering/residual/mask errors (callers must fall
+    back)."""
     blk, coef, pal, palidx = coder.native_arrays
     n_blocks, n_coefs = blk.shape[0], coef.shape[0]
     planes = bufs.planes
@@ -95,8 +136,10 @@ def recon_tile_native(seq, fhdr, coder, bufs, device_done, res_buf,
         pptr[i] = p.ctypes.data
     dd = np.ascontiguousarray(device_done, np.uint8)
     offs = np.ascontiguousarray(offs, np.int64)
+    ii_buf, ii_off = _pack_ii_masks(coder, blk, dd, bufs.ss_hor,
+                                    bufs.ss_ver, len(planes) > 1)
     return LIB.recon_intra_pass(
         cfg.ctypes.data, _tabs().ctypes.data, pptr.ctypes.data,
         blk.ctypes.data, coef.ctypes.data, pal.ctypes.data,
         palidx.ctypes.data, res_buf.ctypes.data, offs.ctypes.data,
-        dd.ctypes.data)
+        dd.ctypes.data, ii_buf.ctypes.data, ii_off.ctypes.data)

@@ -67,17 +67,17 @@ def _pad_vec(vec: np.ndarray, oob: bool):
 
 
 def _block_device_class(fhdr, coder, b, refs, cur_w, cur_h):
-    """'single' / 'comp' if the batched device path covers this block,
-    else None (host fallback). The device surface spans translation,
-    warp, OBMC, masked compound (wedge/seg), scaled references and
-    sub-8x8 chroma; only inter-intra (which blends with an intra
-    prediction from reconstructed neighbours) and intra-frame intrabc
-    remain sequential host work."""
+    """'single' / 'comp' if the batched device path covers this block's
+    motion-compensated prediction, else None (host fallback). The device
+    surface spans translation, warp, OBMC, masked compound (wedge/seg),
+    scaled references and sub-8x8 chroma. Inter-intra blocks get their
+    PUT on device too; the intra blend over reconstructed neighbours is
+    decode-order work the native pass-2 walk finishes (callers track
+    them separately). Intra-frame intrabc stays sequential host work
+    (it reads the current frame's freshly decoded pixels)."""
     if b.intra:
         return None
     if fhdr.frame_type in (0, 2):  # intrabc
-        return None
-    if b.interintra_type:
         return None
     for i in range(2 if b.comp_type else 1):
         rb = refs[fhdr.refidx[b.ref[i]]]
@@ -277,7 +277,7 @@ class BuiltFrame:
     can be built for frame N+1 while frame N is still executing (the
     second leg of the host/device software pipeline)."""
     __slots__ = ("prog", "ref_desc", "hres_meta", "device_blocks",
-                 "intra_frame", "full_device")
+                 "ii_blocks", "intra_frame", "full_device")
 
 
 def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
@@ -316,6 +316,7 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
 
     plan = _FramePlan(n_planes)
     device_blocks = set()
+    ii_blocks = set()   # device put + decode-order inter-intra blend
     _phase("plan")
 
     def ref_of(i):
@@ -366,7 +367,12 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                         tl_4x4_filter[0] = b.filter2d
                     f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
                 continue
-            device_blocks.add((ci, bi))
+            if b.interintra_type:
+                # put planned below; the intra blend + residual stay
+                # decode-order host work (native_recon / _recon_b_inter)
+                ii_blocks.add((ci, bi))
+            else:
+                device_blocks.add((ci, bi))
             has_chroma = (n_planes > 1 and
                           (bw4 > ss_hor or bx & 1) and
                           (bh4 > ss_ver or by & 1))
@@ -808,6 +814,7 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     built.ref_desc = ref_desc
     built.hres_meta = hres_meta
     built.device_blocks = device_blocks
+    built.ii_blocks = ii_blocks
     built.intra_frame = intra_frame
     built.full_device = (keep_device and not intra_frame and not hplans
                          and len(device_blocks) == total_blocks)
@@ -879,6 +886,8 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
             dd_per = [np.zeros(len(c.blocks), np.uint8) for c in coders]
             for (cj, bj) in device_blocks:
                 dd_per[cj][bj] = 1
+            for (cj, bj) in built.ii_blocks:
+                dd_per[cj][bj] = 2   # device put, host blend
             done = True
             for ci, coder in enumerate(coders):
                 rc = native_recon.recon_tile_native(

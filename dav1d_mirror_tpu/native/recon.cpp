@@ -577,6 +577,63 @@ static void cfl_ac(const px *ypx, int64_t ystride, int w_pad, int h_pad,
     for (int i = 0; i < cw * ch; i++) ac[i] -= (int32_t)sum;
 }
 
+// ---- intrabc motion compensation (models/ref_decoder._mc_put with
+// FILTER_2D_BILINEAR: dav1d mc_tmpl.c put_bilin + emu_edge clamping;
+// intrabc luma MVs are whole-pel so only chroma ever interpolates) ----
+template <typename px>
+static void put_bilin_clamped(const px *plane, int64_t stride, int ref_w,
+                              int ref_h, int bw4, int bh4, int bx, int by,
+                              int ssh, int ssv, int mvy, int mvx, int ib,
+                              int bd_max, int32_t *out /* bh_px*bw_px */) {
+    const int h_mul = 4 >> ssh, v_mul = 4 >> ssv;
+    int mx = mvx & (15 >> (ssh ? 0 : 1));
+    int my = mvy & (15 >> (ssv ? 0 : 1));
+    const int dx = bx * h_mul + (mvx >> (3 + ssh));
+    const int dy = by * v_mul + (mvy >> (3 + ssv));
+    const int w = (ref_w + ssh) >> ssh;
+    const int h = (ref_h + ssv) >> ssv;
+    const int bw_px = bw4 * h_mul, bh_px = bh4 * v_mul;
+    mx <<= ssh ? 0 : 1;
+    my <<= ssv ? 0 : 1;
+    auto at = [&](int yy, int xx) -> int {
+        return plane[(int64_t)iclip(dy + yy, 0, h - 1) * stride +
+                     iclip(dx + xx, 0, w - 1)];
+    };
+    auto bil = [](int a, int b, int mxy, int sh) {
+        return (16 * a + mxy * (b - a) + ((1 << sh) >> 1)) >> sh;
+    };
+    if (mx && my) {
+        // two-pass: horizontal into (bh_px+2) mid rows, then vertical
+        int32_t mid[(128 + 2) * 128];
+        for (int y = 0; y < bh_px + 2; y++)
+            for (int x = 0; x < bw_px; x++)
+                mid[y * bw_px + x] =
+                    bil(at(y, x), at(y, x + 1), mx, 4 - ib);
+        for (int y = 0; y < bh_px; y++)
+            for (int x = 0; x < bw_px; x++)
+                out[y * bw_px + x] =
+                    iclip(bil(mid[y * bw_px + x], mid[(y + 1) * bw_px + x],
+                              my, 4 + ib),
+                          0, bd_max);
+    } else if (mx) {
+        const int irnd = (1 << ib) >> 1;
+        for (int y = 0; y < bh_px; y++)
+            for (int x = 0; x < bw_px; x++) {
+                const int v = bil(at(y, x), at(y, x + 1), mx, 4 - ib);
+                out[y * bw_px + x] = iclip((v + irnd) >> ib, 0, bd_max);
+            }
+    } else if (my) {
+        for (int y = 0; y < bh_px; y++)
+            for (int x = 0; x < bw_px; x++)
+                out[y * bw_px + x] =
+                    iclip(bil(at(y, x), at(y + 1, x), my, 4), 0, bd_max);
+    } else {
+        for (int y = 0; y < bh_px; y++)
+            for (int x = 0; x < bw_px; x++)
+                out[y * bw_px + x] = at(y, x);
+    }
+}
+
 // ---- per-tile walk ----
 template <typename px>
 struct Walk {
@@ -590,7 +647,10 @@ struct Walk {
     const uint8_t *palidx;
     const int32_t *res_buf;
     const int64_t *res_off;    // per coef record, -1 = none
-    const uint8_t *device_done;
+    const uint8_t *device_done;  // 0 host, 1 device-complete,
+                                 // 2 device-put + host inter-intra blend
+    const uint8_t *ii_masks;   // inter-intra blend masks (flat)
+    const int64_t *ii_off;     // (n_blocks, 2): luma/chroma mask offsets
 
     int bitdepth, bd_max, ss_hor, ss_ver, n_planes, layout, keyframe, ief;
     int sb_step, bw, bh, col_start, col_end, row_start, row_end;
@@ -617,10 +677,18 @@ struct Walk {
         row_end = cfg[RC_ROW_END];
         n_blocks = cfg[RC_N_BLOCKS];
         n_coefs = cfg[RC_N_COEFS];
-        // refuse before touching pixels if any block needs host inter
-        // work (intrabc / inter-intra / fallback MC)
-        for (int i = 0; i < n_blocks; i++)
-            if (!blk[i * NBLK + B_INTRA] && !device_done[i]) return -1;
+        // refuse before touching pixels when a block needs host inter
+        // work this walk cannot do. Natively covered: plain intra,
+        // device-complete inter (1), keyframe intrabc, and inter-intra
+        // blend over a device put (2, needs its masks).
+        for (int i = 0; i < n_blocks; i++) {
+            if (blk[i * NBLK + B_INTRA]) continue;
+            if (keyframe) continue;                   // intrabc
+            if (device_done[i] == 1) continue;
+            if (device_done[i] == 2 &&
+                ii_off && ii_off[(int64_t)i * 2] >= 0) continue;
+            return -1;
+        }
         a_mode.assign(bw + 32, 0);
         a_intra.assign(bw + 32, keyframe ? 1 : 0);
         a_uvmode.assign(bw + 32, 0);
@@ -663,6 +731,127 @@ struct Walk {
         return 0;
     }
 
+    // record-order residual replay for inter-class blocks (intrabc /
+    // inter-intra: ref_decoder._recon_b_inter coefficient loop — dims
+    // come from each record's own tx)
+    int add_residual_rec(int ci) {
+        const int32_t *r = coef + (int64_t)ci * NCOEF;
+        if (r[CO_EOB] < 0) return 0;
+        const uint8_t *td = T.txfm_dim + r[CO_TX] * 8;
+        return add_residual(ci, r[CO_PLANE], r[CO_X], r[CO_Y], td[0],
+                            td[1]);
+    }
+
+    void write_pred32(int pl, int pyy, int pxx, int w, int h,
+                      const int32_t *pred) {
+        px *dst = planes[pl] + (int64_t)pyy * strides[pl] + pxx;
+        for (int y = 0; y < h; y++) {
+            px *row = dst + (int64_t)y * strides[pl];
+            const int32_t *p = pred + y * w;
+            for (int x = 0; x < w; x++) row[x] = (px)p[x];
+        }
+    }
+
+    // keyframe intra-block-copy (ref_decoder._recon_b_inter:354-370)
+    int intrabc_block(const int32_t *b) {
+        const uint8_t *bdm = T.block_dim + b[B_BS] * 4;
+        const int bw4 = bdm[0], bh4 = bdm[1];
+        const int bx = b[B_BX], by = b[B_BY];
+        const int mvy = b[B_MV0Y], mvx = b[B_MV0X];
+        const int ib = bitdepth == 8 ? 4 : 14 - bitdepth;
+        const int ref_w = bw * 4, ref_h = bh * 4;
+        const int has_chroma =
+            n_planes > 1 && (bw4 > ss_hor || (bx & 1)) &&
+            (bh4 > ss_ver || (by & 1));
+        int32_t predb[128 * 128];
+        put_bilin_clamped(planes[0], strides[0], ref_w, ref_h, bw4, bh4,
+                          bx, by, 0, 0, mvy, mvx, ib, bd_max, predb);
+        write_pred32(0, by * 4, bx * 4, bw4 * 4, bh4 * 4, predb);
+        if (has_chroma) {
+            const int bw4c = bw4 << (bw4 == ss_hor);
+            const int bh4c = bh4 << (bh4 == ss_ver);
+            const int uvx = (bx >> ss_hor) * 4, uvy = (by >> ss_ver) * 4;
+            const int cw = bw4c * 4 >> ss_hor, ch = bh4c * 4 >> ss_ver;
+            for (int pl = 1; pl <= 2; pl++) {
+                put_bilin_clamped(planes[pl], strides[pl], ref_w, ref_h,
+                                  bw4c, bh4c, bx & ~ss_hor, by & ~ss_ver,
+                                  ss_hor, ss_ver, mvy, mvx, ib, bd_max,
+                                  predb);
+                write_pred32(pl, uvy, uvx, cw, ch, predb);
+            }
+        }
+        if (!b[B_SKIP])
+            for (int ci = b[B_COEF_LO]; ci < b[B_COEF_HI]; ci++) {
+                const int rc = add_residual_rec(ci);
+                if (rc) return rc;
+            }
+        return 0;
+    }
+
+    // inter-intra blend over the device-produced put
+    // (ref_decoder._recon_b_inter:392-407, 474-496)
+    int interintra_block(int bi, const int32_t *b) {
+        const uint8_t *bdm = T.block_dim + b[B_BS] * 4;
+        const int bw4 = bdm[0], bh4 = bdm[1];
+        const int bx = b[B_BX], by = b[B_BY];
+        const int has_chroma =
+            n_planes > 1 && (bw4 > ss_hor || (bx & 1)) &&
+            (bh4 > ss_ver || (by & 1));
+        const int m = b[B_INTERINTRA_MODE] == 3 ? 9 : b[B_INTERINTRA_MODE];
+        int32_t tl[257];
+        int32_t predb[64 * 64];
+        int angle = 0;
+        const int m2 = prepare_edges(
+            bx, bx > col_start, by, by > row_start, col_end, row_end, 0,
+            planes[0], strides[0], bx * 4, by * 4, m, &angle, bw4, bh4,
+            0, bitdepth, tl);
+        intra_pred(m2, tl, 128, bw4 * 4, bh4 * 4, 0, 0, 0, T, bitdepth,
+                   predb);
+        blend(0, by * 4, bx * 4, bw4 * 4, bh4 * 4, predb,
+              ii_masks + ii_off[(int64_t)bi * 2]);
+        if (has_chroma) {
+            const int cbw4 = (bw4 + ss_hor) >> ss_hor;
+            const int cbh4 = (bh4 + ss_ver) >> ss_ver;
+            if (ii_off[(int64_t)bi * 2 + 1] < 0) return -4;
+            const uint8_t *cmsk = ii_masks + ii_off[(int64_t)bi * 2 + 1];
+            for (int pl = 1; pl <= 2; pl++) {
+                const int xpos = bx >> ss_hor, ypos = by >> ss_ver;
+                angle = 0;
+                const int mc2 = prepare_edges(
+                    xpos, xpos > (col_start >> ss_hor), ypos,
+                    ypos > (row_start >> ss_ver), col_end >> ss_hor,
+                    row_end >> ss_ver, 0, planes[pl], strides[pl],
+                    xpos * 4, ypos * 4, m, &angle, cbw4, cbh4, 0,
+                    bitdepth, tl);
+                intra_pred(mc2, tl, 128, cbw4 * 4, cbh4 * 4, 0, 0, 0, T,
+                           bitdepth, predb);
+                blend(pl, ypos * 4, xpos * 4, cbw4 * 4, cbh4 * 4, predb,
+                      cmsk);
+            }
+        }
+        if (!b[B_SKIP])
+            for (int ci = b[B_COEF_LO]; ci < b[B_COEF_HI]; ci++) {
+                const int rc = add_residual_rec(ci);
+                if (rc) return rc;
+            }
+        return 0;
+    }
+
+    // dst = (dst*(64-m) + pred*m + 32) >> 6 (mc.py blend / dav1d blend)
+    void blend(int pl, int pyy, int pxx, int w, int h,
+               const int32_t *pred, const uint8_t *msk) {
+        px *dst = planes[pl] + (int64_t)pyy * strides[pl] + pxx;
+        for (int y = 0; y < h; y++) {
+            px *row = dst + (int64_t)y * strides[pl];
+            const int32_t *p = pred + y * w;
+            const uint8_t *mr = msk + y * w;
+            for (int x = 0; x < w; x++)
+                row[x] = (px)(((int)row[x] * (64 - mr[x]) + p[x] * mr[x] +
+                               32) >>
+                              6);
+        }
+    }
+
     void write_pred(int pl, int pyy, int pxx, int w, int h,
                     const int32_t *pred) {
         px *dst = planes[pl] + (int64_t)pyy * strides[pl] + pxx;
@@ -690,7 +879,16 @@ struct Walk {
             const int by4 = by & 31;
 
             if (!b[B_INTRA]) {
-                // device-covered inter: maintain neighbour state only
+                // keyframe intrabc and inter-intra blends run here in
+                // decode order; device-complete inter blocks only
+                // maintain neighbour state
+                if (keyframe) {
+                    const int rc = intrabc_block(b);
+                    if (rc) return rc;
+                } else if (device_done[bi] == 2) {
+                    const int rc = interintra_block(bi, b);
+                    if (rc) return rc;
+                }
                 std::fill(a_intra.begin() + bx, a_intra.begin() + bx + bw4,
                           0);
                 for (int i = 0; i < bh4; i++) l_intra[by4 + i] = 0;
@@ -988,7 +1186,8 @@ static int run_walk(const int32_t *cfg, const uint64_t *tabs,
                     const uint64_t *plane_ptrs, const int32_t *blk,
                     const int32_t *coef, const uint16_t *pal,
                     const uint8_t *palidx, const int32_t *res_buf,
-                    const int64_t *res_off, const uint8_t *device_done) {
+                    const int64_t *res_off, const uint8_t *device_done,
+                    const uint8_t *ii_masks, const int64_t *ii_off) {
     Walk<px> w;
     w.cfg = cfg;
     w.T.block_dim = (const uint8_t *)tabs[0];
@@ -1007,6 +1206,8 @@ static int run_walk(const int32_t *cfg, const uint64_t *tabs,
     w.res_buf = res_buf;
     w.res_off = res_off;
     w.device_done = device_done;
+    w.ii_masks = ii_masks;
+    w.ii_off = ii_off;
     const int rc = w.init();
     if (rc) return rc;
     return w.run();
@@ -1016,17 +1217,21 @@ static int run_walk(const int32_t *cfg, const uint64_t *tabs,
 
 API int recon_cfg_size() { return RC_NCFG; }
 
-// rc: 0 ok; -1 host-inter block present (no pixels touched);
-// -2 coef record order mismatch; -3 missing residual.
+// rc: 0 ok; -1 unsupported host-inter block present (no pixels
+// touched); -2 coef record order mismatch; -3 missing residual;
+// -4 missing inter-intra mask.
 API int recon_intra_pass(const int32_t *cfg, const uint64_t *tabs,
                          const uint64_t *plane_ptrs, const int32_t *blk,
                          const int32_t *coef, const uint16_t *pal,
                          const uint8_t *palidx, const int32_t *res_buf,
                          const int64_t *res_off,
-                         const uint8_t *device_done) {
+                         const uint8_t *device_done,
+                         const uint8_t *ii_masks, const int64_t *ii_off) {
     if (cfg[RC_BITDEPTH] == 8)
         return run_walk<uint8_t>(cfg, tabs, plane_ptrs, blk, coef, pal,
-                                 palidx, res_buf, res_off, device_done);
+                                 palidx, res_buf, res_off, device_done,
+                                 ii_masks, ii_off);
     return run_walk<uint16_t>(cfg, tabs, plane_ptrs, blk, coef, pal,
-                              palidx, res_buf, res_off, device_done);
+                              palidx, res_buf, res_off, device_done,
+                              ii_masks, ii_off);
 }
