@@ -72,9 +72,11 @@ class Settings:
     # Dav1dLogger analogue (dav1d.h:49-59): callable(str) or None for
     # the default stderr logger; False-y disables logging entirely
     logger: object = "default"
-    # TPU pipeline routing
-    use_tpu_filters: bool = False
-    use_tpu_inter: bool = False
+    # TPU pipeline routing. None = auto: use the device pixel path when
+    # the default JAX backend is a TPU, the host path otherwise (CI on
+    # the CPU backend keeps the host path unless tests opt in).
+    use_tpu_filters: bool | None = None
+    use_tpu_inter: bool | None = None
     # Route intra-only frames through the wavefront device intra engine
     # (models/tpu_intra). Bit-exact and mesh-shardable, but its
     # lax.scan over dependency waves pays XLA's fixed per-op dispatch
@@ -113,6 +115,31 @@ EVENT_FLAG_NEW_SEQUENCE = 1
 EVENT_FLAG_NEW_OP_PARAMS_INFO = 2
 
 
+def _tpu_backend_present() -> bool:
+    """Auto-detect for Settings.use_tpu_*=None: device path on when the
+    default JAX backend is a TPU (overridable via DAV1D_TPU_NO_TPU=1)."""
+    if _os.environ.get("DAV1D_TPU_NO_TPU"):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def get_frame_delay(settings: Settings | None = None) -> int:
+    """dav1d_get_frame_delay (include/dav1d/dav1d.h:323): how many
+    frames a decoder opened with these settings may buffer internally
+    before get_picture returns the first one."""
+    s = settings or Settings()
+    if s.max_frame_delay < 0 or s.max_frame_delay > 256 or \
+            s.n_threads < 0 or s.n_threads > 256:
+        raise ValueError("invalid settings")
+    if s.n_threads > 1 or s.max_frame_delay > 1:
+        return max(s.max_frame_delay, 2)
+    return 1
+
+
 class Decoder:
     """dav1d_open/send_data/get_picture/flush/close as one object."""
 
@@ -120,6 +147,15 @@ class Decoder:
         self.s = settings or Settings()
         if self.s.frame_size_limit and self.s.frame_size_limit < 0:
             raise ValueError("invalid frame_size_limit")
+        if self.s.use_tpu_inter is None or self.s.use_tpu_filters is None:
+            from dataclasses import replace as _dc_replace
+            auto = _tpu_backend_present()
+            self.s = _dc_replace(
+                self.s,
+                use_tpu_inter=(auto if self.s.use_tpu_inter is None
+                               else self.s.use_tpu_inter),
+                use_tpu_filters=(auto if self.s.use_tpu_filters is None
+                                 else self.s.use_tpu_filters))
         if self.s.use_tpu_inter or self.s.use_tpu_filters:
             # amortize XLA compiles across processes (tunneled-TPU
             # compiles cost seconds; see utils/jit_cache)
@@ -255,6 +291,25 @@ class Decoder:
                 raise DecodeError(str(e)) from e
             p._ready = None
         return p
+
+    def apply_grain(self, pic: Picture) -> Picture:
+        """dav1d_apply_grain (include/dav1d/dav1d.h:235): synthesize
+        film grain onto an already-decoded picture, standalone — for
+        callers who opened the decoder with apply_grain=False and want
+        grain on selected frames only. Returns a new Picture (the input
+        is left untouched)."""
+        fhdr, seq = pic.frame_hdr, pic.seq_hdr
+        if fhdr is None or not getattr(fhdr, "film_grain_present", 0):
+            return pic
+        if self.s.use_tpu_filters:
+            from .ops.filmgrain_tpu import apply_film_grain_tpu \
+                as _apply
+        else:
+            from .ops.ref.filmgrain import apply_film_grain as _apply
+        planes = _apply(pic.planes, seq, fhdr, pic.width, pic.height)
+        from dataclasses import replace as _dc_replace
+        return _dc_replace(pic, planes=tuple(
+            np.asarray(p) for p in planes))
 
     # -- internals ---------------------------------------------------------
     def _emit(self, bufs, fhdr):

@@ -67,11 +67,14 @@ def parse_args(argv=None):
                    help="pace output to the container frame rate "
                         "(tools/dav1d.c:93 synchronization)")
     p.add_argument("--tpu", action="store_true",
-                   help="run pixel work on the JAX device pipelines")
+                   help="force the JAX device pixel pipelines (default: "
+                        "auto-on when the JAX backend is a TPU)")
+    p.add_argument("--no-tpu", dest="notpu", action="store_true",
+                   help="force the host pixel path even on a TPU backend")
     p.add_argument("--tpuintra", action="store_true",
-                   help="with --tpu: reconstruct pure-intra frames with "
-                        "the device wavefront engine (models/tpu_intra) "
-                        "instead of the host walk")
+                   help="with the device path: reconstruct pure-intra "
+                        "frames with the device wavefront engine "
+                        "(models/tpu_intra) instead of the host walk")
     p.add_argument("-q", "--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -123,8 +126,11 @@ def main(argv=None):
         inloop_filters=_ILF[args.inloopfilters],
         decode_frame_type=_DFT[args.decodeframetype],
         strict_std_compliance=bool(args.strict),
-        use_tpu_filters=args.tpu,
-        use_tpu_inter=args.tpu,
+        # --tpu forces on, --no-tpu forces off, neither = auto-detect
+        use_tpu_filters=True if args.tpu else (False if args.notpu
+                                               else None),
+        use_tpu_inter=True if args.tpu else (False if args.notpu
+                                             else None),
         use_tpu_intra_engine=args.tpuintra,
     )
     dec = Decoder(settings)

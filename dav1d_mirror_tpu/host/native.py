@@ -24,8 +24,10 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
 _SO = os.path.join(_DIR, "libdav1d_host.so")
-_SRCS = [os.path.join(_DIR, "msac.cpp"),
-         os.path.join(_DIR, "ipred.cpp")]
+# every input of build.sh: editing ANY of these triggers a rebuild
+_SRCS = [os.path.join(_DIR, f) for f in
+         ("msac.cpp", "ipred.cpp", "tilecoder.cpp", "recon.cpp",
+          "lf.cpp", "ec.h", "build.sh")]
 
 
 def _load():

@@ -173,3 +173,48 @@ def test_cli_xxh3_muxer(tmp_path):
                      "--verify", got.upper()]) == 0
     assert cli_main(["-i", str(p), "--muxer", "xxh3", "-o", "-", "-q",
                      "--verify", "0" * 32]) == 1
+
+
+def test_get_frame_delay():
+    # dav1d_get_frame_delay (include/dav1d/dav1d.h:323): frames the
+    # decoder may buffer before the first get_picture success.
+    from dav1d_mirror_tpu.api import get_frame_delay
+    assert get_frame_delay() == 1
+    assert get_frame_delay(Settings(n_threads=1)) == 1
+    assert get_frame_delay(Settings(n_threads=2)) == 2
+    assert get_frame_delay(Settings(max_frame_delay=5)) == 5
+    with pytest.raises(ValueError):
+        get_frame_delay(Settings(n_threads=512))
+
+
+def test_apply_grain_standalone():
+    # dav1d_apply_grain (include/dav1d/dav1d.h:235): decoding with
+    # apply_grain=False then calling Decoder.apply_grain(pic) must match
+    # decoding with apply_grain=True.
+    fg = dict(seed=1234, num_y_points=2, y_points=[(0, 64), (255, 64)],
+              ar_coeff_lag=0, scaling_shift=8, overlap_flag=1)
+    seq, frames = _make_stream(n_inter=0, fg=fg)
+    ivf = gen_ivf(seq, frames)
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+
+    def decode(grain_on):
+        d = Decoder(Settings(apply_grain=grain_on))
+        _, units = open_demuxer(ivf)
+        pics = []
+        for unit in units:
+            d.send_obus(unit)
+            while (pic := d.get_picture()) is not None:
+                pics.append(pic)
+        return pics
+
+    want = decode(True)
+    got = decode(False)
+    dec = Decoder(Settings(apply_grain=False))
+    assert len(want) == len(got) == 1
+    plain = got[0]
+    grained = dec.apply_grain(plain)
+    for a, b in zip(grained.planes, want[0].planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # idempotence of the input: plain stays un-grained
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(plain.planes, want[0].planes))
