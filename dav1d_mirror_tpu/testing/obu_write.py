@@ -156,7 +156,8 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
         if hdr.allow_screen_content_tools and not hdr.super_res_enabled:
             w.put_bit(hdr.allow_intrabc)
     else:
-        w.put_bits(hdr.refresh_frame_flags, 8)
+        if hdr.frame_type != h.SWITCH:   # SWITCH implies 0xFF (obu.c:465)
+            w.put_bits(hdr.refresh_frame_flags, 8)
         if hdr.error_resilient_mode and seq.order_hint:
             for i in range(8):
                 assert ref_hdrs is not None and ref_hdrs[i] is not None
@@ -174,7 +175,27 @@ def write_frame_hdr(hdr: h.FrameHeader, seq: h.SequenceHeader,
         if not hdr.frame_size_override or hdr.error_resilient_mode:
             _write_frame_size(w, hdr, seq)
         else:
-            raise NotImplementedError("ref frame size writer")
+            # frame_size_with_refs (dav1d obu.c:342-372): one found_ref
+            # bit per refidx slot; hdr.size_from_ref selects the slot
+            # whose size is inherited (the caller must have copied that
+            # ref's width[1]/height/render_* into hdr), None = signal
+            # no match and fall back to the explicit override size
+            sfr = getattr(hdr, "size_from_ref", None)
+            found = False
+            for i in range(7):
+                if i == sfr:
+                    w.put_bit(1)
+                    found = True
+                    break
+                w.put_bit(0)
+            if found:
+                if seq.super_res:
+                    w.put_bit(hdr.super_res_enabled)
+                    if hdr.super_res_enabled:
+                        w.put_bits(
+                            hdr.super_res_width_scale_denominator - 9, 3)
+            else:
+                _write_frame_size(w, hdr, seq)
         if not hdr.force_integer_mv:
             w.put_bit(hdr.hp)
         if hdr.subpel_filter_mode == h.FILTER_SWITCHABLE:

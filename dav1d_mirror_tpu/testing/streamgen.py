@@ -158,15 +158,38 @@ def make_inter_frame_hdr(seq, qidx=100, refidx=None, txfm_mode=h.TX_LARGEST,
                          switchable_motion=False, refresh=0xFF,
                          frame_offset=0, warp=False, primary_ref=None,
                          skip_mode=False, use_ref_frame_mvs=False,
-                         superres_denom=None, tiles=(0, 0)) -> h.FrameHeader:
+                         superres_denom=None, tiles=(0, 0),
+                         frame_type=h.INTER, error_resilient=None,
+                         size_from_ref=None) -> h.FrameHeader:
+    """frame_type: h.INTER or h.SWITCH (dav1d obu.c:446-511 SWITCH
+    semantics: error_resilient + frame_size_override + refresh=0xFF all
+    implied, never coded). size_from_ref: refidx slot whose size this
+    frame inherits via frame_size_with_refs (obu.c:342-372; requires
+    !error_resilient). error_resilient: force the flag (None = derive
+    from the features that are only coded when it is off)."""
     f = h.FrameHeader()
-    f.frame_type = h.INTER
+    f.frame_type = frame_type
     f.show_frame = 1
     f.allow_screen_content_tools = 1 if seq.screen_content_tools else 0
     # warp_motion, primary_ref_frame and use_ref_frame_mvs are only coded
     # when !error_resilient (obu.c:622, :358, :377)
-    f.error_resilient_mode = 0 if (warp or primary_ref is not None or
-                                   use_ref_frame_mvs) else 1
+    if error_resilient is None:
+        f.error_resilient_mode = 0 if (warp or primary_ref is not None or
+                                       use_ref_frame_mvs or
+                                       size_from_ref is not None) else 1
+    else:
+        f.error_resilient_mode = int(error_resilient)
+    if frame_type == h.SWITCH:
+        # implied, not coded (host/obu.py:313-333,365)
+        f.error_resilient_mode = 1
+        f.frame_size_override = 1
+        refresh = 0xFF
+        assert primary_ref is None and size_from_ref is None
+    elif size_from_ref is not None:
+        assert not f.error_resilient_mode, \
+            "frame_size_with_refs requires !error_resilient"
+        f.frame_size_override = 1
+        f.size_from_ref = size_from_ref
     f.warp_motion = 1 if warp else 0
     if warp:
         switchable_motion = True

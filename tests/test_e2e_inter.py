@@ -70,6 +70,13 @@ CONFIGS = [
     dict(scc=1, txsw=True),                              # palette on inter
     dict(sr=12, txsw=True),                              # super-res + scaled MC
     dict(sr=16, w=128, h=96, comp=True, lf=(24, 24, 16, 16, 1)),
+    dict(switch=True, txsw=True),                 # SWITCH frame (obu.c:446)
+    dict(switch=True, order_hint=1, n_inter=4, lf=(20, 20, 14, 14, 1)),
+    dict(size_from_ref=True, txsw=True),      # frame_size_with_refs
+    dict(size_from_ref=True, comp=True, lf=(24, 24, 16, 16, 1)),
+    # explicit error-resilient chain with slot rotation + order hints
+    # (exercises the ref_order_hint re-sync reads, obu.c:529-539)
+    dict(er=True, order_hint=1, n_inter=4, txsw=True),
 ]
 
 
@@ -136,6 +143,10 @@ def build_stream(cfg, seed):
                 prim = prim_idx
         else:
             refidx, refresh = [0] * 7, 0xFF
+        # SWITCH frame as the last of the chain (obu.c:446-511: implies
+        # error-resilient + size-override + refresh-all, none coded)
+        ft = h.SWITCH if (cfg.get("switch") and i == n_inter - 1) \
+            else h.INTER
         fi = make_inter_frame_hdr(
             seq, qidx=q, txfm_mode=txm, loopfilter=lf,
             switchable_filter=cfg.get("swfilter", False),
@@ -144,8 +155,13 @@ def build_stream(cfg, seed):
             warp=cfg.get("warp", False),
             cdef_params=cdef, hp=cfg.get("hp", 1),
             refidx=refidx, refresh=refresh, frame_offset=poc,
-            primary_ref=prim, skip_mode=cfg.get("skipmode", False),
-            use_ref_frame_mvs=tmvs, superres_denom=sr)
+            primary_ref=None if ft == h.SWITCH else prim,
+            skip_mode=cfg.get("skipmode", False),
+            use_ref_frame_mvs=tmvs, superres_denom=sr,
+            frame_type=ft,
+            error_resilient=1 if cfg.get("er") else None,
+            size_from_ref=0 if (cfg.get("size_from_ref") and
+                                ft == h.INTER) else None)
         if cfg.get("lr"):
             fi.restoration_type = list(cfg["lr"])
             fi.restoration_unit_size = [6 + seq.sb128, 6 + seq.sb128]
