@@ -79,6 +79,93 @@ def _residual_core(coefs, tx: int, txtp: int, bitdepth: int, xp):
     return xp.transpose(out.reshape(h, B, w), (1, 0, 2))
 
 
+def itx_families(n: int) -> tuple:
+    """1D transform families that exist at line length n (dav1d
+    src/itx_1d.c: adst tops out at 16, identity at 32, only dct has 64).
+    The order is the selector index contract of the *_multi kernels."""
+    if n == 64:
+        return ("dct",)
+    if n == 32:
+        return ("dct", "identity")
+    return ("dct", "adst", "flipadst", "identity")
+
+
+def itx_multi_sel(tx: int, txtp: int) -> tuple[int, int]:
+    """(row_sel, col_sel) family indices for a (tx, txtp) pair, the
+    per-block data consumed by _residual_multi_core."""
+    w, h, _ = TX_INFO[tx]
+    row_fam, col_fam = TXTYPE_TO_1D[txtp]
+    return (itx_families(w).index(row_fam),
+            itx_families(h).index(col_fam))
+
+
+def _select_variants(variants, sel, reps, n_fam, xp):
+    """variants: list of (n_out, B*lines) arrays, one per 1D family;
+    sel: (B,) family index per block; reps: lines per block along the
+    flattened column axis. Computing every family then selecting keeps
+    the kernel static over txtp — the (tx, txtp) bucket explosion
+    (dav1d's itxfm_add[19][17] table) becomes ONE program per tx size,
+    which is what the signature-stable fused frame program needs. The
+    ≤4x extra butterflies are VPU-cheap next to a per-type compile."""
+    stacked = xp.stack(variants)                      # (F, n_out, B*L)
+    sel_cols = xp.repeat(sel.astype(xp.int32), reps)  # (B*L,)
+    onehot = sel_cols[None, :] == xp.arange(n_fam)[:, None]
+    return xp.sum(xp.where(onehot[:, None, :], stacked, 0), axis=0)
+
+
+def _residual_multi_core(coefs, row_sel, col_sel, tx: int, bitdepth: int,
+                         xp):
+    """Like _residual_core but with the transform TYPE as per-block
+    data: row_sel/col_sel are (B,) indices into itx_families(w/h).
+    Bit-exact: each variant is the exact butterfly network; selection
+    doesn't change arithmetic. WHT (lossless 4x4) is not covered —
+    it stays a dedicated bucket."""
+    w, h, shift = TX_INFO[tx]
+    sw, sh = min(w, 32), min(h, 32)
+    B = coefs.shape[0]
+    assert coefs.shape[1:] == (sh, sw), (coefs.shape, (sh, sw))
+    rnd = (1 << shift) >> 1
+    row_fams = itx_families(w)
+    col_fams = itx_families(h)
+    row_min, row_max, col_min, col_max = clip_ranges(bitdepth)
+
+    c = coefs.astype(xp.int32)
+    if (w * 2 == h) or (h * 2 == w):
+        c = (c * 181 + 128) >> 8
+
+    # row pass along x; flattened columns are (b, y) pairs
+    arr = xp.transpose(c, (2, 0, 1)).reshape(sw, B * sh)
+    if len(row_fams) == 1:
+        tmp = _apply_1d(arr, get_1d_fn(row_fams[0], w), row_min, row_max,
+                        w, xp)
+    else:
+        tmp = _select_variants(
+            [_apply_1d(arr, get_1d_fn(f, w), row_min, row_max, w, xp)
+             for f in row_fams], row_sel, sh, len(row_fams), xp)
+
+    tmp = xp.clip((tmp + rnd) >> shift, col_min, col_max)
+
+    # col pass along y; flattened columns are (b, x) pairs
+    arr = xp.transpose(tmp.reshape(w, B, sh), (2, 1, 0)).reshape(sh, B * w)
+    if len(col_fams) == 1:
+        out = _apply_1d(arr, get_1d_fn(col_fams[0], h), col_min, col_max,
+                        h, xp)
+    else:
+        out = _select_variants(
+            [_apply_1d(arr, get_1d_fn(f, h), col_min, col_max, h, xp)
+             for f in col_fams], col_sel, w, len(col_fams), xp)
+
+    out = (out + 8) >> 4
+    return xp.transpose(out.reshape(h, B, w), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def itx_residual_multi(coefs: jax.Array, row_sel: jax.Array,
+                       col_sel: jax.Array, tx: int, bitdepth: int):
+    return _residual_multi_core(coefs, row_sel, col_sel, tx, bitdepth,
+                                jnp)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def itx_residual(coefs: jax.Array, tx: int, txtp: int, bitdepth: int):
     return _residual_core(coefs, tx, txtp, bitdepth, jnp)

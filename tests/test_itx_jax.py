@@ -35,3 +35,36 @@ def test_itx_jax_matches_ref(tx, txtp, bitdepth):
                                sw * sh - 1, tx, txtp, bitdepth)
         np.testing.assert_array_equal(got[b], ref.astype(np.int32),
                                       err_msg=f"b={b} tx={tx} txtp={txtp}")
+
+
+_MULTI_FAST = {0, 1, 6, 8}      # 4x4, 8x8, 8x4, 8x16: default tier
+
+
+@pytest.mark.parametrize(
+    "tx,bitdepth",
+    [pytest.param(tx, bd,
+                  marks=() if (tx in _MULTI_FAST and bd == 8)
+                  else (pytest.mark.slow,))
+     for tx in sorted(TX_INFO) for bd in (8, 10)])
+def test_itx_multi_matches_per_type(tx, bitdepth):
+    # type-as-data kernel (ops/itx.py itx_residual_multi): one program
+    # per tx SIZE must reproduce every (tx, txtp) bucket bit-exactly
+    from dav1d_mirror_tpu.ops.itx import (itx_residual, itx_residual_multi,
+                                          itx_multi_sel)
+    from dav1d_mirror_tpu.ops.itx_meta import WHT_WHT
+    rng = np.random.default_rng(1234 + tx)
+    types = [t for t in allowed_txtypes(tx) if t != WHT_WHT]
+    w, h, _ = TX_INFO[tx]
+    sw, sh = min(w, 32), min(h, 32)
+    B = 3 * len(types)
+    mx = (1 << (bitdepth + 7)) - 1
+    coefs = rng.integers(-mx, mx + 1, (B, sh, sw)).astype(np.int32)
+    txtps = np.asarray([types[i % len(types)] for i in range(B)])
+    sels = np.asarray([itx_multi_sel(tx, t) for t in txtps], np.int32)
+    got = np.asarray(itx_residual_multi(coefs, sels[:, 0], sels[:, 1],
+                                        tx, bitdepth))
+    for t in types:
+        idx = np.nonzero(txtps == t)[0]
+        want = np.asarray(itx_residual(coefs[idx], tx, int(t), bitdepth))
+        np.testing.assert_array_equal(got[idx], want,
+                                      err_msg=f"tx={tx} txtp={t}")
