@@ -41,7 +41,23 @@ from ..ops.mc_tpu import (mc_unit_batch, mc_unit_batch_hv, mc_hplanes,
                           comp_join_wavg, comp_join_wmask, comp_join_mask,
                           obmc_blend_batch, _HPAD_L)
 from ..ops import mc_pallas
-from ..ops.itx import _residual_core, itx_residual
+from ..ops.itx import (_residual_core, _residual_multi_core, itx_residual,
+                       itx_residual_multi)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _resid_scatter_multi(plane, cfs, rsel, csel, ys, xs, tx: int,
+                         bitdepth: int, add: bool = True):
+    """Type-as-data variant of _resid_scatter: ONE op per (plane, tx
+    size) covers every transform type (ops/itx.itx_residual_multi), the
+    key to a per-frame program signature that converges across frames."""
+    res = _residual_multi_core(cfs, rsel, csel, tx, bitdepth, jnp)
+    uh, uw = res.shape[1], res.shape[2]
+    yy = ys[:, None, None] + jnp.arange(uh)[None, :, None]
+    xx = xs[:, None, None] + jnp.arange(uw)[None, None, :]
+    if add:
+        res = jnp.clip(plane[yy, xx] + res, 0, (1 << bitdepth) - 1)
+    return plane.at[yy, xx].set(res, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -395,6 +411,17 @@ def _interpreter(sig):
                 planes[pl] = _resid_scatter(
                     planes[pl], get(desc, h_cf), get(desc, h_ys),
                     get(desc, h_xs), tx, txtp, bd)
+            elif kind == "residm":
+                _, pl, sh, sw, tx, h_cf, h_rs, h_cs, h_ys, h_xs = rec
+                planes[pl] = _resid_scatter_multi(
+                    planes[pl], get(desc, h_cf), get(desc, h_rs),
+                    get(desc, h_cs), get(desc, h_ys), get(desc, h_xs),
+                    tx, bd)
+            elif kind == "hresm":
+                _, tx, h_cf, h_rs, h_cs = rec
+                hres.append(itx_residual_multi(
+                    get(desc, h_cf), get(desc, h_rs), get(desc, h_cs),
+                    tx, bd))
             # ---- intra wavefront engine ops (models/tpu_intra) ----
             elif kind == "setplane":
                 _, pl, h_arr = rec

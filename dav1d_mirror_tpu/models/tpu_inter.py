@@ -769,6 +769,14 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # device too and handed to the host walk via a (plane, y, x) map:
     # prediction needs reconstructed neighbours (sequential), but the
     # inverse transforms (the FLOPs) depend only on coefficients.
+    # Buckets are keyed by (plane, tx SIZE) only — the transform TYPE is
+    # per-block data consumed by the type-as-data itx kernel
+    # (ops/itx.itx_residual_multi). This collapses dav1d's
+    # itxfm_add[19][17] bucket explosion (hundreds of ops + a fresh
+    # program signature per frame) to <=19 ops per plane with stable
+    # signatures. WHT (lossless 4x4) keeps its dedicated bucket.
+    from ..ops.itx import itx_multi_sel
+    from ..ops.itx_meta import WHT_WHT
     rplans = {}     # scatter-add buckets
     hplans = {}     # host-map buckets
     for ci, coder in enumerate(coders):
@@ -780,11 +788,14 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 cb = coder.coefs[cj]
                 if cb.eob < 0:
                     continue
-                dst.setdefault((cb.plane, cb.tx, cb.txtp), []).append(
-                    (cb.cf, cb.y * 4, cb.x * 4, ci, cj))
+                key = (cb.plane, cb.tx, True) if cb.txtp == WHT_WHT \
+                    else (cb.plane, cb.tx, False)
+                dst.setdefault(key, []).append(
+                    (cb.cf, cb.y * 4, cb.x * 4, ci, cj, cb.txtp))
+
     # scatter-add buckets: part of the fused program (the descriptor
     # buffer is the frame's single upload, coefficients included)
-    for (pl, tx, txtp), lst in sorted(rplans.items()):
+    for (pl, tx, is_wht), lst in sorted(rplans.items()):
         sh, sw = lst[0][0].shape
         B = len(lst)
         P = _p2(B)
@@ -794,15 +805,31 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         xs = np.zeros(P, np.int32)
         ys[:B] = np.fromiter((e[1] for e in lst), np.int32, B)
         xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
-        prog.op("resid", pl, sh, sw, tx, txtp, prog.emit(cf),
-                prog.emit(ys), prog.emit(xs))
+        if is_wht:
+            prog.op("resid", pl, sh, sw, tx, WHT_WHT, prog.emit(cf),
+                    prog.emit(ys), prog.emit(xs))
+        else:
+            sel = np.zeros((P, 2), np.int32)
+            for i, e in enumerate(lst):
+                sel[i] = itx_multi_sel(tx, e[5])
+            prog.op("residm", pl, sh, sw, tx, prog.emit(cf),
+                    prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
+                    prog.emit(ys), prog.emit(xs))
     # host-map buckets: residuals computed in the same program, fetched
     # after execution for the decode-order host pass
     hres_meta = []
-    for (pl, tx, txtp), lst in sorted(hplans.items()):
+    for (pl, tx, is_wht), lst in sorted(hplans.items()):
         cfs = _pad_rows(np.stack([e[0] for e in lst]).astype(np.int32),
                         None)
-        prog.op("hres", tx, txtp, prog.emit(cfs))
+        if is_wht:
+            prog.op("hres", tx, WHT_WHT, prog.emit(cfs))
+        else:
+            P = cfs.shape[0]
+            sel = np.zeros((P, 2), np.int32)
+            for i, e in enumerate(lst):
+                sel[i] = itx_multi_sel(tx, e[5])
+            prog.op("hresm", tx, prog.emit(cfs), prog.emit(sel[:, 0]),
+                    prog.emit(sel[:, 1]))
         hres_meta.append((pl, lst))
 
     if not intra_frame:
