@@ -168,6 +168,11 @@ class Decoder:
         self._pipe = None
         self._build_pipe = None
         self._inflight = []
+        # grow-only packing schema: successive frames converge to ONE
+        # compiled fused program (models/tpu_inter.ProgramSchema);
+        # sticky across flush() — seeks shouldn't recompile. Created
+        # lazily so host-only decoding never imports the device stack.
+        self._prog_schema = None
         if self.s.n_threads > 1 or self.s.max_frame_delay > 1:
             import concurrent.futures as _cf
             self._pipe = _cf.ThreadPoolExecutor(max_workers=1)
@@ -537,13 +542,18 @@ class Decoder:
         if settings.use_tpu_inter and not (pure_intra and
                                            settings.use_tpu_intra_engine):
             from .models.tpu_inter import (build_frame_program,
-                                           execute_frame_program)
+                                           execute_frame_program,
+                                           ProgramSchema)
+            if self._prog_schema is None:
+                self._prog_schema = ProgramSchema()
+            schema = self._prog_schema
 
             def build_work():
                 with trace_scope("build-program"):
                     return build_frame_program(
                         seq, fhdr, coders, work_bufs, refs_snapshot,
-                        jnt_weights, keep_device=settings.use_tpu_filters)
+                        jnt_weights, keep_device=settings.use_tpu_filters,
+                        schema=schema)
 
             if self._build_pipe is not None:
                 built_fut = self._build_pipe.submit(build_work)

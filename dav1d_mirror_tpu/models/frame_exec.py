@@ -463,9 +463,11 @@ def _interpreter(sig):
 # ---------------------------------------------------------------------
 # pack helpers shared with the driver (models/tpu_inter)
 # ---------------------------------------------------------------------
-def pack_put_case(prog: FrameProgram, pl, key, arr):
+def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
     """One translational-put bucket. arr: pow2-padded (B, 8) rows
-    (ref, oy, ox, mx, my, f2d, dst_y, dst_x) with PAD_OOB dst_y pads."""
+    (ref, oy, ox, mx, my, f2d, dst_y, dst_x) with PAD_OOB dst_y pads.
+    combos_pad: optional grow-only pad (ProgramSchema.combos_pad) so the
+    H-plane stack's leading dim stays frame-invariant."""
     uw, uh, has_h, has_v = key
     h_ys = prog.emit(arr[:, 6])
     h_xs = prog.emit(arr[:, 7])
@@ -473,6 +475,12 @@ def pack_put_case(prog: FrameProgram, pl, key, arr):
         W = prog.ref_shapes[pl][1]
         H = prog.ref_shapes[pl][0]
         combos, slot, tv = mc_hv_combos(arr[:, :6], uw)
+        if combos_pad is not None:
+            C = combos_pad(combos.shape[0])
+            if C > combos.shape[0]:
+                combos = np.concatenate(
+                    [combos,
+                     np.repeat(combos[-1:], C - combos.shape[0], 0)])
         cid = prog.hplanes_id(pl, combos)
         if prog.use_pallas:
             cid, remap = cid

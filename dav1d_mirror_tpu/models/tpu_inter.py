@@ -43,11 +43,11 @@ def _p2(n: int, floor: int = 8) -> int:
     return p
 
 
-def _pad_rows(arr: np.ndarray, ycol: int | None):
-    """Pad (B, ...) int32 array to pow2 rows (dup of last row); mark the
-    pad rows' scatter origin column OOB when ycol is given."""
+def _pad_rows(arr: np.ndarray, ycol: int | None, P: int | None = None):
+    """Pad (B, ...) int32 array to pow2 (or P) rows (dup of last row);
+    mark the pad rows' scatter origin column OOB when ycol is given."""
     b = arr.shape[0]
-    p = _p2(b)
+    p = P if P is not None else _p2(b)
     if p == b:
         return arr
     pad = np.repeat(arr[-1:], p - b, axis=0)
@@ -56,14 +56,61 @@ def _pad_rows(arr: np.ndarray, ycol: int | None):
     return np.concatenate([arr, pad], axis=0)
 
 
-def _pad_vec(vec: np.ndarray, oob: bool):
-    """Pad a (B,) vector to pow2 (dup last, or PAD_OOB markers)."""
+def _pad_vec(vec: np.ndarray, oob: bool, P: int | None = None):
+    """Pad a (B,) vector to pow2 (or P) (dup last, or PAD_OOB)."""
     b = vec.shape[0]
-    p = _p2(b)
+    p = P if P is not None else _p2(b)
     if p == b:
         return vec
     fill = np.full(p - b, PAD_OOB if oob else vec[-1], vec.dtype)
     return np.concatenate([vec, fill])
+
+
+class ProgramSchema:
+    """Grow-only case-presence + batch-size memory shared across a
+    Decoder's frames (api.Decoder._prog_schema).
+
+    The fused frame program's signature (models/frame_exec) embeds the
+    op sequence AND every descriptor offset, so two frames compile to
+    the same XLA program only if they pack the same cases at the same
+    padded sizes in the same order. Per-frame bucket occupancy made
+    every 1080p frame a fresh multi-minute compile (the round-2 bench
+    timeout). Packing through this schema canonicalizes the program:
+    case keys are the grow-only UNION of everything the stream has
+    shown (absent cases emit schema-sized all-OOB dummy batches that
+    scatter drops), batch dims only ever grow along the pow2 ladder.
+    After a few frames the signature is byte-identical and the stream
+    runs on ONE compiled program (plus the persistent cache across
+    processes). dav1d's analogue: its per-bucket DSP calls are
+    dispatch, not compile, so it never had this trade."""
+
+    __slots__ = ("counts", "keysets")
+
+    def __init__(self):
+        self.counts = {}
+        self.keysets = {}
+
+    def pad(self, key, n, extra: int = 0) -> int:
+        """Padded batch size for `key`: pow2(n + extra), never smaller
+        than any previous frame's answer. `extra` reserves sacrificial
+        pad slots (comp joins need >=1 slot that no real work targets)."""
+        p = max(_p2(max(n + extra, 1)), self.counts.get(key, 0))
+        self.counts[key] = p
+        return p
+
+    def combos_pad(self, key, n: int) -> int:
+        """mc_hv_combos' 1.5x-step ladder (multiples of 8), grow-only."""
+        p = 8
+        while p < n:
+            p = (p + (p >> 1) + 7) & ~7
+        p = max(p, self.counts.get(key, 0))
+        self.counts[key] = p
+        return p
+
+    def union(self, family, keys):
+        s = self.keysets.setdefault(family, set())
+        s.update(keys)
+        return sorted(s)
 
 
 def _block_device_class(fhdr, coder, b, refs, cur_w, cur_h):
@@ -290,17 +337,22 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
 
 
 def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
-                        keep_device=False):
+                        keep_device=False, schema: ProgramSchema = None):
     """Plan + pack the whole per-frame device pixel stage. Reads only
     entropy products (blocks/coefs/refmvs) and reference METADATA
     (dims/slots) — reference pixels are bound later by
     execute_frame_program, so this can run ahead of the in-order pixel
-    worker."""
+    worker. `schema` (one per Decoder) canonicalizes the packing so
+    successive frames reuse ONE compiled program; see ProgramSchema."""
     bd = seq.bitdepth
     cur_w, cur_h = fhdr.width[0], fhdr.height
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
     intra_frame = fhdr.frame_type in (0, 2)
+    if intra_frame:
+        # intra programs are tiny (hres batches only) and have no MC
+        # planes; keep them out of the inter schema's case unions
+        schema = None
     from ..ops.ref.wedge import wedge_mask
 
     from ..utils.trace import trace_scope
@@ -565,41 +617,81 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         refspec, srefspec,
         out_dtype=None if intra_frame else bufs.planes[0].dtype)
 
-    # translational put batches
-    for pl in range(0 if intra_frame else n_planes):
-        for key, lst in sorted(plan.put[pl].items()):
-            arr = _pad_rows(np.asarray(lst, np.int32), 6)
-            pack_put_case(prog, pl, key, arr)
+    def _cases(family, cases, dummy):
+        """Iterate case keys: this frame's, or (with a schema) the
+        grow-only union — absent keys get `dummy(key)` payloads whose
+        destinations are PAD_OOB, so scatter drops them exactly."""
+        if schema is None:
+            for key in sorted(cases):
+                yield key, cases[key]
+            return
+        for key in schema.union(family, cases.keys()):
+            got = cases.get(key)
+            yield key, (got if got else dummy(key))
 
-    # warp put batches
+    def _padn(key, n, extra=0):
+        return schema.pad(key, n, extra) if schema is not None \
+            else _p2(n + extra)
+
+    # translational put batches
+    def _dummy_put(key):
+        uw, uh, hh, hv = key
+        return [(0, 0, 0, 8 * bool(hh), 8 * bool(hv), 0, PAD_OOB, 0)]
+
     for pl in range(0 if intra_frame else n_planes):
-        if not plan.warp_put[pl]:
+        for key, lst in _cases(("put", pl), plan.put[pl], _dummy_put):
+            arr = np.asarray(lst, np.int32)
+            arr = _pad_rows(arr, 6, _padn(("put", pl, key),
+                                          arr.shape[0]))
+            pack_put_case(prog, pl, key, arr,
+                          combos_pad=(
+                              None if schema is None else
+                              (lambda n, _k=("combos", pl, key):
+                               schema.combos_pad(_k, n))))
+
+    # warp put batches (presence sticky via schema: a frame without
+    # warp blocks still emits the schema-sized all-OOB batch)
+    _dummy_warp = [(np.zeros(10, np.int32) + np.asarray(
+        [0, 8, 8, 0, 0, 0, 0, 0, 0, 0], np.int32), PAD_OOB, 0)]
+    for pl in range(0 if intra_frame else n_planes):
+        wl = plan.warp_put[pl]
+        if schema is not None:
+            if not schema.union(("warpp", pl), [1] if wl else []):
+                continue
+            if not wl:
+                wl = _dummy_warp
+        elif not wl:
             continue
-        rows = _pad_rows(np.asarray([r for r, _, _ in plan.warp_put[pl]],
-                                    np.int32), None)
-        ys = _pad_vec(np.asarray([y for _, y, _ in plan.warp_put[pl]],
-                                 np.int32), True)
-        xs = _pad_vec(np.asarray([x for _, _, x in plan.warp_put[pl]],
-                                 np.int32), False)
+        P = _padn(("warp", pl), len(wl))
+        rows = _pad_rows(np.asarray([r for r, _, _ in wl], np.int32),
+                         None, P)
+        ys = _pad_vec(np.asarray([y for _, y, _ in wl], np.int32),
+                      True, P)
+        xs = _pad_vec(np.asarray([x for _, _, x in wl], np.int32),
+                      False, P)
         prog.op("warp", pl, prog.emit(rows), prog.emit(ys),
                 prog.emit(xs))
 
-    # scaled put batches
+    # scaled put batches. Scaled-ref cases stay per-frame (no schema
+    # union): their sref views exist only while that reference's
+    # geometry mismatches, so a sticky dummy could reference a vanished
+    # buffer; resolution-change frames just recompile.
     for pl in range(0 if intra_frame else n_planes):
         for (uw, uh, ref_i), lst in sorted(plan.scaled_put[pl].items()):
+            P = _padn(("scaled", pl, uw, uh, ref_i), len(lst))
             rows = np.asarray([r for r, _, _ in lst], np.int32)
             rows[:, 0] = 0
-            rows = _pad_rows(rows, None)
+            rows = _pad_rows(rows, None, P)
             ys = _pad_vec(np.asarray([y for _, y, _ in lst], np.int32),
-                          True)
+                          True, P)
             xs = _pad_vec(np.asarray([x for _, _, x in lst], np.int32),
-                          False)
+                          False, P)
             prog.op("scaled", pl, sref_idx[(pl, ref_i)], uw, uh,
                     prog.emit(rows), prog.emit(ys), prog.emit(xs))
 
     # compound batches (luma first: seg chroma masks derive from the
     # luma preps)
-    def _pack_side(pl, bwp, bhp, group, i, ssh, ssv):
+    def _pack_side(pl, bwp, bhp, group, i, ssh, ssv, ckey):
         tcases, wunits, sunits = {}, [], {}
         for slot, e in enumerate(group):
             kind, payload = e["sides"][i]
@@ -619,54 +711,98 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     sunits.setdefault((uw, uh, row[0]), []).append(
                         (slot, row, sy, sx))
         subops = []
-        for (hh, hv), lst in sorted(tcases.items()):
+        # slot N-1 is always a pad (its scatter dst is OOB), so dummy
+        # sub-ops for schema-union cases can safely write garbage there
+        dumm = len(group) - 1
+
+        def _tdummy(k):
+            hh, hv = k
+            return [(dumm, (0, 0, 0, 8 * bool(hh), 8 * bool(hv), 0))]
+
+        for k, lst in _cases(("compside", pl, ckey, i), tcases,
+                             _tdummy):
+            hh, hv = k
+            P = _padn(("compsideN", pl, ckey, i, k), len(lst))
             arr = _pad_rows(np.asarray([u[:6] for _, u in lst],
-                                       np.int32), None)
+                                       np.int32), None, P)
             slots = _pad_vec(np.asarray([s for s, _ in lst], np.int32),
-                             False)
+                             False, P)
             subops.append(("t", bool(hh), bool(hv), prog.emit(arr),
                            prog.emit(slots)))
+        if schema is not None:
+            if schema.union(("compsideW", pl, ckey, i),
+                            [1] if wunits else []) and not wunits:
+                wunits = [(dumm, np.asarray(
+                    [0, 8, 8, 0, 0, 0, 0, 0, 0, 0], np.int32), 0, 0)]
         if wunits:
+            P = _padn(("compsideWN", pl, ckey, i), len(wunits))
             rows = _pad_rows(np.asarray([r for _, r, _, _ in wunits],
-                                        np.int32), None)
+                                        np.int32), None, P)
             base = _pad_vec(np.asarray(
                 [s * bhp * bwp + sy * bwp + sx
-                 for s, _, sy, sx in wunits], np.int32), False)
+                 for s, _, sy, sx in wunits], np.int32), False, P)
             subops.append(("w", prog.emit(rows), prog.emit(base)))
         for (uw, uh, ref_i), lst in sorted(sunits.items()):
+            P = _padn(("compsideS", pl, ckey, i, uw, uh, ref_i),
+                      len(lst))
             rows = np.asarray([r for _, r, _, _ in lst], np.int32)
             rows[:, 0] = 0
-            rows = _pad_rows(rows, None)
+            rows = _pad_rows(rows, None, P)
             base = _pad_vec(np.asarray(
                 [s * bhp * bwp + sy * bwp + sx
-                 for s, _, sy, sx in lst], np.int32), False)
+                 for s, _, sy, sx in lst], np.int32), False, P)
             subops.append(("s", sref_idx[(pl, ref_i)], uw, uh,
                            prog.emit(rows), prog.emit(base)))
         return tuple(subops)
 
+    def _dummy_comp(key):
+        bwp, bhp = key
+        return []    # group padding below synthesizes the pad entries
+
     for pl in range(0 if intra_frame else n_planes):
         ssh = ss_hor if pl else 0
         ssv = ss_ver if pl else 0
-        for key, group in sorted(plan.comp[pl].items()):
+        for key, group in _cases(("comp", pl), plan.comp[pl],
+                                 _dummy_comp):
             bwp, bhp = key
-            # shape-stabilize: pad the group to pow2 with copies of the
-            # last entry whose destination is OOB (scatter drops them)
-            npad = _p2(len(group)) - len(group)
-            if npad:
-                last = group[-1]
-                group = group + [dict(last, dst=(PAD_OOB, 0))
-                                 for _ in range(npad)]
+            if not group:   # schema-union dummy case
+                group = [dict(
+                    sides=[("t", (0, (0, 0), 0)), ("t", (0, (0, 0), 0))],
+                    join=("avg", 8), sign=0, dst=(PAD_OOB, 0), bs=0,
+                    dims=((bwp << ssh) // 4, (bhp << ssv) // 4),
+                    pos=(0, 0))]
+            # shape-stabilize: pad the group with copies of the last
+            # entry whose destination is OOB (scatter drops them);
+            # always reserve >=1 pad so slot N-1 is sacrificial
+            npad = _padn(("compN", pl, key), len(group), 1) - len(group)
+            last = group[-1]
+            group = group + [dict(last, dst=(PAD_OOB, 0))
+                             for _ in range(npad)]
             N = len(group)
-            sides = tuple(_pack_side(pl, bwp, bhp, group, i, ssh, ssv)
+            sides = tuple(_pack_side(pl, bwp, bhp, group, i, ssh, ssv,
+                                     key)
                           for i in (0, 1))
 
             joins = []
             idx_by_kind = {}
             for slot, e in enumerate(group):
                 idx_by_kind.setdefault(e["join"][0], []).append(slot)
+            # "wavg"/"avg" and "wedge" kinds are schema-sticky (absent
+            # ones join into the sacrificial slot N-1); seg stays
+            # per-frame (its chroma spec references luma batch state)
+            dummy_kinds = set()
+            if schema is not None:
+                kinds_u = schema.union(
+                    ("compjoinK", pl, key),
+                    [k for k in idx_by_kind if k in ("avg", "wavg",
+                                                     "wedge")])
+                for k in kinds_u:
+                    if k not in idx_by_kind:
+                        idx_by_kind[k] = [N - 1]
+                        dummy_kinds.add(k)
             for kind, slots in sorted(idx_by_kind.items()):
-                slots = slots + [slots[-1]] * (_p2(len(slots)) -
-                                               len(slots))
+                P = _padn(("compjoinN", pl, key, kind), len(slots))
+                slots = slots + [slots[-1]] * (P - len(slots))
                 h_sl = prog.emit(np.asarray(slots, np.int32))
                 h_sgn = prog.emit(np.asarray(
                     [group[s]["sign"] for s in slots], np.int32))
@@ -693,7 +829,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                             spec = ("mix", tuple(crefs))
                         joins.append(("segc", h_sl, h_sgn, spec))
                 else:  # wedge
-                    if pl == 0:
+                    if kind in dummy_kinds:
+                        # schema-union dummy: all slots point at the
+                        # sacrificial pad (dst OOB); any mask works and
+                        # the pad entry's bs may not be a wedge size
+                        masks = np.zeros((len(slots), bhp, bwp),
+                                         np.int32)
+                    elif pl == 0:
                         masks = np.stack([
                             wedge_mask(0, group[s]["bs"], 0,
                                        group[s]["join"][1])
@@ -716,16 +858,19 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     ss_hor, ss_ver, h_dy, h_dx)
 
     # OBMC lap batches (after ALL puts; top phase, then left)
+    def _dummy_lap(key):
+        return [("t", (0, 0, 0, 8, 8, 0, 1, 1), (PAD_OOB, 0))]
+
     for phase in (0, 1):
         for pl in range(0 if intra_frame else n_planes):
-            for (ph_, lh, lw, region), lst in sorted(
-                    plan.laps[pl].items()):
+            for (ph_, lh, lw, region), lst in _cases(
+                    ("obmc", pl, phase), plan.laps[pl], _dummy_lap):
                 if ph_ != phase:
                     continue
+                okey = (pl, ph_, lh, lw, region)
                 lk, lr, _ = lst[-1]
-                lst = lst + [(lk, lr, (PAD_OOB, 0))] * (_p2(len(lst)) -
-                                                        len(lst))
-                nL = len(lst)
+                nL = _padn(("obmcN",) + okey, len(lst))
+                lst = lst + [(lk, lr, (PAD_OOB, 0))] * (nL - len(lst))
                 tcases, sunits = {}, {}
                 for slot, (kind, row, d) in enumerate(lst):
                     if kind == "t":
@@ -735,22 +880,32 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                         sunits.setdefault((row[0],), []).append(
                             (slot, row))
                 subops = []
-                for (hh, hv), l2 in sorted(tcases.items()):
+
+                def _tdummy2(k):
+                    hh, hv = k
+                    return [(nL - 1,
+                             (0, 0, 0, 8 * bool(hh), 8 * bool(hv), 0))]
+
+                for (hh, hv), l2 in _cases(("obmcT",) + okey, tcases,
+                                           _tdummy2):
+                    P = _padn(("obmcTN",) + okey + (hh, hv), len(l2))
                     arr = _pad_rows(np.asarray([u for _, u in l2],
-                                               np.int32), None)
+                                               np.int32), None, P)
                     slots = _pad_vec(
-                        np.asarray([s for s, _ in l2], np.int32), False)
+                        np.asarray([s for s, _ in l2], np.int32),
+                        False, P)
                     subops.append(("t", bool(hh), bool(hv),
                                    prog.emit(arr), prog.emit(slots)))
                 for (ref_i,), l2 in sorted(sunits.items()):
+                    P = _padn(("obmcS",) + okey + (ref_i,), len(l2))
                     rows = np.asarray([r for _, r in l2], np.int32)
                     rows[:, 0] = 0
-                    rows = _pad_rows(rows, None)
+                    rows = _pad_rows(rows, None, P)
                     # full-slot writes expressed as sub-rect scatters at
                     # base offset slot*lh*lw (same semantics as set_slots)
                     base = _pad_vec(
                         np.asarray([s * lh * lw for s, _ in l2],
-                                   np.int32), False)
+                                   np.int32), False, P)
                     subops.append(("s", sref_idx[(pl, ref_i)], lw, lh,
                                    prog.emit(rows), prog.emit(base)))
                 h_ys = prog.emit(np.asarray([d[0] for _, _, d in lst],
@@ -793,18 +948,25 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                 dst.setdefault(key, []).append(
                     (cb.cf, cb.y * 4, cb.x * 4, ci, cj, cb.txtp))
 
+    _dummy_resid = lambda key: []   # noqa: E731 — zero real entries
+
     # scatter-add buckets: part of the fused program (the descriptor
     # buffer is the frame's single upload, coefficients included)
-    for (pl, tx, is_wht), lst in sorted(rplans.items()):
-        sh, sw = lst[0][0].shape
+    from ..ops.itx_meta import TX_INFO as _TXI
+    for (pl, tx, is_wht), lst in _cases(("residm",), rplans,
+                                        _dummy_resid):
+        w_t, h_t, _ = _TXI[tx]
+        sh, sw = min(h_t, 32), min(w_t, 32)
         B = len(lst)
-        P = _p2(B)
+        P = _padn(("residmN", pl, tx, is_wht), B)
         cf = np.zeros((P, sh, sw), np.int32)
-        cf[:B] = np.stack([e[0] for e in lst])
+        if B:
+            cf[:B] = np.stack([e[0] for e in lst])
         ys = np.full(P, PAD_OOB, np.int32)
         xs = np.zeros(P, np.int32)
-        ys[:B] = np.fromiter((e[1] for e in lst), np.int32, B)
-        xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
+        if B:
+            ys[:B] = np.fromiter((e[1] for e in lst), np.int32, B)
+            xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
         if is_wht:
             prog.op("resid", pl, sh, sw, tx, WHT_WHT, prog.emit(cf),
                     prog.emit(ys), prog.emit(xs))
@@ -818,13 +980,17 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # host-map buckets: residuals computed in the same program, fetched
     # after execution for the decode-order host pass
     hres_meta = []
-    for (pl, tx, is_wht), lst in sorted(hplans.items()):
-        cfs = _pad_rows(np.stack([e[0] for e in lst]).astype(np.int32),
-                        None)
+    for (pl, tx, is_wht), lst in _cases(("hresm",), hplans,
+                                        _dummy_resid):
+        w_t, h_t, _ = _TXI[tx]
+        sh, sw = min(h_t, 32), min(w_t, 32)
+        P = _padn(("hresmN", pl, tx, is_wht), len(lst))
+        cfs = np.zeros((P, sh, sw), np.int32)
+        if lst:
+            cfs[:len(lst)] = np.stack([e[0] for e in lst])
         if is_wht:
             prog.op("hres", tx, WHT_WHT, prog.emit(cfs))
         else:
-            P = cfs.shape[0]
             sel = np.zeros((P, 2), np.int32)
             for i, e in enumerate(lst):
                 sel[i] = itx_multi_sel(tx, e[5])

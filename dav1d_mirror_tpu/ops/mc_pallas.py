@@ -284,7 +284,12 @@ _SUBPEL_NP = np.asarray(_TABLES["mc_subpel_filters"], np.int32)
 
 
 def pallas_available() -> bool:
-    """Mosaic kernels need a real TPU backend (incl. the axon tunnel)."""
+    """Mosaic kernels need a real TPU backend (incl. the axon tunnel).
+    DAV1D_TPU_NO_PALLAS=1 forces the XLA fallback kernels (used to
+    isolate Mosaic compile cost in the fused frame program)."""
+    import os
+    if os.environ.get("DAV1D_TPU_NO_PALLAS"):
+        return False
     try:
         plat = jax.devices()[0].platform
     except Exception:

@@ -20,6 +20,10 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# never load persistent AOT cache entries in tests: entries written by a
+# different machine profile/flag set can SIGILL on load (observed), and
+# cached compiles would mask compile-surface regressions
+os.environ.setdefault("DAV1D_TPU_JAX_CACHE", "0")
 
 # The axon sitecustomize registers the TPU backend and pins jax_platforms;
 # env vars alone don't win — force it through the config API.
