@@ -120,16 +120,37 @@ class FrameProgram:
     def op(self, *rec):
         self.ops.append(rec)
 
-    def hplanes_id(self, pl, combos):
+    def hplanes_id(self, pl, combos, stable_key=None):
         """Cache id for an H-filtered plane stack; emits the build op on
-        first use (mirrors the eager driver's per-plane hcache)."""
-        key = (pl, combos.tobytes())
+        first use (mirrors the eager driver's per-plane hcache).
+        stable_key (schema mode): identify the stack by its put CASE,
+        not by combos content — content-keyed dedup makes the cid
+        assignment (a static signature field) vary frame-to-frame and
+        defeats program reuse; the per-ref-grouped refmap/taps are
+        padded to a combos-count-only bound for the same reason."""
+        key = (pl, stable_key) if stable_key is not None \
+            else (pl, combos.tobytes())
         cid = self._hp_ids.get(key)
         if cid is None:
             cid = len(self._hp_ids)
             self._hp_ids[key] = cid
             if self.use_pallas:
                 refmap, taps, remap = mc_pallas.hplanes_prep(combos)
+                if stable_key is not None:
+                    # schema mode: the per-ref HGROUP grouping adds at
+                    # most (HGROUP-1) rows per distinct ref (<=7), so
+                    # pad to the C-only upper bound — a pure function
+                    # of the (schema-stable) combos count, immune to
+                    # the frame's ref mix
+                    hg = mc_pallas.HGROUP
+                    Cp = -(-(combos.shape[0] + (hg - 1) * 7) // hg) * hg
+                    k2 = Cp - refmap.shape[0]
+                    assert k2 >= 0, (Cp, refmap.shape)
+                    if k2 > 0:
+                        refmap = np.concatenate(
+                            [refmap, np.repeat(refmap[-1:], k2)])
+                        taps = np.concatenate(
+                            [taps, np.repeat(taps[-1:], k2, 0)])
                 self.op("hpp", pl, cid, self.emit(refmap),
                         self.emit(taps))
                 self._hp_ids[key] = cid = (cid, remap)
@@ -466,8 +487,8 @@ def _interpreter(sig):
 def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
     """One translational-put bucket. arr: pow2-padded (B, 8) rows
     (ref, oy, ox, mx, my, f2d, dst_y, dst_x) with PAD_OOB dst_y pads.
-    combos_pad: optional grow-only pad (ProgramSchema.combos_pad) so the
-    H-plane stack's leading dim stays frame-invariant."""
+    combos_pad: optional grow-only pad (ProgramSchema) so the H-plane
+    stack's dims stay frame-invariant."""
     uw, uh, has_h, has_v = key
     h_ys = prog.emit(arr[:, 6])
     h_xs = prog.emit(arr[:, 7])
@@ -481,7 +502,9 @@ def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
                 combos = np.concatenate(
                     [combos,
                      np.repeat(combos[-1:], C - combos.shape[0], 0)])
-        cid = prog.hplanes_id(pl, combos)
+        cid = prog.hplanes_id(pl, combos,
+                              stable_key=(key if combos_pad is not None
+                                          else None))
         if prog.use_pallas:
             cid, remap = cid
             cols, _ = mc_pallas.vpass_prep(remap[slot], arr[:, :6], tv,

@@ -192,7 +192,248 @@ def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
         buf[:min(ph, full.shape[0]), :cw] = full[:ph, :cw]
         planes.append(buf)
 
-    # ---- band-sharded in-loop filters (halo exchange over the mesh) ----
+    planes = banded_inloop_filters(mesh, seq, fhdr, coders, bufs, planes)
+
+    for i in range(n_planes):
+        bufs.planes[i][...] = planes[i].astype(bufs.planes[i].dtype)
+    return bufs
+
+
+def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
+    """Decode a translational INTER multi-tile-row frame with tile rows
+    sharded over the mesh (BASELINE config-4's inter leg):
+
+      * reference planes are REPLICATED onto every shard (the
+        multi-chip residency model — MVs may point anywhere in the ref,
+        so each chip keeps the full previous-frame planes; dav1d's
+        analogue is the shared address space its frame threads read
+        ref rows from, thread_task.c:403-431);
+      * each shard runs its tile row's 8-tap MC unit batches + the
+        type-as-data residual scatter under ONE shard_map (zero
+        collectives — tile rows are independent);
+      * the in-loop filters cross tile boundaries and run as the
+        band-sharded passes with ppermute halo exchange.
+
+    Scope: single-ref translational blocks (incl. sub-8x8 chroma
+    quadrants). Warp/OBMC/compound blocks raise — the callers compose
+    streams accordingly (the single-chip fused program owns those).
+    refs: 7-slot list of FrameBuffers (int planes). Fills bufs.planes,
+    bit-exact with the single-device decode."""
+    from ..models.tpu_inter import (_units_for_block_raw, _pad_rows,
+                                    _pad_vec, _p2)
+    from ..models.frame_exec import _resid_scatter_multi
+    from ..ops.mc_tpu import mc_unit_batch, scatter_units, PAD_OOB
+    from ..ops.itx import itx_multi_sel
+    from ..ops.itx_meta import TX_INFO, WHT_WHT
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    t = fhdr.tiling
+    assert t.cols == 1 and t.rows == n, \
+        f"need {n} tile rows x 1 col, have {t.rows}x{t.cols}"
+    band_h4s = {c.row_end - c.row_start for c in coders}
+    assert len(band_h4s) == 1, "tile rows must be uniform"
+    band_h4 = band_h4s.pop()
+    bitdepth = seq.bitdepth
+    ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
+    n_planes = len(bufs.planes)
+    plane_shapes = [((band_h4 * 4) >> (ss_ver if pl else 0),
+                     bufs.planes[pl].shape[1]) for pl in range(n_planes)]
+
+    # --- per-band planning (host): translational puts + residuals ---
+    put_bands = [[dict() for _ in range(n_planes)] for _ in range(n)]
+    res_bands = [dict() for _ in range(n)]
+    for r, coder in enumerate(coders):
+        rf = coder.rf
+        band_y0 = coder.row_start * 4
+        cy0 = band_y0 >> ss_ver
+        f2d_map = np.zeros((coder.bh, coder.bw), np.uint8)
+        tl_f2d = 0
+        for b in coder.blocks:
+            if b.intra or b.comp_type or b.motion_mode or (
+                    b.inter_mode == 2 and          # GLOBALMV with a
+                    fhdr.gmv[b.ref[0]].type > 1):  # warping gm model
+                raise ValueError("sharded_inter_decode: translational "
+                                 "single-ref blocks only")
+            b_dim = T_BLOCK_DIM[b.bs]
+            bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+            bx, by = b.bx, b.by
+            _units_for_block_raw(put_bands[r][0], 0, 0, 0, (bw4, bh4),
+                                 bx, by, b.mv[0], b.ref[0], b.filter2d,
+                                 dst=(by * 4 - band_y0, bx * 4))
+            has_chroma = (n_planes > 1 and
+                          (bw4 > ss_hor or bx & 1) and
+                          (bh4 > ss_ver or by & 1))
+            if has_chroma:
+                is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
+                if is_sub8x8:
+                    if bw4 == 1:
+                        is_sub8x8 &= rf.ref[by, bx - 1, 0] > 0
+                    if bh4 == ss_ver:
+                        is_sub8x8 &= rf.ref[by - 1, bx, 0] > 0
+                    if bw4 == 1 and bh4 == ss_ver:
+                        is_sub8x8 &= rf.ref[by - 1, bx - 1, 0] > 0
+                if is_sub8x8:
+                    # neighbour-MV chroma quadrants (recon_tmpl.c:1703)
+                    uvx = (bx >> ss_hor) * 4
+                    uvy = (by >> ss_ver) * 4 - cy0
+                    h_off = v_off = 0
+
+                    def sub_mc(cy, cx, dyo, dxo, f2d_val):
+                        rref = int(rf.ref[cy, cx, 0]) - 1
+                        rmv = (int(rf.mv[cy, cx, 0, 0]),
+                               int(rf.mv[cy, cx, 0, 1]))
+                        for pl in (1, 2):
+                            _units_for_block_raw(
+                                put_bands[r][pl], pl, ss_hor, ss_ver,
+                                (bw4, bh4), cx, cy, rmv, rref, f2d_val,
+                                dst=(uvy + dyo, uvx + dxo))
+
+                    if bw4 == 1 and bh4 == ss_ver:
+                        sub_mc(by - 1, bx - 1, 0, 0, tl_f2d)
+                        v_off, h_off = 2, 2
+                    if bw4 == 1:
+                        sub_mc(by, bx - 1, v_off, 0,
+                               int(f2d_map[by, bx - 1]))
+                        h_off = 2
+                    if bh4 == ss_ver:
+                        sub_mc(by - 1, bx, 0, h_off,
+                               int(f2d_map[by - 1, bx]))
+                        v_off = 2
+                    for pl in (1, 2):
+                        _units_for_block_raw(
+                            put_bands[r][pl], pl, ss_hor, ss_ver,
+                            (bw4, bh4), bx, by, b.mv[0], b.ref[0],
+                            b.filter2d, dst=(uvy + v_off, uvx + h_off))
+                else:
+                    for pl in (1, 2):
+                        _units_for_block_raw(
+                            put_bands[r][pl], pl, ss_hor, ss_ver,
+                            (bw4 << (bw4 == ss_hor),
+                             bh4 << (bh4 == ss_ver)),
+                            bx & ~ss_hor, by & ~ss_ver, b.mv[0],
+                            b.ref[0], b.filter2d,
+                            dst=(((by & ~ss_ver) * 4 >> ss_ver) - cy0,
+                                 ((bx & ~ss_hor) * 4 >> ss_hor)))
+            tl_f2d = b.filter2d
+            f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
+        for cb in coder.coefs:
+            if cb.eob < 0:
+                continue
+            assert cb.txtp != WHT_WHT
+            y0 = band_y0 if cb.plane == 0 else cy0
+            res_bands[r].setdefault((cb.plane, cb.tx), []).append(
+                (cb.cf, cb.y * 4 - y0, cb.x * 4,
+                 itx_multi_sel(cb.tx, cb.txtp)))
+
+    # --- uniform packing across bands (the shard axis) ---
+    put_keys = sorted({(pl, k) for pb in put_bands
+                       for pl in range(n_planes) for k in pb[pl]})
+    put_data = []
+    for pl, k in put_keys:
+        padn = _p2(max(max((len(pb[pl].get(k, []))
+                            for pb in put_bands)), 1))
+        arrs = []
+        for pb in put_bands:
+            lst = pb[pl].get(k) or \
+                [(0, 0, 0, 8 * bool(k[2]), 8 * bool(k[3]), 0, PAD_OOB,
+                  0)]
+            arrs.append(_pad_rows(np.asarray(lst, np.int32), 6, padn))
+        put_data.append(jnp.asarray(np.stack(arrs)))
+    res_keys = sorted({k for rb in res_bands for k in rb})
+    res_data = []
+    for k in res_keys:
+        pl, tx = k
+        w_t, h_t, _ = TX_INFO[tx]
+        sh, sw = min(h_t, 32), min(w_t, 32)
+        padn = _p2(max(max((len(rb.get(k, []))
+                            for rb in res_bands)), 1))
+        cf = np.zeros((n, padn, sh, sw), np.int32)
+        ys = np.full((n, padn), PAD_OOB, np.int32)
+        xs = np.zeros((n, padn), np.int32)
+        sel = np.zeros((n, padn, 2), np.int32)
+        for r, rb in enumerate(res_bands):
+            for i, (c, y, x, s) in enumerate(rb.get(k, [])):
+                cf[r, i] = c
+                ys[r, i] = y
+                xs[r, i] = x
+                sel[r, i] = s
+        res_data.append((jnp.asarray(cf), jnp.asarray(ys),
+                         jnp.asarray(xs), jnp.asarray(sel)))
+
+    # replicated reference stacks per plane (7 slots; absent -> zeros).
+    # Shapes MUST match the single-device path's ref planes so the
+    # clamped-edge MC gathers stay bit-exact.
+    ref_stacks = []
+    for pl in range(n_planes):
+        hv, wv = bufs.planes[pl].shape
+        slabs = []
+        for i in range(7):
+            rb = refs[fhdr.refidx[i]]
+            if rb is None:
+                slabs.append(np.zeros((hv, wv), np.int32))
+            else:
+                assert rb.planes[pl].shape == (hv, wv), \
+                    "sharded_inter_decode: scaled refs unsupported"
+                slabs.append(np.asarray(rb.planes[pl], np.int32))
+        ref_stacks.append(jnp.asarray(np.stack(slabs)))
+
+    in_specs = (tuple(P(None) for _ in range(n_planes)),
+                tuple(P(axis) for _ in put_data),
+                tuple((P(axis),) * 4 for _ in res_data))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=tuple(P(axis) for _ in range(n_planes)))
+    def recon_band(refstk, puts, ress):
+        planes = [jnp.zeros((1,) + plane_shapes[pl], jnp.int32)
+                  for pl in range(n_planes)]
+        for (pl, k), arr in zip(put_keys, puts):
+            uw, uh, hh, hv = k
+            a = arr[0]
+            out = mc_unit_batch(
+                (refstk[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
+                 a[:, 4], a[:, 5]), uw, uh, bool(hh), bool(hv),
+                bitdepth, False)
+            planes[pl] = planes[pl].at[0].set(scatter_units(
+                planes[pl][0], out, a[:, 6], a[:, 7], uh, uw))
+        for (pl, tx), (cf, ys, xs, sel) in zip(res_keys, ress):
+            planes[pl] = planes[pl].at[0].set(_resid_scatter_multi(
+                planes[pl][0], cf[0], sel[0, :, 0], sel[0, :, 1],
+                ys[0], xs[0], tx, bitdepth))
+        return tuple(planes)
+
+    out = recon_band(tuple(ref_stacks), tuple(put_data),
+                     tuple(res_data))
+
+    planes = []
+    for pl in range(n_planes):
+        full = np.asarray(out[pl]).reshape(-1,
+                                           bufs.planes[pl].shape[1])
+        ph, pw = bufs.planes[pl].shape
+        buf = np.zeros((ph, pw), np.int32)
+        buf[:min(ph, full.shape[0])] = full[:ph]
+        planes.append(buf)
+
+    planes = banded_inloop_filters(mesh, seq, fhdr, coders, bufs,
+                                   planes)
+    for i in range(n_planes):
+        bufs.planes[i][...] = planes[i].astype(bufs.planes[i].dtype)
+    return bufs
+
+
+def banded_inloop_filters(mesh, seq, fhdr, coders, bufs, planes):
+    """Band-sharded deblock + CDEF with ppermute halo exchange over the
+    mesh (shared by the sharded intra and inter decodes)."""
+    from ..models import tpu_filters as tf
+    from ..models.tpu_filters import build_cdef_plan
+    from ..host.lf import build_lf_arrays
+    from ..ops.ref.loopfilter import calc_eih
+    from .filter_shard import band_deblock_plane
+
+    bitdepth = seq.bitdepth
+    n_planes = len(planes)
     if fhdr.loopfilter_level_y[0] or fhdr.loopfilter_level_y[1]:
         lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
         e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
@@ -214,12 +455,7 @@ def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
                      any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         # per-plane direction/strength maps from the single-device plan,
         # then the banded filter with 2-row halos
-        from ..ops.cdef_tpu import (cdef_dir_tpu, adjust_strength_v,
-                                    UV_DIRS_TBL)
         cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
         planes = tf.cdef_banded(mesh, seq, fhdr, bufs, planes,
                                 cdef_idx_map, noskip)
-
-    for i in range(n_planes):
-        bufs.planes[i][...] = planes[i].astype(bufs.planes[i].dtype)
-    return bufs
+    return planes
