@@ -544,32 +544,46 @@ def bench_e2e_device(name, cfg, seed=9, min_spare_s=30.0):
         dec = api.Decoder(api.Settings(use_tpu_inter=True,
                                        use_tpu_filters=True,
                                        n_threads=2))
-        mux = MD5Muxer()
-        times = []
-        aborted = False
-        t0 = time.perf_counter()
-        for obus in units:
-            if _remaining() < min_spare_s:
-                aborted = True
-                break
-            dec.send_obus(obus)
-            while (pic := dec.get_picture()) is not None:
-                mux.write(pic)
-                times.append(time.perf_counter())
-        md5 = None if aborted else mux.digest()
+
+        def one_pass():
+            mux = MD5Muxer()
+            times = []
+            t0 = time.perf_counter()
+            for obus in units:
+                if _remaining() < min_spare_s:
+                    return times, None, t0, True
+                dec.send_obus(obus)
+                while (pic := dec.get_picture()) is not None:
+                    mux.write(pic)
+                    times.append(time.perf_counter())
+            return times, mux.digest(), t0, False
+
+        # pass 1 absorbs jit compiles (ProgramSchema converges the
+        # stream to ONE fused program; the persistent cache carries the
+        # compiles across processes). Pass 2 (flush + replay) is the
+        # saturated steady state the bench reports.
+        times, md5, t0, aborted = one_pass()
         n = len(times)
         if not n:
             out["error"] = "no frames decoded within budget"
             return out
-        out["fps"] = round(n / (times[-1] - t0), 2)
-        if n > 2:
-            # steady state: skip the keyframe + the first inter frame
-            # (jit compiles land there)
-            out["fps_steady"] = round((n - 2) / (times[-1] - times[1]),
-                                      2)
-            out["frame_ms"] = [round((b - a) * 1e3, 1) for a, b in
-                               zip([t0] + times[:-1], times)]
+        out["fps_coldstart"] = round(n / (times[-1] - t0), 2)
         out["frames"] = n
+        if not aborted:
+            dec.flush()
+            times2, md5b, t0b, ab2 = one_pass()
+            if times2 and not ab2:
+                n2 = len(times2)
+                out["fps"] = round(n2 / (times2[-1] - t0b), 2)
+                # inter-frame steady rate (skip the keyframe's host walk)
+                if n2 > 2:
+                    out["fps_steady"] = round(
+                        (n2 - 1) / (times2[-1] - times2[0]), 2)
+                out["frame_ms"] = [round((b - a) * 1e3, 1) for a, b in
+                                   zip([t0b] + times2[:-1], times2)]
+                md5 = md5b
+        if "fps" not in out:
+            out["fps"] = out["fps_coldstart"]
         if aborted:
             out["aborted_at_deadline"] = True
         out["oracle_fps_1thread_noasm"] = round(o_fps, 2)
