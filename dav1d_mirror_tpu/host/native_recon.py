@@ -56,18 +56,27 @@ def _tabs():
 
 def pack_residuals(coders, hres_meta, hres):
     """Flatten the device-returned residual buckets into one int32
-    buffer + per-coder per-coef-record offset arrays (-1 = no residual;
-    hres list entries are (cf, y_px, x_px, coder_idx, coef_idx))."""
+    buffer + per-coder per-coef-record offset arrays (-1 = no residual).
+    Buckets are either lists of (cf, y_px, x_px, coder_idx, coef_idx)
+    tuples (per-block planner) or plan_vec.ResidBucket arrays."""
+    from ..models.plan_vec import ResidBucket
     offs = [np.full(len(c.coefs), -1, np.int64) for c in coders]
     chunks = []
     base = 0
     for (pl, lst), res in zip(hres_meta, hres):
-        res = np.ascontiguousarray(np.asarray(res)[:len(lst)], np.int32)
+        n = len(lst)
+        res = np.ascontiguousarray(np.asarray(res)[:n], np.int32)
         sz = res.shape[1] * res.shape[2]
         chunks.append(res.reshape(-1))
-        for i, e in enumerate(lst):
-            offs[e[3]][e[4]] = base + i * sz
-        base += len(lst) * sz
+        if isinstance(lst, ResidBucket):
+            flat = base + np.arange(n, dtype=np.int64) * sz
+            for c_i in np.unique(lst.ci):
+                m = lst.ci == c_i
+                offs[int(c_i)][lst.cj[m]] = flat[m]
+        else:
+            for i, e in enumerate(lst):
+                offs[e[3]][e[4]] = base + i * sz
+        base += n * sz
     res_buf = np.concatenate(chunks) if chunks else np.zeros(1, np.int32)
     return res_buf, offs
 

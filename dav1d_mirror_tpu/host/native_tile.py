@@ -298,31 +298,89 @@ def code_tile_native(coder) -> None:
     n_blocks, n_coefs = int(counts[0]), int(counts[1])
 
     # retain the dense records for the native pass-2 walk
-    # (host/native_recon.py) — no per-block Python objects on that path
+    # (host/native_recon.py) and the vectorized planner
+    # (models/plan_vec.py) — no per-block Python objects on those paths
     coder.native_arrays = (blk[:n_blocks], coef[:n_coefs], pal, palidx)
+    coder.cf_buf = cf
 
-    # ---- coefs ----
+    # blocks/coefs materialize LAZILY: the vectorized planner reads the
+    # dense records directly and touches Python objects only for the
+    # rare special shapes (warp/OBMC/sub-8x8/compound), so eagerly
+    # building O(blocks) Av1Block objects per frame was pure overhead
+    # on the production path. Fallback consumers (Python recon walk,
+    # intra engine, sharded decode) iterate and pay the old cost there.
+    coder.coefs = _LazyCoefs(coef[:n_coefs], cf)
+    coder.blocks = _LazyBlocks(coder, blk[:n_blocks], pal, palidx)
+    _finish_tile_outputs(coder, cdef, lr, counts)
+
+
+class _LazyCoefs:
+    __slots__ = ("_coef", "_cf", "_cache")
+
+    def __init__(self, coef, cf):
+        self._coef = coef
+        self._cf = cf
+        self._cache = [None] * coef.shape[0]
+
+    def __len__(self):
+        return len(self._cache)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        c = self._cache[i]
+        if c is None:
+            c = self._cache[i] = _make_coef(self._coef[i], self._cf)
+        return c
+
+    def __iter__(self):
+        for i in range(len(self._cache)):
+            yield self[i]
+
+
+class _LazyBlocks:
+    __slots__ = ("_coder", "_blk", "_pal", "_palidx", "_cache")
+
+    def __init__(self, coder, blk, pal, palidx):
+        self._coder = coder
+        self._blk = blk
+        self._pal = pal
+        self._palidx = palidx
+        self._cache = [None] * blk.shape[0]
+
+    def __len__(self):
+        return len(self._cache)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        b = self._cache[i]
+        if b is None:
+            b = self._cache[i] = _make_block(
+                self._coder, self._blk[i], self._pal, self._palidx)
+        return b
+
+    def __iter__(self):
+        for i in range(len(self._cache)):
+            yield self[i]
+
+
+def _make_coef(r, cf):
     T_TXFM = TABLES["txfm_dimensions"]
-    coefs = []
-    for i in range(n_coefs):
-        r = coef[i]
-        eob = int(r[5])
-        if eob < 0:
-            cfa = None
-        else:
-            td = T_TXFM[r[3]]
-            sw = 4 * min(int(td[0]), 8)
-            sh = 4 * min(int(td[1]), 8)
-            cfa = cf[int(r[6]):int(r[6]) + sw * sh].reshape(sw, sh).T
-        coefs.append(tc.CoefBlock(int(r[0]), int(r[1]), int(r[2]),
-                                  int(r[3]), int(r[4]), eob, cfa))
-    coder.coefs = coefs
+    eob = int(r[5])
+    if eob < 0:
+        cfa = None
+    else:
+        td = T_TXFM[r[3]]
+        sw = 4 * min(int(td[0]), 8)
+        sh = 4 * min(int(td[1]), 8)
+        cfa = cf[int(r[6]):int(r[6]) + sw * sh].reshape(sw, sh).T
+    return tc.CoefBlock(int(r[0]), int(r[1]), int(r[2]),
+                        int(r[3]), int(r[4]), eob, cfa)
 
-    # ---- blocks ----
-    T_BD = TABLES["block_dimensions"]
-    blocks = []
-    for i in range(n_blocks):
-        r = blk[i]
+
+def _make_block(coder, r, pal, palidx):
+        T_BD = TABLES["block_dimensions"]
         b = tc.Av1Block()
         b.bl, b.bp, b.bs = int(r[B_BL]), int(r[B_BP]), int(r[B_BS])
         b.bx, b.by = int(r[B_BX]), int(r[B_BY])
@@ -386,9 +444,10 @@ def code_tile_native(coder) -> None:
             wm.gamma = int(r[B_WARP_GAMMA])
             wm.delta = int(r[B_WARP_DELTA])
             b.warp = wm
-        blocks.append(b)
-    coder.blocks = blocks
+        return b
 
+
+def _finish_tile_outputs(coder, cdef, lr, counts):
     # ---- cdef / lr ----
     coder.cdef_idx = [(int(c0), int(c1), (int(c2), int(c3), int(c4),
                                           int(c5)))

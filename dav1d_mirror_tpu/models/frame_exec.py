@@ -105,6 +105,8 @@ class FrameProgram:
         self.ops = []
         self._chunks = []
         self._off = 0
+        self._chunks16 = []
+        self._off16 = 0
         self._hp_ids = {}      # (pl, combos-bytes) -> cache id
         self._n_cm = 0         # seg-mask registry counter
         self.use_pallas = mc_pallas.pallas_available()
@@ -115,6 +117,19 @@ class FrameProgram:
         h = (self._off, a.shape)
         self._chunks.append(a.reshape(-1))
         self._off += a.size
+        return h
+
+    def emit16(self, arr):
+        """Emit into the int16 side buffer (halves the per-frame
+        host->device descriptor upload, the dominant fixed transfer at
+        1080p+). Callers must guarantee values fit int16 — coefficient
+        payloads at 8 bpc, filter level/edge maps, small taps. The
+        interpreter casts slices back to int32 on device (free, fused).
+        NEVER use for arrays carrying the PAD_OOB sentinel (1<<20)."""
+        a = np.ascontiguousarray(np.asarray(arr, dtype=np.int16))
+        h = (self._off16, a.shape, 16)
+        self._chunks16.append(a.reshape(-1))
+        self._off16 += a.size
         return h
 
     def op(self, *rec):
@@ -165,10 +180,12 @@ class FrameProgram:
     def finalize(self):
         desc = np.concatenate(self._chunks) if self._chunks else \
             np.zeros(1, np.int32)
+        desc16 = np.concatenate(self._chunks16) if self._chunks16 else \
+            np.zeros(1, np.int16)
         sig = (tuple(self.ops), self.n_planes, self.bd,
                self.plane_shapes, self.refspec, self.srefspec,
                self.plane_inputs, self.out_dtype)
-        return sig, desc
+        return sig, desc, desc16
 
 
 def _fuse_default() -> bool:
@@ -193,15 +210,52 @@ def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
     host uint8/16 uploads); the program assembles the per-plane 7-slot
     stacks and scaled-ref views from them. Returns
     (planes tuple, hres tuple)."""
-    sig, desc = prog.finalize()
+    sig, desc, desc16 = prog.finalize()
     if fuse is None:
         fuse = _fuse_default()
     if fuse:
-        return _compiled(sig)(jnp.asarray(desc), tuple(refsrc))
+        if _SIGLOG:
+            _log_signature(sig, desc)
+        return _compiled(sig)(jnp.asarray(desc), jnp.asarray(desc16),
+                              tuple(refsrc))
     # eager replay: keep the descriptor on the HOST — get() then slices
     # numpy (free) and the jitted kernels take the numpy views directly,
     # instead of issuing thousands of tiny device slice ops
-    return _interpreter(sig)(desc, tuple(refsrc))
+    return _interpreter(sig)(desc, desc16, tuple(refsrc))
+
+
+import os as _os
+_SIGLOG = bool(_os.environ.get("DAV1D_TPU_SIGLOG"))
+_seen_sigs = {}
+
+
+def _log_signature(sig, desc):
+    """DAV1D_TPU_SIGLOG=1: one stderr line per fused-program dispatch —
+    signature hash, op count, descriptor size, whether this signature is
+    new in-process (= an XLA compile or persistent-cache load), and for
+    a new signature the op-level diff vs the previous one (the data
+    VERDICT r3 asked for to close signature variance)."""
+    import hashlib
+    import sys
+    h = hashlib.sha1(repr(sig).encode()).hexdigest()[:12]
+    ops = sig[0]
+    new = h not in _seen_sigs
+    line = (f"[siglog] sig={h} ops={len(ops)} desc={desc.size} "
+            f"{'NEW' if new else 'hit'}")
+    if new and _seen_sigs:
+        prev = _seen_sigs[next(reversed(_seen_sigs))]
+        pset = {repr(o) for o in prev}
+        cset = {repr(o) for o in ops}
+        added = [o for o in cset - pset]
+        removed = [o for o in pset - cset]
+        line += f" | +{len(added)} ops -{len(removed)} ops"
+        for o in sorted(added)[:8]:
+            line += f"\n[siglog]   + {o[:160]}"
+        for o in sorted(removed)[:8]:
+            line += f"\n[siglog]   - {o[:160]}"
+    if new:
+        _seen_sigs[h] = ops
+    print(line, file=sys.stderr, flush=True)
 
 
 @functools.lru_cache(maxsize=128)
@@ -209,7 +263,7 @@ def _compiled(sig):
     # plane-input programs (the filter chain) own their input planes —
     # donate them so XLA can filter in place instead of allocating a
     # second set of 1080p planes per frame
-    donate = (1,) if sig[6] else ()
+    donate = (2,) if sig[6] else ()   # refsrc (the chain's input planes)
     return jax.jit(_interpreter(sig), donate_argnums=donate)
 
 
@@ -218,12 +272,17 @@ def _interpreter(sig):
     (ops, n_planes, bd, plane_shapes, refspec, srefspec,
      plane_inputs, out_dtype) = sig
 
-    def get(desc, h):
-        off, shape = h
-        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        return desc[off:off + n].reshape(shape)
+    def body(desc, desc16, refsrc):
+        def get(h):
+            if len(h) == 3:      # int16 side buffer (emit16)
+                off, shape, _ = h
+                n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                return desc16[off:off + n].reshape(shape).astype(
+                    np.int32)
+            off, shape = h
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            return desc[off:off + n].reshape(shape)
 
-    def body(desc, refsrc):
         refs = []
         for (hv, wv), slots in refspec:
             refs.append(jnp.stack(
@@ -245,23 +304,23 @@ def _interpreter(sig):
             for s in subops:
                 if s[0] == "t":
                     _, hh, hv, h_arr, h_sl = s
-                    a = get(desc, h_arr)
+                    a = get(h_arr)
                     out = mc_unit_batch(
                         (refs[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
                          a[:, 4], a[:, 5]), bwp, bhp, hh, hv, bd, prep)
-                    tmp = set_slots(tmp, get(desc, h_sl), out)
+                    tmp = set_slots(tmp, get(h_sl), out)
                 elif s[0] == "w":
                     _, h_rows, h_base = s
-                    out = warp8x8_batch(refs[pl], get(desc, h_rows), bd,
+                    out = warp8x8_batch(refs[pl], get(h_rows), bd,
                                         prep)
-                    tmp = scatter_slot_units(tmp, get(desc, h_base), out,
+                    tmp = scatter_slot_units(tmp, get(h_base), out,
                                              8, 8, bwp)
                 else:
                     _, sid, uw, uh, h_rows, h_base = s
-                    out = mc_scaled_batch(srefs[sid], get(desc, h_rows),
+                    out = mc_scaled_batch(srefs[sid], get(h_rows),
                                           uw, uh, 2 * uw + 10,
                                           2 * uh + 10, bd, prep)
-                    tmp = scatter_slot_units(tmp, get(desc, h_base), out,
+                    tmp = scatter_slot_units(tmp, get(h_base), out,
                                              uh, uw, bwp)
             return tmp
 
@@ -269,55 +328,55 @@ def _interpreter(sig):
             kind = rec[0]
             if kind == "hpx":
                 _, pl, cid, h_combos = rec
-                hp[cid] = mc_hplanes(refs[pl], get(desc, h_combos), bd)
+                hp[cid] = mc_hplanes(refs[pl], get(h_combos), bd)
             elif kind == "hpp":
                 _, pl, cid, h_refmap, h_taps = rec
-                hs = mc_pallas.hplanes_run(refs[pl], get(desc, h_refmap),
-                                           get(desc, h_taps), bd)
+                hs = mc_pallas.hplanes_run(refs[pl], get(h_refmap),
+                                           get(h_taps), bd)
                 hp[cid] = mc_pallas.pad_hstack(hs)[0]
             elif kind == "put":
                 _, pl, uw, uh, hh, hv, h_arr, h_ys, h_xs = rec
-                a = get(desc, h_arr)
+                a = get(h_arr)
                 out = mc_unit_batch(
                     (refs[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
                      a[:, 4], a[:, 5]), uw, uh, hh, hv, bd, False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_ys),
-                                           get(desc, h_xs), uh, uw)
+                                           get(h_ys),
+                                           get(h_xs), uh, uw)
             elif kind == "puthv_x":
                 (_, pl, uw, uh, cid, h_slot, h_oy, h_ox, h_my, h_tv,
                  h_ys, h_xs) = rec
                 out = mc_unit_batch_hv(
-                    (hp[cid], get(desc, h_slot), get(desc, h_oy),
-                     get(desc, h_ox), get(desc, h_my), get(desc, h_tv)),
+                    (hp[cid], get(h_slot), get(h_oy),
+                     get(h_ox), get(h_my), get(h_tv)),
                     uw, uh, bd, False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_ys),
-                                           get(desc, h_xs), uh, uw)
+                                           get(h_ys),
+                                           get(h_xs), uh, uw)
             elif kind == "puthv_p":
                 _, pl, uw, uh, cid, h_cols, B, h_ys, h_xs = rec
                 hpad = hp[cid]
-                cols = [get(desc, h) for h in h_cols]
+                cols = [get(h) for h in h_cols]
                 out = mc_pallas.vpass_run(hpad, *cols, uw, uh, bd,
                                           False, B)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_ys),
-                                           get(desc, h_xs), uh, uw)
+                                           get(h_ys),
+                                           get(h_xs), uh, uw)
             elif kind == "warp":
                 _, pl, h_rows, h_ys, h_xs = rec
-                out = warp8x8_batch(refs[pl], get(desc, h_rows), bd,
+                out = warp8x8_batch(refs[pl], get(h_rows), bd,
                                     False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_ys),
-                                           get(desc, h_xs), 8, 8)
+                                           get(h_ys),
+                                           get(h_xs), 8, 8)
             elif kind == "scaled":
                 _, pl, sid, uw, uh, h_rows, h_ys, h_xs = rec
-                out = mc_scaled_batch(srefs[sid], get(desc, h_rows), uw,
+                out = mc_scaled_batch(srefs[sid], get(h_rows), uw,
                                       uh, 2 * uw + 10, 2 * uh + 10, bd,
                                       False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_ys),
-                                           get(desc, h_xs), uh, uw)
+                                           get(h_ys),
+                                           get(h_xs), uh, uw)
             elif kind == "comp":
                 (_, pl, bwp, bhp, N, sides, joins, ssh, ssv, h_dy,
                  h_dx) = rec
@@ -328,38 +387,38 @@ def _interpreter(sig):
                     if j[0] == "wavg":
                         _, h_sl, h_w = j
                         out = comp_join_wavg(
-                            out, tmps[0], tmps[1], get(desc, h_sl),
-                            get(desc, h_w)[:, None, None], bd)
+                            out, tmps[0], tmps[1], get(h_sl),
+                            get(h_w)[:, None, None], bd)
                     elif j[0] == "segl":
                         _, h_sl, h_sgn, cmid = j
                         out, cm = comp_join_wmask(
-                            out, tmps[0], tmps[1], get(desc, h_sl),
-                            get(desc, h_sgn), ssh, ssv, bd)
+                            out, tmps[0], tmps[1], get(h_sl),
+                            get(h_sgn), ssh, ssv, bd)
                         cms[cmid] = cm
                     elif j[0] == "segc":
                         _, h_sl, h_sgn, spec = j
                         if spec[0] == "one":
-                            m = cms[spec[1]][get(desc, spec[2])]
+                            m = cms[spec[1]][get(spec[2])]
                         else:
                             m = jnp.stack([cms[cmid][jj]
                                            for cmid, jj in spec[1]])
                         out = comp_join_mask(out, tmps[0], tmps[1],
-                                             get(desc, h_sl),
-                                             get(desc, h_sgn), m, bd)
+                                             get(h_sl),
+                                             get(h_sgn), m, bd)
                     else:  # wedge
                         _, h_sl, h_sgn, h_masks = j
                         out = comp_join_mask(out, tmps[0], tmps[1],
-                                             get(desc, h_sl),
-                                             get(desc, h_sgn),
-                                             get(desc, h_masks), bd)
+                                             get(h_sl),
+                                             get(h_sgn),
+                                             get(h_masks), bd)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(desc, h_dy),
-                                           get(desc, h_dx), bhp, bwp)
+                                           get(h_dy),
+                                           get(h_dx), bhp, bwp)
             elif kind == "obmc":
                 _, pl, lh, lw, region, vert, nL, subops, h_ys, h_xs = rec
                 lap = side_tmp(pl, lw, lh, nL, subops, False)
                 planes[pl] = obmc_blend_batch(
-                    planes[pl], lap, get(desc, h_ys), get(desc, h_xs),
+                    planes[pl], lap, get(h_ys), get(h_xs),
                     lh, lw, region, vert)
             # ---- in-loop filter chain ops (packed by models/tpu_filters)
             elif kind == "dbk":
@@ -367,9 +426,9 @@ def _interpreter(sig):
                  h_el, h_il) = rec
                 from ..ops.loopfilter_tpu import deblock_plane_tpu
                 planes[pl] = deblock_plane_tpu(
-                    planes[pl], get(desc, h_ev), get(desc, h_eh),
-                    get(desc, h_lv), get(desc, h_lvp), get(desc, h_lh),
-                    get(desc, h_lhp), get(desc, h_el), get(desc, h_il),
+                    planes[pl], get(h_ev), get(h_eh),
+                    get(h_lv), get(h_lvp), get(h_lh),
+                    get(h_lhp), get(h_el), get(h_il),
                     luma=luma, bitdepth=bd, sb_step4=sb4)
             elif kind == "snap":
                 snap[rec[1]] = list(planes)
@@ -378,9 +437,9 @@ def _interpreter(sig):
                  mono) = rec
                 from ..ops.cdef_tpu import cdef_frame_tpu
                 new = cdef_frame_tpu(
-                    tuple(planes), get(desc, h_idx),
-                    get(desc, h_ns).astype(bool), get(desc, h_ystr),
-                    get(desc, h_uvstr), damping=damping, bitdepth=bd,
+                    tuple(planes), get(h_idx),
+                    get(h_ns).astype(bool), get(h_ystr),
+                    get(h_uvstr), damping=damping, bitdepth=bd,
                     ss_hor=ssh, ss_ver=ssv, monochrome=mono)
                 planes = list(new)
             elif kind == "sres":
@@ -402,13 +461,13 @@ def _interpreter(sig):
                                                       wiener_batch_tpu)
                 padded = pad_stripes_tpu(
                     snap[("prelr", pl)][pl], snap[snapid][pl],
-                    get(desc, h_xs), get(desc, h_ysin), get(desc, h_eg),
+                    get(h_xs), get(h_ysin), get(h_eg),
                     w, h)
-                res = wiener_batch_tpu(padded, get(desc, h_fh),
-                                       get(desc, h_fv), w, h, bd)
+                res = wiener_batch_tpu(padded, get(h_fh),
+                                       get(h_fv), w, h, bd)
                 planes[pl] = scatter_units(planes[pl], res,
-                                           get(desc, h_ysout),
-                                           get(desc, h_xs), h, w)
+                                           get(h_ysout),
+                                           get(h_xs), h, w)
             elif kind == "lrs":
                 (_, pl, snapid, skind, w, h, h_xs, h_ysin, h_ysout, h_eg,
                  h_s0, h_s1, h_w0, h_w1) = rec
@@ -417,50 +476,50 @@ def _interpreter(sig):
                 from ..ops.mc_tpu import gather_units
                 padded = pad_stripes_tpu(
                     snap[("prelr", pl)][pl], snap[snapid][pl],
-                    get(desc, h_xs), get(desc, h_ysin), get(desc, h_eg),
+                    get(h_xs), get(h_ysin), get(h_eg),
                     w, h)
-                cur = gather_units(planes[pl], get(desc, h_ysin),
-                                   get(desc, h_xs), h, w)
-                res = sgr_batch_tpu(padded, cur, get(desc, h_s0),
-                                    get(desc, h_s1), get(desc, h_w0),
-                                    get(desc, h_w1), w, h, bd, skind)
+                cur = gather_units(planes[pl], get(h_ysin),
+                                   get(h_xs), h, w)
+                res = sgr_batch_tpu(padded, cur, get(h_s0),
+                                    get(h_s1), get(h_w0),
+                                    get(h_w1), w, h, bd, skind)
                 planes[pl] = scatter_units(planes[pl], res,
-                                           get(desc, h_ysout),
-                                           get(desc, h_xs), h, w)
+                                           get(h_ysout),
+                                           get(h_xs), h, w)
             elif kind == "resid":
                 _, pl, sh, sw, tx, txtp, h_cf, h_ys, h_xs = rec
                 planes[pl] = _resid_scatter(
-                    planes[pl], get(desc, h_cf), get(desc, h_ys),
-                    get(desc, h_xs), tx, txtp, bd)
+                    planes[pl], get(h_cf), get(h_ys),
+                    get(h_xs), tx, txtp, bd)
             elif kind == "residm":
                 _, pl, sh, sw, tx, h_cf, h_rs, h_cs, h_ys, h_xs = rec
                 planes[pl] = _resid_scatter_multi(
-                    planes[pl], get(desc, h_cf), get(desc, h_rs),
-                    get(desc, h_cs), get(desc, h_ys), get(desc, h_xs),
+                    planes[pl], get(h_cf), get(h_rs),
+                    get(h_cs), get(h_ys), get(h_xs),
                     tx, bd)
             elif kind == "hresm":
                 _, tx, h_cf, h_rs, h_cs = rec
                 hres.append(itx_residual_multi(
-                    get(desc, h_cf), get(desc, h_rs), get(desc, h_cs),
+                    get(h_cf), get(h_rs), get(h_cs),
                     tx, bd))
             # ---- intra wavefront engine ops (models/tpu_intra) ----
             elif kind == "setplane":
                 _, pl, h_arr = rec
-                planes[pl] = jnp.asarray(get(desc, h_arr))
+                planes[pl] = jnp.asarray(get(h_arr))
             elif kind == "newres":
                 snap["res"] = [jnp.zeros_like(p) for p in planes]
             elif kind == "resraw":
                 _, pl, tx, txtp, h_cf, h_ys, h_xs = rec
                 snap["res"][pl] = _resid_scatter(
-                    snap["res"][pl], get(desc, h_cf), get(desc, h_ys),
-                    get(desc, h_xs), tx, txtp, bd, False)
+                    snap["res"][pl], get(h_cf), get(h_ys),
+                    get(h_xs), tx, txtp, bd, False)
             elif kind == "intrascan":
                 _, h_mp, h_fpl, ssh, ssv, npl = rec
                 from .tpu_intra import intra_scan
                 out = intra_scan(
                     tuple(planes[:npl]), tuple(snap["res"][:npl]),
-                    jnp.asarray(get(desc, h_mp)),
-                    jnp.asarray(get(desc, h_fpl)), bd, ssh, ssv, npl)
+                    jnp.asarray(get(h_mp)),
+                    jnp.asarray(get(h_fpl)), bd, ssh, ssv, npl)
                 for i in range(npl):
                     planes[i] = out[i]
             elif kind == "crop":
@@ -473,7 +532,7 @@ def _interpreter(sig):
                 planes[pl] = crop
             elif kind == "hres":
                 _, tx, txtp, h_cf = rec
-                hres.append(itx_residual(get(desc, h_cf), tx, txtp, bd))
+                hres.append(itx_residual(get(h_cf), tx, txtp, bd))
             elif kind == "out":
                 planes = [p.astype(jnp.dtype(out_dtype)) for p in planes]
         return tuple(planes), tuple(hres)

@@ -56,11 +56,8 @@ def build_cdef_plan(fhdr, coders):
                         cdef_idx_map[qy, qx] = v
             else:
                 cdef_idx_map[by >> 4, bx >> 4] = idxs[0]
-        for b in coder.blocks:
-            if not b.skip:
-                bd_ = T_BLOCK_DIM[b.bs]
-                noskip[b.by:b.by + int(bd_[1]),
-                       b.bx:b.bx + int(bd_[0])] = True
+    from .plan_vec import build_cdef_noskip
+    noskip = build_cdef_noskip(fhdr, coders)
     return cdef_idx_map, noskip
 
 
@@ -169,22 +166,25 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
                                fhdr.loopfilter_level_y[1]):
         lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
         e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
-        h_el = prog.emit(np.asarray(e_lut))
-        h_il = prog.emit(np.asarray(i_lut))
+        # deblock maps are dense per-4x4 frames of tiny values — the
+        # int16 side halves this program's dominant upload
+        h_el = prog.emit16(np.asarray(e_lut))
+        h_il = prog.emit16(np.asarray(i_lut))
         sb_step4 = 32 if seq.sb128 else 16
         lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
-        prog.op("dbk", 0, True, sb_step4, prog.emit(lf.edge_v_y),
-                prog.emit(lf.edge_h_y), prog.emit(lv), prog.emit(lvp),
-                prog.emit(lh_), prog.emit(lhp), h_el, h_il)
+        prog.op("dbk", 0, True, sb_step4, prog.emit16(lf.edge_v_y),
+                prog.emit16(lf.edge_h_y), prog.emit16(lv),
+                prog.emit16(lvp), prog.emit16(lh_), prog.emit16(lhp),
+                h_el, h_il)
         if (len(planes_in) > 1 and
                 (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
-            h_ev = prog.emit(lf.edge_v_uv)
-            h_eh = prog.emit(lf.edge_h_uv)
+            h_ev = prog.emit16(lf.edge_v_uv)
+            h_eh = prog.emit16(lf.edge_h_uv)
             for pl in (0, 1):
                 lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
                 prog.op("dbk", 1 + pl, False, sb_step4 >> bufs.ss_ver,
-                        h_ev, h_eh, prog.emit(lv), prog.emit(lvp),
-                        prog.emit(lh_), prog.emit(lhp), h_el, h_il)
+                        h_ev, h_eh, prog.emit16(lv), prog.emit16(lvp),
+                        prog.emit16(lh_), prog.emit16(lhp), h_el, h_il)
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
                          for p in range(3)) if (filters_mask & 4) else 0
@@ -196,10 +196,10 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
             (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
              any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
-        prog.op("cdef", prog.emit(cdef_idx_map),
-                prog.emit(noskip.astype(np.int32)),
-                prog.emit(np.asarray(fhdr.cdef_y_strength, np.int32)),
-                prog.emit(np.asarray(fhdr.cdef_uv_strength, np.int32)),
+        prog.op("cdef", prog.emit16(cdef_idx_map),
+                prog.emit16(noskip.astype(np.int16)),
+                prog.emit16(np.asarray(fhdr.cdef_y_strength, np.int16)),
+                prog.emit16(np.asarray(fhdr.cdef_uv_strength, np.int16)),
                 fhdr.cdef_damping + (bd - 8), bufs.ss_hor, bufs.ss_ver,
                 seq.layout == 0)
 
@@ -283,13 +283,26 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
                         h_ysout, h_eg, h_s0, h_s1, h_w0, h_w1)
 
     prog.op("out")   # native-dtype planes: 4x smaller downloads/refs
-    planes, _ = run_frame_program(prog, tuple(planes_in))
+    from ..utils.trace import trace_scope
+    with trace_scope("filters.dispatch"):
+        planes, _ = run_frame_program(prog, tuple(planes_in))
+    import os as _os
+    if _os.environ.get("DAV1D_TPU_SYNC_TRACE"):
+        with trace_scope("filters.device-wait"):
+            for p in planes:
+                p.block_until_ready()
     if orig_bufs is not bufs:
         # super-res rebound `bufs`; the (possibly donated) input buffers
         # on the original FrameBuffers are dead — no dangling refs
         orig_bufs.dev_planes = None
-    for i, p in enumerate(planes):
-        bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
+    with trace_scope("filters.download"):
+        for p in planes:
+            try:
+                p.copy_to_host_async()
+            except Exception:
+                break
+        for i, p in enumerate(planes):
+            bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
     bufs.dev_planes = list(planes)
     return bufs
 

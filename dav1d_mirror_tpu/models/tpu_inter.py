@@ -241,6 +241,102 @@ class _FramePlan:
         self.laps = [dict() for _ in range(n_planes)]
         # compound: bucket (bw_px, bh_px) -> list of block entry dicts
         self.comp = [dict() for _ in range(n_planes)]
+        # vector-planned translational puts (models/plan_vec): per-plane
+        # {(uw, uh, hh, hv): (B, 8) int32}; merged with self.put at pack
+        self.put_vec = [dict() for _ in range(n_planes)]
+
+
+def _vec_plan_enabled() -> bool:
+    import os
+    return os.environ.get("DAV1D_TPU_NO_VEC_PLAN") != "1"
+
+
+def _vec_plan(fhdr, coders, refs, plan, n_planes, ss_hor, ss_ver,
+              cur_w, cur_h):
+    """Vectorized bulk planning (models/plan_vec): plans every plain
+    translational put as numpy array programs, precomputes the decode-
+    order filter state, and returns the per-coder special-block indices
+    the per-block loop still has to visit (warp / scaled / OBMC laps /
+    sub-8x8 chroma / compound). Returns None when a coder lacks dense
+    records (Python-entropy streams keep the per-block walk)."""
+    from . import plan_vec as pv
+    ref_ok = np.zeros(7, bool)
+    ref_scaled = np.zeros(7, bool)
+    gm_warp = np.zeros(7, bool)
+    for i in range(7):
+        rb = refs[fhdr.refidx[i]]
+        ref_ok[i] = rb is not None
+        if rb is not None:
+            ref_scaled[i] = rb.width != cur_w or rb.height != cur_h
+        gm_warp[i] = _gmv_warp_params(fhdr, i,
+                                      bool(ref_scaled[i])) is not None
+    rf = coders[0].rf
+    blk_all, _, n_per = pv.blocks_meta(coders)
+    tl_all = pv.f2d_products(blk_all)
+    f2d_map = pv.paint_f2d_map(blk_all, coders[0].bw, coders[0].bh)
+
+    special, dd_per, tl_per = [], [], []
+    off = 0
+    for ci, coder in enumerate(coders):
+        blk = coder.native_arrays[0]
+        nb = blk.shape[0]
+        cl = pv.classify(blk, ref_ok, gm_warp, ref_scaled)
+        bw4, bh4 = cl["bw4"], cl["bh4"]
+        bx, by = blk[:, pv.B_BX], blk[:, pv.B_BY]
+        has_chroma = np.zeros(nb, bool) if n_planes == 1 else (
+            ((bw4 > ss_hor) | (bx & 1).astype(bool)) &
+            ((bh4 > ss_ver) | (by & 1).astype(bool)))
+        sub8 = _sub8x8_refined_vec(blk, bw4, bh4, ss_hor, ss_ver,
+                                   has_chroma, rf)
+        luma_vec = cl["single"] & ~cl["use_warp"] & ~cl["scaled0"]
+        chroma_vec = luma_vec & has_chroma & ~sub8
+        vp = pv.plan_translational(blk, ss_hor, ss_ver, n_planes,
+                                   luma_vec, chroma_vec)
+        for pl in range(n_planes):
+            for k, arr in vp[pl].items():
+                prev = plan.put_vec[pl].get(k)
+                plan.put_vec[pl][k] = (arr if prev is None else
+                                       np.concatenate([prev, arr]))
+        dd = np.zeros(nb, np.uint8)
+        dd[cl["covered"]] = 1
+        dd[cl["ii"]] = 2
+        dd_per.append(dd)
+        sp = cl["comp"] | (cl["single"] &
+                           (cl["use_warp"] | cl["scaled0"] |
+                            (blk[:, pv.B_MOTION_MODE] == 1) |
+                            (sub8 & has_chroma)))
+        special.append(np.nonzero(sp)[0])
+        tl_per.append(tl_all[off:off + nb])
+        off += nb
+    return dict(special=special, dd_per=dd_per, tl=tl_per,
+                f2d_map=f2d_map)
+
+
+def _sub8x8_refined_vec(blk, bw4, bh4, ssh, ssv, has_chroma, rf):
+    """Vectorized is_sub8x8 refinement (tpu_inter.py:458-465 /
+    recon_tmpl.c:1703): neighbour inter-ness gathered from rf.ref.
+    Negative-index wrap matches the per-block Python semantics."""
+    from . import plan_vec as pv
+    cand = has_chroma & ((bw4 == ssh) | (bh4 == ssv))
+    if not cand.any():
+        return cand
+    idx = np.nonzero(cand)[0]
+    by = blk[idx, pv.B_BY]
+    bx = blk[idx, pv.B_BX]
+    refarr = rf.ref[:, :, 0]
+    ok = np.ones(len(idx), bool)
+    w1 = bw4[idx] == 1
+    h1 = bh4[idx] == ssv
+    if w1.any():
+        ok &= ~w1 | (refarr[by, bx - 1] > 0)
+    if h1.any():
+        ok &= ~h1 | (refarr[by - 1, bx] > 0)
+    both = w1 & h1
+    if both.any():
+        ok &= ~both | (refarr[by - 1, bx - 1] > 0)
+    out = np.zeros(blk.shape[0], bool)
+    out[idx] = ok
+    return out
 
 
 def _plan_obmc(plan, pl, ssh, ssv, coder, fhdr, refs, rf, f2d_map, b,
@@ -324,7 +420,7 @@ class BuiltFrame:
     can be built for frame N+1 while frame N is still executing (the
     second leg of the host/device software pipeline)."""
     __slots__ = ("prog", "ref_desc", "hres_meta", "device_blocks",
-                 "ii_blocks", "intra_frame", "full_device")
+                 "ii_blocks", "intra_frame", "full_device", "dd_per")
 
 
 def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
@@ -404,11 +500,28 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     f2d_map = np.zeros((coders[0].bh, coders[0].bw), np.uint8)
     tl_4x4_filter = [0]
 
+    # vectorized bulk planning: the plain translational majority is
+    # planned as numpy array programs over the native walk's dense
+    # records; the per-block loop below then visits ONLY the special
+    # shapes (see _vec_plan). `vec is None` keeps the original
+    # all-blocks walk for Python-entropy streams.
+    vec = None
+    if (not intra_frame and _vec_plan_enabled() and
+            all(getattr(c, "native_arrays", None) is not None
+                for c in coders)):
+        vec = _vec_plan(fhdr, coders, refs, plan, n_planes, ss_hor,
+                        ss_ver, cur_w, cur_h)
+        if vec is not None:
+            f2d_map = vec["f2d_map"]
+
     for ci, coder in enumerate(coders):
         if intra_frame:
             break
         rf = coder.rf
-        for bi, b in enumerate(coder.blocks):
+        for bi in (vec["special"][ci] if vec is not None
+                   else range(len(coder.blocks))):
+            bi = int(bi)
+            b = coder.blocks[bi]
             cls = _block_device_class(fhdr, coder, b, refs, cur_w, cur_h)
             b_dim = T_BLOCK_DIM[b.bs]
             bw4, bh4 = int(b_dim[0]), int(b_dim[1])
@@ -446,8 +559,10 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                         plan.warp_put[0].append(
                             (row, by * 4 + sy, bx * 4 + sx))
                 else:
-                    plan_put(0, (bw4, bh4), bx, by, b.mv[0], b.filter2d,
-                             b.ref[0], 0, 0)
+                    if vec is None or scaled:
+                        # plain translational luma is vector-planned
+                        plan_put(0, (bw4, bh4), bx, by, b.mv[0],
+                                 b.filter2d, b.ref[0], 0, 0)
                     if b.motion_mode == 1:  # OBMC
                         _plan_obmc(plan, 0, 0, 0, coder, fhdr, refs, rf,
                                    f2d_map, b, scaled_of, scale_step)
@@ -479,8 +594,10 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                                          f2d_val, rref, ss_hor, ss_ver,
                                          dst=(uvy + dyo, uvx + dxo))
 
+                        tl_val = (tl_4x4_filter[0] if vec is None
+                                  else int(vec["tl"][ci][bi]))
                         if bw4 == 1 and bh4 == ss_ver:
-                            sub_mc(by - 1, bx - 1, 0, 0, tl_4x4_filter[0])
+                            sub_mc(by - 1, bx - 1, 0, 0, tl_val)
                             v_off, h_off = 2, 2
                         if bw4 == 1:
                             sub_mc(by, bx - 1, v_off, 0,
@@ -505,17 +622,21 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                                      ((bx * 4) >> ss_hor) + sx))
                     else:
                         for pl in (1, 2):
-                            plan_put(pl, (bw4 << (bw4 == ss_hor),
-                                          bh4 << (bh4 == ss_ver)),
-                                     bx & ~ss_hor, by & ~ss_ver, b.mv[0],
-                                     b.filter2d, b.ref[0], ss_hor,
-                                     ss_ver)
+                            if vec is None or use_warp or scaled:
+                                # plain translational chroma is
+                                # vector-planned
+                                plan_put(pl, (bw4 << (bw4 == ss_hor),
+                                              bh4 << (bh4 == ss_ver)),
+                                         bx & ~ss_hor, by & ~ss_ver,
+                                         b.mv[0], b.filter2d, b.ref[0],
+                                         ss_hor, ss_ver)
                             if not use_warp and b.motion_mode == 1:
                                 _plan_obmc(plan, pl, ss_hor, ss_ver,
                                            coder, fhdr, refs, rf,
                                            f2d_map, b, scaled_of,
                                            scale_step)
-                tl_4x4_filter[0] = b.filter2d
+                if vec is None:
+                    tl_4x4_filter[0] = b.filter2d
             else:
                 # compound (dav1d recon_tmpl.c:1822-1907)
                 def side(i, pl, ssh, ssv):
@@ -561,7 +682,8 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                         plan.comp[pl].setdefault(
                             ((bw4 * 4) >> ss_hor, (bh4 * 4) >> ss_ver),
                             []).append(centry)
-            f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
+            if vec is None:
+                f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
 
     _phase("ref-upload")
     # --- reference sources ---
@@ -627,7 +749,8 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             return
         for key in schema.union(family, cases.keys()):
             got = cases.get(key)
-            yield key, (got if got else dummy(key))
+            yield key, (got if got is not None and len(got)
+                        else dummy(key))
 
     def _padn(key, n, extra=0):
         return schema.pad(key, n, extra) if schema is not None \
@@ -639,8 +762,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         return [(0, 0, 0, 8 * bool(hh), 8 * bool(hv), 0, PAD_OOB, 0)]
 
     for pl in range(0 if intra_frame else n_planes):
-        for key, lst in _cases(("put", pl), plan.put[pl], _dummy_put):
-            arr = np.asarray(lst, np.int32)
+        merged_put = dict(plan.put[pl])
+        for key, varr in plan.put_vec[pl].items():
+            got = merged_put.get(key)
+            merged_put[key] = (varr if got is None else np.concatenate(
+                [varr, np.asarray(got, np.int32).reshape(-1, 8)]))
+        for key, lst in _cases(("put", pl), merged_put, _dummy_put):
+            arr = np.asarray(lst, np.int32).reshape(-1, 8)
             arr = _pad_rows(arr, 6, _padn(("put", pl, key),
                                           arr.shape[0]))
             pack_put_case(prog, pl, key, arr,
@@ -869,7 +997,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     continue
                 okey = (pl, ph_, lh, lw, region)
                 lk, lr, _ = lst[-1]
-                nL = _padn(("obmcN",) + okey, len(lst))
+                # extra=1 reserves a sacrificial pad so slot nL-1 is
+                # NEVER a real lap: schema-union dummy t-cases
+                # (_tdummy2) target slot nL-1, and side_tmp's
+                # last-write-wins set_slots would otherwise overwrite a
+                # real lap's MC unit when a bucket exactly fills pow2
+                # (mirrors the compN reservation below)
+                nL = _padn(("obmcN",) + okey, len(lst), 1)
                 lst = lst + [(lk, lr, (PAD_OOB, 0))] * (nL - len(lst))
                 tcases, sunits = {}, {}
                 for slot, (kind, row, d) in enumerate(lst):
@@ -932,21 +1066,31 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # signatures. WHT (lossless 4x4) keeps its dedicated bucket.
     from ..ops.itx import itx_multi_sel
     from ..ops.itx_meta import WHT_WHT
-    rplans = {}     # scatter-add buckets
-    hplans = {}     # host-map buckets
-    for ci, coder in enumerate(coders):
-        for bi, b in enumerate(coder.blocks):
-            if b.skip:
-                continue
-            dst = rplans if (ci, bi) in device_blocks else hplans
-            for cj in range(b.coef_lo, b.coef_hi):
-                cb = coder.coefs[cj]
-                if cb.eob < 0:
+    from .plan_vec import ResidBucket, plan_residuals_vec
+    rplans = hplans = None
+    if vec is not None:
+        rv = plan_residuals_vec(coders, vec["dd_per"])
+        if rv is not None:
+            rplans, hplans = rv
+    if rplans is None:
+        rplans = {}     # scatter-add buckets
+        hplans = {}     # host-map buckets
+        for ci, coder in enumerate(coders):
+            dd = vec["dd_per"][ci] if vec is not None else None
+            for bi, b in enumerate(coder.blocks):
+                if b.skip:
                     continue
-                key = (cb.plane, cb.tx, True) if cb.txtp == WHT_WHT \
-                    else (cb.plane, cb.tx, False)
-                dst.setdefault(key, []).append(
-                    (cb.cf, cb.y * 4, cb.x * 4, ci, cj, cb.txtp))
+                is_dev = (dd[bi] == 1) if dd is not None \
+                    else (ci, bi) in device_blocks
+                dst = rplans if is_dev else hplans
+                for cj in range(b.coef_lo, b.coef_hi):
+                    cb = coder.coefs[cj]
+                    if cb.eob < 0:
+                        continue
+                    key = (cb.plane, cb.tx, True) if cb.txtp == WHT_WHT \
+                        else (cb.plane, cb.tx, False)
+                    dst.setdefault(key, []).append(
+                        (cb.cf, cb.y * 4, cb.x * 4, ci, cj, cb.txtp))
 
     _dummy_resid = lambda key: []   # noqa: E731 — zero real entries
 
@@ -960,21 +1104,29 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         B = len(lst)
         P = _padn(("residmN", pl, tx, is_wht), B)
         cf = np.zeros((P, sh, sw), np.int32)
-        if B:
-            cf[:B] = np.stack([e[0] for e in lst])
         ys = np.full(P, PAD_OOB, np.int32)
         xs = np.zeros(P, np.int32)
-        if B:
+        sel = np.zeros((P, 2), np.int32)
+        if isinstance(lst, ResidBucket):
+            cf[:B] = lst.cf
+            ys[:B] = lst.ys
+            xs[:B] = lst.xs
+            sel[:B] = lst.sel
+        elif B:
+            cf[:B] = np.stack([e[0] for e in lst])
             ys[:B] = np.fromiter((e[1] for e in lst), np.int32, B)
             xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
+            for i, e in enumerate(lst):
+                sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
+        # 8 bpc coefficients fit int16 (dav1d's own 8bpc coef type):
+        # emitting them on the int16 side halves the dominant slice of
+        # the per-frame descriptor upload
+        emit_cf = prog.emit16 if bd == 8 else prog.emit
         if is_wht:
-            prog.op("resid", pl, sh, sw, tx, WHT_WHT, prog.emit(cf),
+            prog.op("resid", pl, sh, sw, tx, WHT_WHT, emit_cf(cf),
                     prog.emit(ys), prog.emit(xs))
         else:
-            sel = np.zeros((P, 2), np.int32)
-            for i, e in enumerate(lst):
-                sel[i] = itx_multi_sel(tx, e[5])
-            prog.op("residm", pl, sh, sw, tx, prog.emit(cf),
+            prog.op("residm", pl, sh, sw, tx, emit_cf(cf),
                     prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
                     prog.emit(ys), prog.emit(xs))
     # host-map buckets: residuals computed in the same program, fetched
@@ -984,17 +1136,22 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                                         _dummy_resid):
         w_t, h_t, _ = _TXI[tx]
         sh, sw = min(h_t, 32), min(w_t, 32)
-        P = _padn(("hresmN", pl, tx, is_wht), len(lst))
+        B = len(lst)
+        P = _padn(("hresmN", pl, tx, is_wht), B)
         cfs = np.zeros((P, sh, sw), np.int32)
-        if lst:
-            cfs[:len(lst)] = np.stack([e[0] for e in lst])
-        if is_wht:
-            prog.op("hres", tx, WHT_WHT, prog.emit(cfs))
-        else:
-            sel = np.zeros((P, 2), np.int32)
+        sel = np.zeros((P, 2), np.int32)
+        if isinstance(lst, ResidBucket):
+            cfs[:B] = lst.cf
+            sel[:B] = lst.sel
+        elif B:
+            cfs[:B] = np.stack([e[0] for e in lst])
             for i, e in enumerate(lst):
-                sel[i] = itx_multi_sel(tx, e[5])
-            prog.op("hresm", tx, prog.emit(cfs), prog.emit(sel[:, 0]),
+                sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
+        emit_cf = prog.emit16 if bd == 8 else prog.emit
+        if is_wht:
+            prog.op("hres", tx, WHT_WHT, emit_cf(cfs))
+        else:
+            prog.op("hresm", tx, emit_cf(cfs), prog.emit(sel[:, 0]),
                     prog.emit(sel[:, 1]))
         hres_meta.append((pl, lst))
 
@@ -1009,8 +1166,11 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     built.device_blocks = device_blocks
     built.ii_blocks = ii_blocks
     built.intra_frame = intra_frame
+    built.dd_per = vec["dd_per"] if vec is not None else None
+    n_dev = (sum(int((dd == 1).sum()) for dd in vec["dd_per"])
+             if vec is not None else len(device_blocks))
     built.full_device = (keep_device and not intra_frame and not hplans
-                         and len(device_blocks) == total_blocks)
+                         and n_dev == total_blocks)
     while _scopes:
         _scopes.pop().__exit__(None, None, None)
     return built
@@ -1051,6 +1211,14 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
     dev_out, hres = run_frame_program(built.prog, tuple(refsrc))
     if not intra_frame:
         dev_planes = list(dev_out)
+    import os as _os2
+    if _os2.environ.get("DAV1D_TPU_SYNC_TRACE"):
+        # profiling aid: absorb the device execution wait here so the
+        # download/host-pass2 scopes below measure pure transfer/walk
+        _phase("device-wait")
+        import jax as _jax
+        for leaf in _jax.tree_util.tree_leaves((dev_out, hres)):
+            leaf.block_until_ready()
 
     _phase("download")
     # When the device covered EVERY block and the caller's filter chain
@@ -1058,6 +1226,15 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
     # touch the host: the filter chain downloads the final planes. Only
     # frames with host-pass2 work (intra/inter-intra blocks) download
     # here, because _recon_tile reads/writes around them.
+    # copy_to_host_async overlaps the plane and hres transfers with each
+    # other (and with remaining device work) instead of serializing one
+    # blocking np.asarray per buffer.
+    for buf in (hres if intra_frame or full_device
+                else tuple(dev_planes) + tuple(hres)):
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            break
     if not intra_frame and not full_device:
         for pl in range(n_planes):
             bufs.planes[pl][...] = np.asarray(dev_planes[pl]).astype(
@@ -1074,13 +1251,19 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
         if native_recon.available() and all(
                 getattr(c, "native_arrays", None) is not None
                 for c in coders):
+            _phase("hres-pack")   # includes the hres download sync
             res_buf, offs = native_recon.pack_residuals(
                 coders, hres_meta, hres)
-            dd_per = [np.zeros(len(c.blocks), np.uint8) for c in coders]
-            for (cj, bj) in device_blocks:
-                dd_per[cj][bj] = 1
-            for (cj, bj) in built.ii_blocks:
-                dd_per[cj][bj] = 2   # device put, host blend
+            _phase("native-walk")
+            if built.dd_per is not None:
+                dd_per = built.dd_per
+            else:
+                dd_per = [np.zeros(len(c.blocks), np.uint8)
+                          for c in coders]
+                for (cj, bj) in device_blocks:
+                    dd_per[cj][bj] = 1
+                for (cj, bj) in built.ii_blocks:
+                    dd_per[cj][bj] = 2   # device put, host blend
             done = True
             for ci, coder in enumerate(coders):
                 rc = native_recon.recon_tile_native(
@@ -1090,14 +1273,26 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
                     done = False
                     break
         if not done:
+            _phase("py-walk")
+            from .plan_vec import ResidBucket
             residual_map = {}
             for (pl, lst), res in zip(hres_meta, hres):
                 res = np.asarray(res)
-                for i, e in enumerate(lst):
-                    residual_map[(pl, e[1] // 4, e[2] // 4)] = res[i]
+                if isinstance(lst, ResidBucket):
+                    for i in range(len(lst)):
+                        residual_map[(pl, int(lst.ys[i]) // 4,
+                                      int(lst.xs[i]) // 4)] = res[i]
+                else:
+                    for i, e in enumerate(lst):
+                        residual_map[(pl, e[1] // 4, e[2] // 4)] = res[i]
             for ci, coder in enumerate(coders):
-                skip_set = {bi for bi in range(len(coder.blocks))
-                            if (ci, bi) in device_blocks}
+                if built.dd_per is not None:
+                    skip_set = set(
+                        int(j) for j in
+                        np.nonzero(built.dd_per[ci] == 1)[0])
+                else:
+                    skip_set = {bi for bi in range(len(coder.blocks))
+                                if (ci, bi) in device_blocks}
                 _recon_tile(seq, fhdr, coder, bufs, refs, jnt_weights,
                             device_done=skip_set, residuals=residual_map)
 

@@ -243,21 +243,27 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
     # --- per-band planning (host): translational puts + residuals ---
     put_bands = [[dict() for _ in range(n_planes)] for _ in range(n)]
     res_bands = [dict() for _ in range(n)]
+    # ONE frame-wide decode-order filter map (cols==1, so coder order IS
+    # decode order) — per-band maps would read 0 instead of the previous
+    # band's filter2d for sub-8x8 chroma at a band's top row, diverging
+    # from the single-device path (models/tpu_inter.py:404)
+    f2d_map = np.zeros((coders[0].bh, coders[0].bw), np.uint8)
+    tl_f2d = 0
     for r, coder in enumerate(coders):
         rf = coder.rf
         band_y0 = coder.row_start * 4
         cy0 = band_y0 >> ss_ver
-        f2d_map = np.zeros((coder.bh, coder.bw), np.uint8)
-        tl_f2d = 0
         for b in coder.blocks:
-            if b.intra or b.comp_type or b.motion_mode or (
-                    b.inter_mode == 2 and          # GLOBALMV with a
-                    fhdr.gmv[b.ref[0]].type > 1):  # warping gm model
-                raise ValueError("sharded_inter_decode: translational "
-                                 "single-ref blocks only")
             b_dim = T_BLOCK_DIM[b.bs]
             bw4, bh4 = int(b_dim[0]), int(b_dim[1])
             bx, by = b.bx, b.by
+            if b.intra or b.comp_type or b.motion_mode or (
+                    b.inter_mode == 2 and          # GLOBALMV with a
+                    fhdr.gmv[b.ref[0]].type > 1 and  # warping gm model
+                    min(bw4, bh4) > 1):  # 4px-narrow GLOBALMV is
+                #                          translational (tpu_inter:435)
+                raise ValueError("sharded_inter_decode: translational "
+                                 "single-ref blocks only")
             _units_for_block_raw(put_bands[r][0], 0, 0, 0, (bw4, bh4),
                                  bx, by, b.mv[0], b.ref[0], b.filter2d,
                                  dst=(by * 4 - band_y0, bx * 4))

@@ -29,6 +29,19 @@ def enable_persistent_cache() -> str | None:
     if loc == "0":
         return None
     if not loc:
+        # CPU backends: stay off unless explicitly pointed at a cache.
+        # XLA:CPU AOT entries embed the compile machine's CPU features;
+        # loading them on a different host profile warns "could lead to
+        # execution errors such as SIGILL" (observed on this fleet),
+        # and CPU compiles are cheap anyway — the cache only pays on
+        # the (tunneled) TPU backend.
+        try:
+            import jax
+            if jax.default_backend() not in ("tpu", "axon"):
+                return None
+        except Exception:
+            return None
+    if not loc:
         # partition by requested platform: AOT results compiled for one
         # backend/machine profile must never be loaded by another
         # (mismatched CPU-feature entries have caused SIGILL/crashes)

@@ -218,3 +218,40 @@ def test_apply_grain_standalone():
     # idempotence of the input: plain stays un-grained
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(plain.planes, want[0].planes))
+
+
+def test_apply_grain_standalone_odd_dims():
+    # odd-dimension 4:2:0 with chroma grain: the chroma pass reads luma
+    # column `width` / row `height` (ops/ref/filmgrain.py:330), which a
+    # Picture's CROPPED visible planes don't have — the standalone
+    # apply_grain must pad before graining (round-3 advisor finding).
+    fg = dict(seed=7, num_y_points=2, y_points=[(0, 40), (255, 40)],
+              num_uv_points=[2, 2],
+              uv_points=[[(0, 48), (255, 48)], [(0, 48), (255, 48)]],
+              ar_coeff_lag=0, scaling_shift=8, overlap_flag=1)
+    seq = make_seq_hdr(95, 63)
+    kf = make_key_frame_hdr(seq, qidx=100)
+    seq.film_grain_present = 1
+    kf.film_grain_present = 1
+    for k, v in fg.items():
+        setattr(kf.film_grain_data, k, v)
+    ivf = gen_ivf(seq, [(kf, gen_intra_frame(seq, kf,
+                                             RandomPolicy(7))[0])])
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+
+    def decode(grain_on):
+        d = Decoder(Settings(apply_grain=grain_on))
+        _, units = open_demuxer(ivf)
+        pics = []
+        for unit in units:
+            d.send_obus(unit)
+            while (pic := d.get_picture()) is not None:
+                pics.append(pic)
+        return pics
+
+    want = decode(True)[0]
+    plain = decode(False)[0]
+    assert plain.width == 95 and plain.height == 63
+    grained = Decoder(Settings(apply_grain=False)).apply_grain(plain)
+    for a, b in zip(grained.planes, want.planes):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
