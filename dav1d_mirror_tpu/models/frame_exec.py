@@ -213,6 +213,8 @@ def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
     sig, desc, desc16 = prog.finalize()
     if fuse is None:
         fuse = _fuse_default()
+    if _VOLLOG:
+        _log_volumes(sig, desc, desc16)
     if fuse:
         if _SIGLOG:
             _log_signature(sig, desc)
@@ -226,7 +228,31 @@ def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
 
 import os as _os
 _SIGLOG = bool(_os.environ.get("DAV1D_TPU_SIGLOG"))
+_VOLLOG = bool(_os.environ.get("DAV1D_TPU_VOLLOG"))
 _seen_sigs = {}
+
+
+def _log_volumes(sig, desc, desc16):
+    """DAV1D_TPU_VOLLOG=1: one stderr line per program dispatch with the
+    host<->device transfer volumes this program implies — descriptor
+    upload (int32 + int16 sides) and result download (hres residual
+    buckets + output planes). The tunnel download path is ~30 MB/s, so
+    these volumes ARE the steady-state frame time at 1080p."""
+    import sys
+    ops, n_planes = sig[0], sig[1]
+    plane_shapes, out_dtype = sig[3], sig[7]
+    hres_el = 0
+    for op in ops:
+        if op[0] == "hresm":
+            hres_el += int(np.prod(op[2][1], dtype=np.int64))
+        elif op[0] == "hres":
+            hres_el += int(np.prod(op[3][1], dtype=np.int64))
+    pb = sum(int(np.prod(s, dtype=np.int64)) for s in plane_shapes)
+    pb *= np.dtype(out_dtype).itemsize if out_dtype else 4
+    print(f"[vollog] up32={desc.nbytes/1e6:.2f}MB "
+          f"up16={desc16.nbytes/1e6:.2f}MB "
+          f"hres={hres_el*4/1e6:.2f}MB planes={pb/1e6:.2f}MB "
+          f"ops={len(ops)}", file=sys.stderr, flush=True)
 
 
 def _log_signature(sig, desc):
@@ -357,6 +383,12 @@ def _interpreter(sig):
                 _, pl, uw, uh, cid, h_cols, B, h_ys, h_xs = rec
                 hpad = hp[cid]
                 cols = [get(h) for h in h_cols]
+                if len(cols) == 7:
+                    # compact form: (slot, ry, r0, rx, x0, frow, my) —
+                    # expand the (8, Bp*uw) tap lanes on device
+                    fv = mc_pallas.vpass_cols_device(
+                        cols[5], cols[6], uw)
+                    cols = cols[:5] + [fv]
                 out = mc_pallas.vpass_run(hpad, *cols, uw, uh, bd,
                                           False, B)
                 planes[pl] = scatter_units(planes[pl], out,
@@ -566,10 +598,13 @@ def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
                                           else None))
         if prog.use_pallas:
             cid, remap = cid
-            cols, _ = mc_pallas.vpass_prep(remap[slot], arr[:, :6], tv,
-                                           uw, uh, H, W)
+            cols, _ = mc_pallas.vpass_prep_compact(
+                remap[slot], arr[:, :6], tv, uw, uh, H, W)
+            # all compact columns are int16-range (slot<combos, coords
+            # < padded plane dims, taps selectors tiny) — this bucket
+            # family used to dominate the frame descriptor upload
             prog.op("puthv_p", pl, uw, uh, cid,
-                    tuple(prog.emit(c) for c in cols), arr.shape[0],
+                    tuple(prog.emit16(c) for c in cols), arr.shape[0],
                     h_ys, h_xs)
         else:
             ox = np.clip(arr[:, 2], -_HPAD_L, W - 1).astype(np.int32)

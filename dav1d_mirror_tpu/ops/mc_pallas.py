@@ -145,6 +145,37 @@ def vpass_prep(slot, arr, tv, uw, uh, Hh, W):
             B + padn)
 
 
+def vpass_prep_compact(slot, arr, tv, uw, uh, Hh, W):
+    """Compact variant of vpass_prep for the fused frame program: emits
+    per-UNIT scalars only — (slot, ry, r0, rx, x0, frow, my), all
+    int16-safe — and lets the traced interpreter expand the (8, B*uw)
+    fv_lanes tap array on DEVICE (vpass_cols_device). The expanded
+    lanes were ~70% of the 1080p frame descriptor upload."""
+    B = arr.shape[0]
+    padn = (-B) % CHUNK
+    if padn:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], padn, 0)])
+        tv = np.concatenate([tv, np.repeat(tv[-1:], padn)])
+        slot = np.concatenate([slot, np.repeat(slot[-1:], padn)])
+    oy_p = np.clip(arr[:, 1], -PAD_T, Hh - 1) + PAD_T
+    oxh = np.clip(arr[:, 2], -15, W - 1) + 15
+    rows = np.where(uh <= 4, 3 + (tv & 1), tv)
+    return ((slot.astype(np.int32), (oy_p & ~7).astype(np.int32),
+             (oy_p & 7).astype(np.int32), (oxh & ~127).astype(np.int32),
+             (oxh & 127).astype(np.int32), rows.astype(np.int32),
+             arr[:, 4].astype(np.int32)),
+            B + padn)
+
+
+def vpass_cols_device(frow, my, uw):
+    """Expand (frow, my) per-unit tap selectors to the (8, Bp*uw)
+    fv_lanes array the vpass kernel wants — traced (device) twin of the
+    host expansion in vpass_prep."""
+    fv = jnp.asarray(_SUBPEL_NP, jnp.int32)[frow, my - 1]   # (Bp, 8)
+    fv = jnp.repeat(fv[:, :, None], uw, axis=2)             # (Bp, 8, uw)
+    return jnp.transpose(fv, (1, 0, 2)).reshape(8, -1)
+
+
 def vpass_run(hstack_padded, slot, ry, r0, rx, x0, fv_lanes, uw, uh,
               bitdepth, prep, n_units):
     """Traced vertical pass over prepped descriptor arrays (jnp or np);

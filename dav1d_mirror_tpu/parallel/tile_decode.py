@@ -368,20 +368,27 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                          jnp.asarray(xs), jnp.asarray(sel)))
 
     # replicated reference stacks per plane (7 slots; absent -> zeros).
-    # Shapes MUST match the single-device path's ref planes so the
-    # clamped-edge MC gathers stay bit-exact.
+    # Shapes MUST match the single-device path's ref planes — the
+    # VISIBLE dims (tpu_inter.py:714 refspec), not the sb-aligned padded
+    # planes: MC windows past the frame edge clamp to the last visible
+    # row/col, and a padded slab would hand them pad pixels instead.
     ref_stacks = []
     for pl in range(n_planes):
-        hv, wv = bufs.planes[pl].shape
+        sh_p = ss_hor if pl else 0
+        sv_p = ss_ver if pl else 0
+        wv = (bufs.width + sh_p) >> sh_p
+        hv = (bufs.height + sv_p) >> sv_p
         slabs = []
         for i in range(7):
             rb = refs[fhdr.refidx[i]]
             if rb is None:
                 slabs.append(np.zeros((hv, wv), np.int32))
             else:
-                assert rb.planes[pl].shape == (hv, wv), \
+                assert (rb.width, rb.height) == (bufs.width,
+                                                 bufs.height), \
                     "sharded_inter_decode: scaled refs unsupported"
-                slabs.append(np.asarray(rb.planes[pl], np.int32))
+                slabs.append(
+                    np.asarray(rb.planes[pl][:hv, :wv], np.int32))
         ref_stacks.append(jnp.asarray(np.stack(slabs)))
 
     in_specs = (tuple(P(None) for _ in range(n_planes)),

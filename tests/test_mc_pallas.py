@@ -49,3 +49,34 @@ def test_pallas_hplanes_matches_xla_when_available():
     hs, remap = mc_pallas.mc_hplanes_pallas(refs, combos, 8)
     b = np.asarray(hs)[remap]
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (4, 8), (8, 4), (4, 4)])
+def test_vpass_prep_compact_matches_full(shape):
+    """The compact per-unit descriptor form (int16-safe scalars expanded
+    to tap lanes on DEVICE via vpass_cols_device) must reproduce exactly
+    the columns the full host-side vpass_prep builds — backend-free
+    check, runs on CPU."""
+    uw, uh = shape
+    rng = np.random.default_rng(uw * 10 + uh)
+    H, W = 96, 128
+    Hh = 2 * H + 10
+    n = 57        # deliberately not a CHUNK multiple (exercises padding)
+    arr = np.stack([rng.integers(0, 7, n), rng.integers(-50, H + 30, n),
+                    rng.integers(-50, W + 30, n), rng.integers(1, 16, n),
+                    rng.integers(1, 16, n), rng.integers(0, 9, n)],
+                   1).astype(np.int32)
+    tv = rng.integers(0, 3, n).astype(np.int32)
+    slot = rng.integers(0, 24, n).astype(np.int32)
+    full, bf = mc_pallas.vpass_prep(slot, arr, tv, uw, uh, Hh, W)
+    comp, bc = mc_pallas.vpass_prep_compact(slot, arr, tv, uw, uh, Hh, W)
+    assert bf == bc
+    for a, b in zip(full[:5], comp[:5]):
+        np.testing.assert_array_equal(a, b)
+        # int16-safety: the compact form ships on the 16-bit side buffer
+        assert np.all(np.abs(b) < (1 << 15))
+    for c in comp[5:]:
+        assert np.all(np.abs(c) < (1 << 15))
+    fv = np.asarray(mc_pallas.vpass_cols_device(
+        jnp.asarray(comp[5]), jnp.asarray(comp[6]), uw))
+    np.testing.assert_array_equal(fv, full[5])

@@ -27,7 +27,7 @@ def _decode(ivf, settings, sig_box=None, dec=None, n_passes=1):
     if sig_box is not None:
         def spy(*a, **k):
             built = orig(*a, **k)
-            sig, _ = built.prog.finalize()   # pure: safe to call twice
+            sig = built.prog.finalize()[0]   # pure: safe to call twice
             sig_box.append(sig)
             return built
 

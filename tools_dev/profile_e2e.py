@@ -43,7 +43,14 @@ def main():
     dec = api.Decoder(api.Settings(
         logger=None, use_tpu_inter=True, use_tpu_filters=True,
         n_threads=args.threads, apply_grain=True))
+    import os
+    xprof_dir = os.environ.get("PROF_TRACE")
     for pno in range(args.passes):
+        jt = None
+        if xprof_dir and pno == args.passes - 1:
+            import jax
+            jt = jax.profiler.trace(xprof_dir)
+            jt.__enter__()
         trace.reset()
         frame_times = []
         t0 = time.perf_counter()
@@ -70,6 +77,8 @@ def main():
             "frames": n, "total_s": round(total, 2),
             "fps": round(n / total, 3), "frame_times_s": frame_times,
             "stages_ms_total": stages})
+        if jt is not None:
+            jt.__exit__(None, None, None)
         dec.flush()
         # re-demux: units are reusable, flush resets decoder state
     if args.json:
