@@ -140,6 +140,63 @@ def get_frame_delay(settings: Settings | None = None) -> int:
     return 1
 
 
+def _gather_planes(pixel_fut, bufs):
+    """Gather-stage job (in-order, one per frame): wait for the frame's
+    pixel stage, then pull the deferred device->host plane downloads
+    into bufs.planes. Runs on its own worker so the tunnel transfer of
+    frame N overlaps frame N+1's dispatch/compute."""
+    pixel_fut.result()
+    pend = getattr(bufs, "_pending_dl", None)
+    if pend is not None:
+        bufs._pending_dl = None
+        from .utils.trace import trace_scope
+        with trace_scope("filters.download"):
+            for i, p in enumerate(pend):
+                bufs.planes[i] = np.asarray(p).astype(
+                    bufs.planes[i].dtype)
+    return bufs
+
+
+def _wait_host_planes(refs):
+    """Block until every reference's HOST planes are final (their
+    gather-stage download finished). Device-path consumers bind
+    dev_planes and never need this; host recon / the Python fallback
+    walk read refs[...].planes directly."""
+    for rb in refs or ():
+        f = getattr(rb, "_gather_fut", None)
+        if f is not None:
+            f.result()
+
+
+_warmed = [False]
+
+
+def _warm_transfer_path():
+    """The tunneled TPU backend pays a large one-time cost (~30 s
+    measured) on the FIRST device->host transfer of a process —
+    unrelated to data size, and serial with the first frame's download
+    if left to happen there. Kick it off on a daemon thread at decoder
+    open so it overlaps OBU parsing / entropy decode / XLA compiles of
+    the first frames instead."""
+    if _warmed[0]:
+        return
+    _warmed[0] = True
+
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return
+            np.asarray(jnp.zeros(8, jnp.int32))
+        except Exception:
+            pass
+
+    import threading
+    threading.Thread(target=work, daemon=True,
+                     name="dav1d-tunnel-warm").start()
+
+
 class Decoder:
     """dav1d_open/send_data/get_picture/flush/close as one object."""
 
@@ -152,6 +209,7 @@ class Decoder:
             # compiles cost seconds; see utils/jit_cache)
             from .utils.jit_cache import enable_persistent_cache
             enable_persistent_cache()
+            _warm_transfer_path()
         # frame pipelining (dav1d frame threading re-expressed as
         # host-entropy(N+1) || device-pixels(N) software pipelining):
         # a single in-order pixel worker; entropy and all reference-state
@@ -164,6 +222,8 @@ class Decoder:
         # sticky across flush() — seeks shouldn't recompile. Created
         # lazily so host-only decoding never imports the device stack.
         self._prog_schema = None
+        self._gather_pipe = None
+        self._ginflight = []
         if self.s.n_threads > 1 or self.s.max_frame_delay > 1:
             import concurrent.futures as _cf
             self._pipe = _cf.ThreadPoolExecutor(max_workers=1)
@@ -171,6 +231,10 @@ class Decoder:
             # pipeline 3-stage: entropy(N+2) [native, GIL-free] ||
             # build(N+1) [Python planning] || device-pixels(N)
             self._build_pipe = _cf.ThreadPoolExecutor(max_workers=1)
+            # output-plane downloads run on a 4th in-order stage so the
+            # ~30 MB/s tunnel transfer of frame N overlaps frame N+1's
+            # dispatch/compute instead of serializing the pixel worker
+            self._gather_pipe = _cf.ThreadPoolExecutor(max_workers=1)
             self._frame_delay = max(self.s.max_frame_delay, 2)
         self.flush()
 
@@ -183,6 +247,13 @@ class Decoder:
                 except Exception:
                     pass
             self._inflight = []
+        if self._gather_pipe is not None:
+            for f in self._ginflight:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            self._ginflight = []
 
     def _maybe_save_schema(self):
         """Persist the packing schema when it grew (utils/schema_cache);
@@ -225,6 +296,9 @@ class Decoder:
         if self._build_pipe is not None:
             self._build_pipe.shutdown(wait=True)
             self._build_pipe = None
+        if self._gather_pipe is not None:
+            self._gather_pipe.shutdown(wait=True)
+            self._gather_pipe = None
         self._out = []
         self._refs = [None] * 8
 
@@ -395,7 +469,11 @@ class Decoder:
                 vis += [p[:ch, :cw] for p in planes[1:]]
             pic.planes = tuple(vis)
 
-        if self._pipe is not None:
+        if self._gather_pipe is not None:
+            # ordered after the frame's gather job (plane downloads) on
+            # the 1-worker gather queue — finalize reads bufs.planes
+            pic._ready = self._gather_pipe.submit(finalize)
+        elif self._pipe is not None:
             # ordered after the frame's pixel job on the 1-worker queue
             pic._ready = self._pipe.submit(finalize)
         else:
@@ -618,6 +696,8 @@ class Decoder:
                 built_fut = type("_Now", (), {
                     "result": staticmethod(lambda: _built)})()
 
+        defer_dl = self._gather_pipe is not None and use_tpu_filters
+
         def pixel_work():
             work = work_bufs
             with trace_scope("reconstruction"):
@@ -632,6 +712,9 @@ class Decoder:
                     from .models.tpu_intra import recon_intra_frame_tpu
                     recon_intra_frame_tpu(seq, fhdr, coders, work)
                 else:
+                    # host recon reads reference HOST planes — wait out
+                    # any still-downloading gather stages for its refs
+                    _wait_host_planes(refs_snapshot)
                     rd.recon_frame(seq, fhdr, coders, work,
                                    refs_snapshot, jnt_weights)
             if use_tpu_filters:
@@ -639,21 +722,36 @@ class Decoder:
                 with trace_scope("inloop-filters"):
                     out = apply_inloop_filters_tpu(
                         seq, fhdr, coders, work,
-                        filters_mask=settings.inloop_filters)
+                        filters_mask=settings.inloop_filters,
+                        defer_download=defer_dl)
             else:
                 with trace_scope("inloop-filters"):
                     out = rd.apply_inloop_filters(
                         seq, fhdr, coders, work,
                         filters_mask=settings.inloop_filters)
             if out is not final_bufs:
-                for i in range(len(final_bufs.planes)):
-                    final_bufs.planes[i][...] = out.planes[i]
+                pend = getattr(out, "_pending_dl", None)
+                if pend is not None:
+                    # downloads deferred: hand the device handles to
+                    # final_bufs; the gather stage fills its planes
+                    out._pending_dl = None
+                    final_bufs._pending_dl = pend
+                else:
+                    for i in range(len(final_bufs.planes)):
+                        final_bufs.planes[i][...] = out.planes[i]
                 final_bufs.dev_planes = out.dev_planes
             return final_bufs
 
         if self._pipe is not None:
             fut = self._pipe.submit(pixel_work)
             self._inflight.append(fut)
+            if self._gather_pipe is not None:
+                gfut = self._gather_pipe.submit(_gather_planes, fut,
+                                                final_bufs)
+                final_bufs._gather_fut = gfut
+                self._ginflight.append(gfut)
+                while len(self._ginflight) > self._frame_delay:
+                    self._ginflight.pop(0)
             while len(self._inflight) > self._frame_delay:
                 self._inflight.pop(0).result()
         else:

@@ -134,7 +134,8 @@ def _pad_stripe_np(pre_lr, pre, x, y, w, h, edges, plane_w):
     return out
 
 
-def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
+def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
+                             defer_download=False):
     """Full TPU in-loop filter chain over bufs.planes (numpy in/out).
     Equivalent to models.ref_decoder.apply_inloop_filters, including the
     debug enable mask and super-resolution (which always runs).  When
@@ -295,15 +296,23 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7):
         # super-res rebound `bufs`; the (possibly donated) input buffers
         # on the original FrameBuffers are dead — no dangling refs
         orig_bufs.dev_planes = None
+    for p in planes:
+        try:
+            p.copy_to_host_async()
+        except Exception:
+            break
+    bufs.dev_planes = list(planes)
+    if defer_download:
+        # stage-split pipelining (api._decode_frame): the ~30 MB/s
+        # tunnel download of the output planes runs on the gather
+        # stage, overlapped with the NEXT frame's dispatch/compute —
+        # device-side consumers (the next frame's ref binds) only need
+        # dev_planes, which are already published above
+        bufs._pending_dl = list(planes)
+        return bufs
     with trace_scope("filters.download"):
-        for p in planes:
-            try:
-                p.copy_to_host_async()
-            except Exception:
-                break
         for i, p in enumerate(planes):
             bufs.planes[i] = np.asarray(p).astype(bufs.planes[i].dtype)
-    bufs.dev_planes = list(planes)
     return bufs
 
 

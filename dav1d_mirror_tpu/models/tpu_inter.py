@@ -1274,6 +1274,11 @@ def execute_frame_program(built, seq, fhdr, coders, bufs, refs,
                     break
         if not done:
             _phase("py-walk")
+            # the Python fallback walk reads reference HOST planes
+            # (host-fallback inter blocks) — wait out any in-flight
+            # gather-stage downloads for them (api stage-split)
+            from ..api import _wait_host_planes
+            _wait_host_planes(refs)
             from .plan_vec import ResidBucket
             residual_map = {}
             for (pl, lst), res in zip(hres_meta, hres):

@@ -129,3 +129,42 @@ def test_pipelined_decode_matches_sync():
     m1, n1 = run(max_frame_delay=3)
     m2, n2 = run(n_threads=4)
     assert (m0, n0) == (m1, n1) == (m2, n2)
+
+
+@pytest.mark.slow
+def test_pipelined_device_path_matches_sync():
+    """Stage-split pipelining on the DEVICE path (deferred filter-plane
+    downloads on the gather stage) is bit-exact with the synchronous
+    device decode — covers api._gather_planes/_wait_host_planes.
+
+    Slow tier: the first device-path decode in a process jits ~360
+    bucket kernels on the CPU backend (~4 min); the path itself is also
+    validated on real hardware by tools_dev/profile_e2e --threads 2."""
+    from dav1d_mirror_tpu.api import Decoder, Settings
+    from dav1d_mirror_tpu.host.demux import open_demuxer
+    from dav1d_mirror_tpu.output import MD5Muxer
+    from pathlib import Path
+    ivf = (Path(__file__).parent / "streams" / "inter_basic.ivf"
+           ).read_bytes()
+
+    def run(**kw):
+        d = Decoder(Settings(logger=None, use_tpu_inter=True,
+                             use_tpu_filters=True, **kw))
+        mux = MD5Muxer()
+        _, units = open_demuxer(ivf)
+        n = 0
+        for u in units:
+            d.send_obus(u)
+            while (p := d.get_picture()) is not None:
+                mux.write(p)
+                n += 1
+        d.drain()
+        while (p := d.get_picture()) is not None:
+            mux.write(p)
+            n += 1
+        d.close()
+        return mux.digest(), n
+
+    m0, n0 = run()
+    m1, n1 = run(n_threads=4)
+    assert (m0, n0) == (m1, n1)

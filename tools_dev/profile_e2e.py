@@ -52,13 +52,16 @@ def main():
             jt = jax.profiler.trace(xprof_dir)
             jt.__enter__()
         trace.reset()
+        from dav1d_mirror_tpu.output import MD5Muxer
+        mux = MD5Muxer()
         frame_times = []
         t0 = time.perf_counter()
         last = t0
         n = 0
         for tu in units:
             dec.send_obus(tu)
-            while dec.get_picture() is not None:
+            while (pic := dec.get_picture()) is not None:
+                mux.write(pic)
                 now = time.perf_counter()
                 frame_times.append(round(now - last, 4))
                 last = now
@@ -73,9 +76,12 @@ def main():
               f"({n / total:.3f} fps) ==")
         print(trace.report())
         print("frame times:", frame_times)
+        md5 = mux.digest()
+        print(f"[pass {pno}] md5: {md5}")
         result["passes"].append({
             "frames": n, "total_s": round(total, 2),
-            "fps": round(n / total, 3), "frame_times_s": frame_times,
+            "fps": round(n / total, 3), "md5": md5,
+            "frame_times_s": frame_times,
             "stages_ms_total": stages})
         if jt is not None:
             jt.__exit__(None, None, None)
