@@ -201,19 +201,31 @@ def mc_vpass_pallas(hstack_padded, Hh, W, slot, arr, tv, subpel_table,
     return vpass_run(hstack_padded, *cols, uw, uh, bitdepth, prep, B)
 
 
-HROWS = 128     # row band per hplane grid step
+HROWS = 128     # max row band per hplane grid step (shrinks at 4K)
 HGROUP = 4      # combos per grid step (same ref; cuts per-step overhead)
 
 
+def _hplane_rows(w_out: int) -> int:
+    """Row band per hplane grid step, sized against the 16 MB scoped
+    VMEM limit. Measured footprint is ~45 B per (row, lane): the int16
+    in/out blocks double-buffered PLUS the kernel's int32 widening and
+    accumulator temporaries. Target ~11.5 MB: 128 rows at <=1080p
+    widths (unchanged), 64 at 4K (fixed 128 OOM'd Mosaic's compile
+    with 22.5 MB)."""
+    rows = (11_500_000 // 45) // w_out
+    return max(8, min(HROWS, rows & ~7))
+
+
 @functools.lru_cache(maxsize=None)
-def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int):
+def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int,
+                  hrows: int = HROWS):
     ib = 4 if bitdepth == 8 else 14 - bitdepth
     rnd = (1 << (6 - ib)) >> 1
     sh = 6 - ib
 
     def kernel(refmap_ref, taps_ref, refs_ref, out_ref):
-        # refs block: (1, HROWS, w_in) int16 selected by refmap[c];
-        # taps: full (C, 8) int32 table; out: (1, HROWS, w_out) int16
+        # refs block: (1, hrows, w_in) int16 selected by refmap[c];
+        # taps: full (C, 8) int32 table; out: (1, hrows, w_out) int16
         g = pl.program_id(1)
         x = refs_ref[0].astype(jnp.int32)
         for j in range(HGROUP):
@@ -236,17 +248,17 @@ def _make_hplanes(bitdepth: int, n_rb: int, w_in: int, w_out: int):
             in_specs=[
                 pl.BlockSpec(taps.shape, lambda rb, g, refmap: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, HROWS, w_in),
+                pl.BlockSpec((1, hrows, w_in),
                              lambda rb, g, refmap:
                              (refmap[g * HGROUP], rb, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((HGROUP, HROWS, w_out),
+            out_specs=pl.BlockSpec((HGROUP, hrows, w_out),
                                    lambda rb, g, refmap: (g, rb, 0),
                                    memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((C, n_rb * HROWS, w_out),
+            out_shape=jax.ShapeDtypeStruct((C, n_rb * hrows, w_out),
                                            jnp.int16),
             grid_spec=grid_spec,
         )(refmap, taps, refs_padded)
@@ -283,18 +295,19 @@ def hplanes_run(ref_stack, refmap, taps, bitdepth):
     w_out = W + 22
     w_in_raw = w_out + 7
     w_in = -(-w_in_raw // 128) * 128
-    n_rb = -(-H // HROWS)
+    hrows = _hplane_rows(w_out)
+    n_rb = -(-H // hrows)
     # x window: x0 in [-15, W+6], taps reach x0+7 -> pad 15 left,
     # replicate right to w_in
     refs16 = ref_stack.astype(jnp.int16)
     left = jnp.repeat(refs16[:, :, :1], 15, axis=2)
     right = jnp.repeat(refs16[:, :, -1:], w_in - W - 15, axis=2)
     refs_p = jnp.concatenate([left, refs16, right], axis=2)
-    if n_rb * HROWS != H:
+    if n_rb * hrows != H:
         refs_p = jnp.concatenate(
-            [refs_p, jnp.repeat(refs_p[:, -1:], n_rb * HROWS - H,
+            [refs_p, jnp.repeat(refs_p[:, -1:], n_rb * hrows - H,
                                 axis=1)], axis=1)
-    run = _make_hplanes(bitdepth, n_rb, w_in, w_out)
+    run = _make_hplanes(bitdepth, n_rb, w_in, w_out, hrows)
     out = run(refs_p, jnp.asarray(refmap), jnp.asarray(taps))
     return out[:, :H]
 
