@@ -666,6 +666,56 @@ def bench_e2e_host():
     return _bench_e2e_small(device=False)
 
 
+def bench_e2e_host_big():
+    """HOST-pixel-path fps + md5 for the big e2e configs (the same
+    cached streams the device sections decode). The host path is the
+    production default (api._route_tpu): on this image it beats the
+    transfer-bound tunneled device path at every size, so the honest
+    per-config headline is max(host, device) — record both."""
+    out = {}
+    try:
+        import dav1d_mirror_tpu.api as api
+        from dav1d_mirror_tpu.host.demux import open_demuxer
+        from dav1d_mirror_tpu.output import MD5Muxer
+        for name, cfg in E2E_CONFIGS.items():
+            if _remaining() < 60:
+                break
+            ivf = _bench_stream(name, cfg, 9)
+            _, units = open_demuxer(ivf)
+            units = list(units)
+            dec = api.Decoder(api.Settings(
+                use_tpu_inter=False, use_tpu_filters=False,
+                n_threads=2))
+            mux = MD5Muxer()
+            n = 0
+            t0 = time.perf_counter()
+            for obus in units:
+                dec.send_obus(obus)
+                while (pic := dec.get_picture()) is not None:
+                    mux.write(pic)
+                    n += 1
+            dt = time.perf_counter() - t0
+            o_md5 = None
+            if os.path.exists(ORACLE):
+                with tempfile.TemporaryDirectory() as d:
+                    src = os.path.join(d, "s.ivf")
+                    with open(src, "wb") as f:
+                        f.write(ivf)
+                    r = subprocess.run(
+                        [ORACLE, "-i", src, "--muxer", "md5", "-o",
+                         "-", "-q", "--filmgrain", "1"],
+                        capture_output=True, text=True, timeout=600)
+                    if r.returncode == 0:
+                        o_md5 = r.stdout.strip().split()[0]
+            out[name] = {
+                "fps": round(n / dt, 2), "frames": n,
+                "md5_matches_oracle": (mux.digest() == o_md5)
+                if o_md5 else None}
+    except Exception as e:
+        out["error"] = repr(e)[:200]
+    return out
+
+
 def bench_e2e_device_small():
     return _bench_e2e_small(device=True)
 
@@ -707,6 +757,7 @@ def _assemble() -> dict:
                         "times faster.",
             "baseline_Mpix_per_sec": round(base_mpix, 2),
             "e2e_host_fps_448x256": RESULTS.get("e2e_host", 0.0),
+            "e2e_host_big": RESULTS.get("e2e_host_big", {}),
             "e2e_device_fps_448x256": RESULTS.get("e2e_device_448x256",
                                                   0.0),
             "kernels_Mpix_per_sec": RESULTS.get("kernel_table", {}),
@@ -855,6 +906,7 @@ def main():
     _run_section("dav1d_baseline", dav1d_baseline, 120)
     _run_section("kernel_table", bench_kernel_table, 360)
     _run_section("e2e_host", bench_e2e_host, 120)
+    _run_section("e2e_host_big", bench_e2e_host_big, 240)
     _run_section("e2e_device_448x256", bench_e2e_device_small, 240)
     for name, cfg in E2E_CONFIGS.items():
         _run_section(name, lambda n=name, c=cfg: bench_e2e_device(n, c),

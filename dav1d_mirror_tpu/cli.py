@@ -68,7 +68,10 @@ def parse_args(argv=None):
                         "(tools/dav1d.c:93 synchronization)")
     p.add_argument("--tpu", action="store_true",
                    help="force the JAX device pixel pipelines (default: "
-                        "auto-on when the JAX backend is a TPU)")
+                        "host path — it currently beats the tunneled "
+                        "device path at every frame size; "
+                        "DAV1D_TPU_AUTO_MIN_PIX=N re-enables size-"
+                        "based auto-routing)")
     p.add_argument("--no-tpu", dest="notpu", action="store_true",
                    help="force the host pixel path even on a TPU backend")
     p.add_argument("--tpuintra", action="store_true",

@@ -545,6 +545,29 @@ def _interpreter(sig):
                 snap["res"][pl] = _resid_scatter(
                     snap["res"][pl], get(h_cf), get(h_ys),
                     get(h_xs), tx, txtp, bd, False)
+            elif kind == "resrawm":
+                # type-as-data twin of resraw (mirrors residm) — keyed
+                # by (plane, tx SIZE) for schema-stable signatures
+                _, pl, sh, sw, tx, h_cf, h_rs, h_cs, h_ys, h_xs = rec
+                snap["res"][pl] = _resid_scatter_multi(
+                    snap["res"][pl], get(h_cf), get(h_rs),
+                    get(h_cs), get(h_ys), get(h_xs),
+                    tx, bd, False)
+            elif kind == "embed":
+                # re-home a plane into the intra engine's padded layout
+                # (PADT top/left margin, uniform luma-padded shape) —
+                # bridges the inter program's planes to intrascan
+                _, pl, Hp, Wp, ph, pw, padt = rec
+                planes[pl] = jnp.zeros((Hp, Wp), jnp.int32).at[
+                    padt:padt + ph, padt:padt + pw].set(
+                        planes[pl][:ph, :pw])
+            elif kind == "palset":
+                # palette pixels pre-placed as 4x4 tiles (no recon
+                # dependency; PAD_OOB rows dropped by the scatter)
+                _, pl, h_vals, h_ys, h_xs = rec
+                planes[pl] = scatter_units(planes[pl], get(h_vals),
+                                           get(h_ys),
+                                           get(h_xs), 4, 4)
             elif kind == "intrascan":
                 _, h_mp, h_fpl, ssh, ssv, npl = rec
                 from .tpu_intra import intra_scan

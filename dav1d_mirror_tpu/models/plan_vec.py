@@ -260,8 +260,10 @@ def _sel_table():
 def plan_residuals_vec(coders, dd_flags):
     """Vectorized residual bucketing over the dense coef records.
     dd_flags: per-coder uint8 (0 host, 1 device, 2 device-put+host-
-    blend). Returns (rplans, hplans) keyed (plane, tx, is_wht) ->
-    ResidBucket (device buckets carry ys/xs; host buckets carry ci/cj).
+    blend, 3 device intra engine). Returns (rplans, hplans, iplans)
+    keyed (plane, tx, is_wht) -> ResidBucket (device buckets carry
+    ys/xs; host buckets carry ci/cj; iplans feed the wavefront intra
+    engine's residual planes — resrawm ops).
 
     Falls back to None when a coder's coef ranges aren't the contiguous
     decode-order tiling the vectorization assumes (never the case for
@@ -281,15 +283,16 @@ def plan_residuals_vec(coders, dd_flags):
         else:
             blkid = np.zeros(0, np.int64)
         keep = (coef[:, 5] >= 0) & (blk[blkid, B_SKIP] == 0)
-        dev = dd_flags[c_i][blkid] == 1
-        per.append((coder, coef, keep, dev,
+        ddv = dd_flags[c_i][blkid]
+        per.append((coder, coef, keep, ddv,
                     np.arange(n_coefs, dtype=np.int64)))
 
     sel_tab = _sel_table()
-    rplans, hplans = {}, {}
-    for dst, want_dev in ((rplans, True), (hplans, False)):
-        for c_i, (coder, coef, keep, dev, cj_all) in enumerate(per):
-            m = keep & (dev if want_dev else ~dev)
+    rplans, hplans, iplans = {}, {}, {}
+    for dst, cls in ((rplans, 1), (hplans, 0), (iplans, 3)):
+        for c_i, (coder, coef, keep, ddv, cj_all) in enumerate(per):
+            m = keep & ((ddv == cls) if cls != 0
+                        else ((ddv == 0) | (ddv == 2)))
             if not m.any():
                 continue
             sub = coef[m]
@@ -327,7 +330,7 @@ def plan_residuals_vec(coders, dd_flags):
                         np.concatenate([b.sel, nb.sel]),
                         np.concatenate([b.ci, nb.ci]),
                         np.concatenate([b.cj, nb.cj]))
-    return rplans, hplans
+    return rplans, hplans, iplans
 
 
 def build_cdef_noskip(fhdr, coders):

@@ -433,7 +433,8 @@ def recon_frame_tpu(seq, fhdr, coders, bufs, refs, jnt_weights=None,
 
 
 def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
-                        keep_device=False, schema: ProgramSchema = None):
+                        keep_device=False, schema: ProgramSchema = None,
+                        intra_engine=False):
     """Plan + pack the whole per-frame device pixel stage. Reads only
     entropy products (blocks/coefs/refmvs) and reference METADATA
     (dims/slots) — reference pixels are bound later by
@@ -1066,12 +1067,43 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # signatures. WHT (lossless 4x4) keeps its dedicated bucket.
     from ..ops.itx import itx_multi_sel
     from ..ops.itx_meta import WHT_WHT
-    from .plan_vec import ResidBucket, plan_residuals_vec
-    rplans = hplans = None
+    from .plan_vec import (ResidBucket, plan_residuals_vec, B_INTRA,
+                           B_SKIP)
+    # ---- mixed-frame device intra (wavefront engine) eligibility ----
+    # Every non-intra block must be device-covered (dd 1) and there may
+    # be no inter-intra blends (dd 2, host decode-order work): intra
+    # units' edges must only ever read pixels the device itself
+    # produced. Eligible intra blocks are re-marked dd=3; their
+    # residuals feed the engine's residual planes instead of the
+    # host-map (hres) path, and the frame becomes full_device — no
+    # plane download, no host walk.
+    eng = bool(intra_engine and not intra_frame and vec is not None
+               and keep_device)
+    if eng:
+        for ci, coder in enumerate(coders):
+            blk = coder.native_arrays[0]
+            dd = vec["dd_per"][ci]
+            intra_m = blk[:, B_INTRA] != 0
+            if ((dd == 2).any() or
+                    ((dd == 0) & ~intra_m).any()):
+                eng = False
+                break
+        if eng:
+            for ci, coder in enumerate(coders):
+                blk = coder.native_arrays[0]
+                dd = vec["dd_per"][ci]
+                dd[(dd == 0) & (blk[:, B_INTRA] != 0)] = 3
+    rplans = hplans = iplans = None
     if vec is not None:
         rv = plan_residuals_vec(coders, vec["dd_per"])
         if rv is not None:
-            rplans, hplans = rv
+            rplans, hplans, iplans = rv
+    if rplans is None and eng:
+        # vectorized residual bucketing unavailable: undo the engine
+        # marking so the per-block fallback routes intra to the host
+        eng = False
+        for dd in vec["dd_per"]:
+            dd[dd == 3] = 0
     if rplans is None:
         rplans = {}     # scatter-add buckets
         hplans = {}     # host-map buckets
@@ -1155,6 +1187,16 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
                     prog.emit(sel[:, 1]))
         hres_meta.append((pl, lst))
 
+    if eng:
+        # device intra: every remaining (plain-intra) block
+        # reconstructs inside this same program via the wavefront scan;
+        # the frame is then full_device — no plane download, no host
+        # pass 2 (models/tpu_intra.emit_mixed_intra)
+        _phase("intra-plan")
+        from .tpu_intra import emit_mixed_intra
+        emit_mixed_intra(prog, seq, fhdr, coders, iplans, _padn,
+                         _cases, prog.plane_shapes)
+
     if not intra_frame:
         prog.op("out")   # native-dtype planes: 4x smaller downloads/refs
 
@@ -1167,7 +1209,8 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     built.ii_blocks = ii_blocks
     built.intra_frame = intra_frame
     built.dd_per = vec["dd_per"] if vec is not None else None
-    n_dev = (sum(int((dd == 1).sum()) for dd in vec["dd_per"])
+    n_dev = (sum(int(((dd == 1) | (dd == 3)).sum())
+                 for dd in vec["dd_per"])
              if vec is not None else len(device_blocks))
     built.full_device = (keep_device and not intra_frame and not hplans
                          and n_dev == total_blocks)

@@ -800,3 +800,135 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
             bufs.planes[i].dtype)
     bufs.dev_planes = dev
     return bufs
+
+
+def emit_mixed_intra(prog, seq, fhdr, coders, iplans, padn, cases,
+                     plane_shapes):
+    """Emit the wavefront intra engine's op suite into a MIXED inter
+    frame's fused program (models/tpu_inter.build_frame_program):
+
+      embed (planes -> padded layout) -> palset (palette 4x4 tiles) ->
+      newres -> resrawm/resraw (intra residual planes, type-as-data) ->
+      intrascan (the wave scan; inter pixels are wave 0) -> crop back.
+
+    All inter prediction/residual ops precede this suite, so every
+    pixel an intra unit's edges can read — inter (wave 0) or earlier-
+    wave intra — is final when its wave executes; dav1d interleaves the
+    same dependency per-block in decode order (recon_tmpl.c:1195).
+    `padn`/`cases` are build_frame_program's schema-aware pad/case-union
+    closures — the suite packs at grow-only sizes so the frame signature
+    converges like the inter ops do."""
+    from ..ops.mc_tpu import PAD_OOB
+    from ..ops.itx_meta import TX_INFO, WHT_WHT
+
+    bd = seq.bitdepth
+    ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
+    ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
+    n_planes = len(plane_shapes)
+    bw, bh = coders[0].bw, coders[0].bh
+    ch_w = (bw + ss_hor) >> ss_hor
+    ch_h = (bh + ss_ver) >> ss_ver
+    Hp = bh * 4 + PADT + PAD
+    Wp = bw * 4 + PADT + PAD
+    plane_dims = [(bh * 4, bw * 4)] + \
+        [(ch_h * 4, ch_w * 4)] * (n_planes - 1)
+
+    for pl in range(n_planes):
+        ph, pw = plane_dims[pl]
+        prog.op("embed", pl, Hp, Wp, ph, pw, PADT)
+
+    # ---- palette pre-placement as 4x4 tile scatters (always emitted:
+    # presence must not flip the signature between frames with and
+    # without palette blocks; all-pad batches scatter-drop) ----
+    tiles = [[] for _ in range(n_planes)]   # (vals(4,4), y, x)
+    for coder in coders:
+        for b in coder.blocks:
+            if not b.intra or (not b.pal_sz[0] and not b.pal_sz[1]):
+                continue
+            b_dim = T_BLOCK_DIM[b.bs]
+            bw4, bh4 = int(b_dim[0]), int(b_dim[1])
+            if b.pal_sz[0]:
+                px_ = np.asarray(b.pal[0], np.int64)[b.pal_idx_y]
+                py0, px0 = 4 * b.by + PADT, 4 * b.bx + PADT
+                for oy in range(0, bh4 * 4, 4):
+                    for ox in range(0, bw4 * 4, 4):
+                        tiles[0].append((px_[oy:oy + 4, ox:ox + 4],
+                                         py0 + oy, px0 + ox))
+            if b.pal_sz[1] and n_planes > 1 and \
+                    (bw4 > ss_hor or b.bx & 1) and \
+                    (bh4 > ss_ver or b.by & 1):
+                cbw4 = (bw4 + ss_hor) >> ss_hor
+                cbh4 = (bh4 + ss_ver) >> ss_ver
+                py0 = 4 * (b.by >> ss_ver) + PADT
+                px0 = 4 * (b.bx >> ss_hor) + PADT
+                for pl in (1, 2):
+                    pv_ = np.asarray(b.pal[pl], np.int64)[b.pal_idx_uv]
+                    for oy in range(0, cbh4 * 4, 4):
+                        for ox in range(0, cbw4 * 4, 4):
+                            tiles[pl].append(
+                                (pv_[oy:oy + 4, ox:ox + 4],
+                                 py0 + oy, px0 + ox))
+    for pl in range(n_planes):
+        B = len(tiles[pl])
+        P_ = padn(("palsetN", pl), B)
+        vals = np.zeros((P_, 4, 4), np.int32)
+        ys = np.full(P_, PAD_OOB, np.int32)
+        xs = np.zeros(P_, np.int32)
+        for i, (v, y, x) in enumerate(tiles[pl]):
+            vals[i] = v
+            ys[i] = y
+            xs[i] = x
+        prog.op("palset", pl, prog.emit(vals), prog.emit(ys),
+                prog.emit(xs))
+
+    prog.op("newres")
+
+    # ---- intra residual planes: type-as-data buckets at +PADT ----
+    def _dummy(key):
+        return []
+
+    for (pl, tx, is_wht), lst in cases(("resrawm",), iplans, _dummy):
+        w_t, h_t, _ = TX_INFO[tx]
+        sh, sw = min(h_t, 32), min(w_t, 32)
+        B = len(lst)
+        P_ = padn(("resrawmN", pl, tx, is_wht), B)
+        cf = np.zeros((P_, sh, sw), np.int32)
+        ys = np.full(P_, PAD_OOB, np.int32)
+        xs = np.zeros(P_, np.int32)
+        sel = np.zeros((P_, 2), np.int32)
+        if B:
+            cf[:B] = lst.cf
+            ys[:B] = lst.ys + PADT
+            xs[:B] = lst.xs + PADT
+            sel[:B] = lst.sel
+        emit_cf = prog.emit16 if bd == 8 else prog.emit
+        if is_wht:
+            prog.op("resraw", pl, tx, WHT_WHT, emit_cf(cf),
+                    prog.emit(ys), prog.emit(xs))
+        else:
+            prog.op("resrawm", pl, sh, sw, tx, emit_cf(cf),
+                    prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
+                    prog.emit(ys), prog.emit(xs))
+
+    # ---- wave plan ----
+    done = [np.zeros((bh, bw), np.int32),
+            np.zeros((ch_h, ch_w), np.int32),
+            np.zeros((ch_h, ch_w), np.int32)]
+    plan = IntraPlan()
+    for coder in coders:
+        build_intra_plan(seq, fhdr, coder, done, plan)
+    main_plan, filt_plan, n_waves = plan.finalize()
+    nw = padn(("iscan", "nw"), main_plan.shape[0])
+    k_m = padn(("iscan", "km"), main_plan.shape[1])
+    k_f = padn(("iscan", "kf"), max(filt_plan.shape[1], 1))
+    mp = np.zeros((nw, k_m, NPARAMS), np.int32)
+    mp[:main_plan.shape[0], :main_plan.shape[1]] = main_plan
+    fpl = np.zeros((nw, k_f, NPARAMS), np.int32)
+    fpl[:filt_plan.shape[0], :filt_plan.shape[1]] = filt_plan
+    prog.op("intrascan", prog.emit(mp), prog.emit(fpl), ss_hor,
+            ss_ver, n_planes)
+
+    for pl in range(n_planes):
+        ph, pw = plane_dims[pl]
+        fh, fw = plane_shapes[pl]
+        prog.op("crop", pl, PADT, PADT, ph, pw, fh, fw)
