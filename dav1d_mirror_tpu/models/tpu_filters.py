@@ -44,7 +44,6 @@ def build_cdef_plan(fhdr, coders):
     n64x = (bw4 + 15) >> 4
     n64y = (bh4 + 15) >> 4
     cdef_idx_map = np.full((n64y, n64x), -1, np.int32)
-    noskip = np.zeros((bh4, bw4), bool)
     for coder in coders:
         sb_step = coder.sb_step
         for (bx, by, idxs) in coder.cdef_idx:

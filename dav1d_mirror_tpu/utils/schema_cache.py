@@ -68,8 +68,12 @@ def load_schema(schema, key) -> bool:
 
 
 def save_schema(schema, key) -> None:
-    """Atomically persist `schema`, merged over any on-disk state (a
-    concurrent writer's growth is kept)."""
+    """Persist `schema`, merged over the on-disk state. The final
+    os.replace is atomic, but the read-merge-replace sequence is not
+    locked across processes: two concurrent writers can each merge the
+    same on-disk state and the later replace drops the earlier writer's
+    growth. Accepted by design — growth is monotone per process, so a
+    lost merge only means re-learning pad sizes, never corruption."""
     p = _path(key)
     if p is None:
         return
