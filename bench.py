@@ -561,7 +561,10 @@ def bench_e2e_device(name, cfg, seed=9, min_spare_s=30.0):
         # pass 1 absorbs jit compiles (ProgramSchema converges the
         # stream to ONE fused program; the persistent cache carries the
         # compiles across processes). Pass 2 (flush + replay) is the
-        # saturated steady state the bench reports.
+        # saturated steady state the bench reports — with the per-stage
+        # wall-time split recorded (VERDICT r4 #1: perf decisions must
+        # be steered by recorded numbers, not docstring folklore).
+        from dav1d_mirror_tpu.utils import trace
         times, md5, t0, aborted = one_pass()
         n = len(times)
         if not n:
@@ -571,7 +574,10 @@ def bench_e2e_device(name, cfg, seed=9, min_spare_s=30.0):
         out["frames"] = n
         if not aborted:
             dec.flush()
+            trace.enabled = True
+            trace.reset()
             times2, md5b, t0b, ab2 = one_pass()
+            trace.enabled = False
             if times2 and not ab2:
                 n2 = len(times2)
                 out["fps"] = round(n2 / (times2[-1] - t0b), 2)
@@ -581,6 +587,13 @@ def bench_e2e_device(name, cfg, seed=9, min_spare_s=30.0):
                         (n2 - 1) / (times2[-1] - times2[0]), 2)
                 out["frame_ms"] = [round((b - a) * 1e3, 1) for a, b in
                                    zip([t0b] + times2[:-1], times2)]
+                # steady-pass per-stage wall ms per frame (stages run on
+                # the 4 pipeline workers, so they overlap — the split
+                # shows WHERE time goes, the frame_ms shows the bound)
+                out["stage_split_ms_per_frame"] = {
+                    k: round(v * 1000 / max(n2, 1), 1)
+                    for k, (v, _) in sorted(trace.stats().items(),
+                                            key=lambda kv: -kv[1][0])}
                 md5 = md5b
         if "fps" not in out:
             out["fps"] = out["fps_coldstart"]
@@ -669,14 +682,16 @@ def bench_e2e_host():
 def bench_e2e_host_big():
     """HOST-pixel-path fps + md5 for the big e2e configs (the same
     cached streams the device sections decode). The host path is the
-    production default (api._route_tpu): on this image it beats the
-    transfer-bound tunneled device path at every size, so the honest
-    per-config headline is max(host, device) — record both."""
+    no-TPU fallback and the auto route below ~400k pixels
+    (api._route_tpu); at HD+ the device path wins 20-50x (r4/r5
+    measurements), so this section records the fallback's honest cost,
+    with its per-stage split."""
     out = {}
     try:
         import dav1d_mirror_tpu.api as api
         from dav1d_mirror_tpu.host.demux import open_demuxer
         from dav1d_mirror_tpu.output import MD5Muxer
+        from dav1d_mirror_tpu.utils import trace
         for name, cfg in E2E_CONFIGS.items():
             if _remaining() < 60:
                 break
@@ -688,6 +703,8 @@ def bench_e2e_host_big():
                 n_threads=2))
             mux = MD5Muxer()
             n = 0
+            trace.enabled = True
+            trace.reset()
             t0 = time.perf_counter()
             for obus in units:
                 dec.send_obus(obus)
@@ -695,6 +712,10 @@ def bench_e2e_host_big():
                     mux.write(pic)
                     n += 1
             dt = time.perf_counter() - t0
+            split = {k: round(v * 1000 / max(n, 1), 1)
+                     for k, (v, _) in sorted(trace.stats().items(),
+                                             key=lambda kv: -kv[1][0])}
+            trace.enabled = False
             o_md5 = None
             if os.path.exists(ORACLE):
                 with tempfile.TemporaryDirectory() as d:
@@ -709,6 +730,7 @@ def bench_e2e_host_big():
                         o_md5 = r.stdout.strip().split()[0]
             out[name] = {
                 "fps": round(n / dt, 2), "frames": n,
+                "stage_split_ms_per_frame": split,
                 "md5_matches_oracle": (mux.digest() == o_md5)
                 if o_md5 else None}
     except Exception as e:
@@ -897,20 +919,22 @@ def main():
         base_mpix, base_fps = bench_dav1d_baseline()
         return {"mpix": base_mpix, "fps": base_fps}
 
-    # ordered so the most important numbers land first and the cheap,
-    # hang-proof sections can never be starved by the e2e decodes
-    # (round-3 verdict: kernel_table ran last and was skipped every
-    # round); budgets are per-section wall caps, further clipped by the
-    # global deadline
-    _run_section("device_pipeline", device_pipeline, 420)
+    # Budget allocation (VERDICT r4 weak #3): the REAL e2e decodes are
+    # the round's headline and run FIRST — the 4K leg before the 1080p
+    # legs (it has never produced a device number and its compiles are
+    # the most expensive to redo); the synthetic device_pipeline runs
+    # LAST with a tight cap (it has produced its last useful headline).
     _run_section("dav1d_baseline", dav1d_baseline, 120)
-    _run_section("kernel_table", bench_kernel_table, 360)
+    for name in ("e2e_4k_10bit_multitile", "e2e_1080p_inter_cdef",
+                 "e2e_1080p_10bit_grain_lr"):
+        _run_section(name,
+                     lambda n=name, c=E2E_CONFIGS[n]:
+                     bench_e2e_device(n, c), 420)
+    _run_section("kernel_table", bench_kernel_table, 240)
     _run_section("e2e_host", bench_e2e_host, 120)
+    _run_section("e2e_device_448x256", bench_e2e_device_small, 180)
     _run_section("e2e_host_big", bench_e2e_host_big, 240)
-    _run_section("e2e_device_448x256", bench_e2e_device_small, 240)
-    for name, cfg in E2E_CONFIGS.items():
-        _run_section(name, lambda n=name, c=cfg: bench_e2e_device(n, c),
-                     420)
+    _run_section("device_pipeline", device_pipeline, 60)
     _emit_snapshot(final=True)
     sys.stdout.flush()
     sys.stderr.flush()

@@ -142,18 +142,29 @@ def get_frame_delay(settings: Settings | None = None) -> int:
 
 def _gather_planes(pixel_fut, bufs):
     """Gather-stage job (in-order, one per frame): wait for the frame's
-    pixel stage, then pull the deferred device->host plane downloads
+    pixel stage, then pull the deferred device->host plane download
     into bufs.planes. Runs on its own worker so the tunnel transfer of
-    frame N overlaps frame N+1's dispatch/compute."""
+    frame N overlaps frame N+1's dispatch/compute. The download is one
+    packed flat buffer (frame_exec "outpack") split host-side — one
+    tunnel round-trip per frame instead of one per plane."""
     pixel_fut.result()
     pend = getattr(bufs, "_pending_dl", None)
     if pend is not None:
         bufs._pending_dl = None
         from .utils.trace import trace_scope
         with trace_scope("filters.download"):
-            for i, p in enumerate(pend):
-                bufs.planes[i] = np.asarray(p).astype(
-                    bufs.planes[i].dtype)
+            if isinstance(pend, (list, tuple)):   # per-plane buffers
+                for i, p in enumerate(pend):
+                    bufs.planes[i] = np.asarray(p).astype(
+                        bufs.planes[i].dtype)
+            else:
+                flat = np.asarray(pend)
+                off = 0
+                for i, tgt in enumerate(bufs.planes):
+                    n = tgt.size
+                    bufs.planes[i] = flat[off:off + n].reshape(
+                        tgt.shape).astype(tgt.dtype, copy=False)
+                    off += n
     return bufs
 
 

@@ -45,6 +45,39 @@ from ..ops.itx import (_residual_core, _residual_multi_core, itx_residual,
                        itx_residual_multi)
 
 
+def compact_cf(cf):
+    """Sparsify a (B, sh, sw) coefficient batch to (vals (B, K),
+    pos (B, K), K): inverse-transform inputs are mostly zeros (eob
+    truncates the scan), and on the tunneled TPU every descriptor byte
+    is frame time, so the upload carries only the nonzeros; the device
+    rebuilds the dense block with one batched scatter (pad lanes carry
+    an OOB position, mode=\"drop\"). K is the bucket's max nonzero
+    count, padded to pow2 by the caller's schema for signature
+    stability."""
+    B = cf.shape[0]
+    S = cf.shape[1] * cf.shape[2]
+    flat = cf.reshape(B, S)
+    r, c = np.nonzero(flat)
+    counts = np.bincount(r, minlength=B)
+    K = max(int(counts.max()) if B else 0, 1)
+    starts = np.zeros(B + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    k_idx = np.arange(len(r)) - starts[r]
+    vals = np.zeros((B, K), np.int32)
+    pos = np.full((B, K), S, np.int32)   # S = OOB -> dropped
+    vals[r, k_idx] = flat[r, c]
+    pos[r, k_idx] = c
+    return vals, pos, K
+
+
+def _expand_cf(vals, pos, sh: int, sw: int):
+    """Device-side inverse of compact_cf: (B, K)+(B, K) -> (B, sh, sw)."""
+    B = vals.shape[0]
+    dense = jnp.zeros((B, sh * sw), jnp.int32)
+    dense = dense.at[jnp.arange(B)[:, None], pos].set(vals, mode="drop")
+    return dense.reshape(B, sh, sw)
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _resid_scatter_multi(plane, cfs, rsel, csel, ys, xs, tx: int,
                          bitdepth: int, add: bool = True):
@@ -107,6 +140,8 @@ class FrameProgram:
         self._off = 0
         self._chunks16 = []
         self._off16 = 0
+        self._chunks8 = []
+        self._off8 = 0
         self._hp_ids = {}      # (pl, combos-bytes) -> cache id
         self._n_cm = 0         # seg-mask registry counter
         self.use_pallas = mc_pallas.pallas_available()
@@ -130,6 +165,21 @@ class FrameProgram:
         h = (self._off16, a.shape, 16)
         self._chunks16.append(a.reshape(-1))
         self._off16 += a.size
+        return h
+
+    def emit8(self, arr):
+        """Emit into the int8 side buffer — for small-range per-4x4
+        filter maps (deblock levels <= 63, edge masks, luts, CDEF
+        strengths), the dominant upload of the filter-chain program.
+        The tunnel charges ~100 ms latency + bandwidth per frame, so
+        every descriptor byte is frame time. Same caveats as emit16."""
+        a = np.asarray(arr)
+        assert a.size == 0 or (a.min() >= -128 and a.max() <= 127), \
+            "emit8 value out of int8 range"
+        a = np.ascontiguousarray(a.astype(np.int8))
+        h = (self._off8, a.shape, 8)
+        self._chunks8.append(a.reshape(-1))
+        self._off8 += a.size
         return h
 
     def op(self, *rec):
@@ -182,10 +232,12 @@ class FrameProgram:
             np.zeros(1, np.int32)
         desc16 = np.concatenate(self._chunks16) if self._chunks16 else \
             np.zeros(1, np.int16)
+        desc8 = np.concatenate(self._chunks8) if self._chunks8 else \
+            np.zeros(1, np.int8)
         sig = (tuple(self.ops), self.n_planes, self.bd,
                self.plane_shapes, self.refspec, self.srefspec,
                self.plane_inputs, self.out_dtype)
-        return sig, desc, desc16
+        return sig, desc, desc16, desc8
 
 
 def _fuse_default() -> bool:
@@ -210,20 +262,20 @@ def run_frame_program(prog: FrameProgram, refsrc, fuse=None):
     host uint8/16 uploads); the program assembles the per-plane 7-slot
     stacks and scaled-ref views from them. Returns
     (planes tuple, hres tuple)."""
-    sig, desc, desc16 = prog.finalize()
+    sig, desc, desc16, desc8 = prog.finalize()
     if fuse is None:
         fuse = _fuse_default()
     if _VOLLOG:
-        _log_volumes(sig, desc, desc16)
+        _log_volumes(sig, desc, desc16, desc8)
     if fuse:
         if _SIGLOG:
             _log_signature(sig, desc)
         return _compiled(sig)(jnp.asarray(desc), jnp.asarray(desc16),
-                              tuple(refsrc))
+                              jnp.asarray(desc8), tuple(refsrc))
     # eager replay: keep the descriptor on the HOST — get() then slices
     # numpy (free) and the jitted kernels take the numpy views directly,
     # instead of issuing thousands of tiny device slice ops
-    return _interpreter(sig)(desc, desc16, tuple(refsrc))
+    return _interpreter(sig)(desc, desc16, desc8, tuple(refsrc))
 
 
 import os as _os
@@ -232,7 +284,7 @@ _VOLLOG = bool(_os.environ.get("DAV1D_TPU_VOLLOG"))
 _seen_sigs = {}
 
 
-def _log_volumes(sig, desc, desc16):
+def _log_volumes(sig, desc, desc16, desc8):
     """DAV1D_TPU_VOLLOG=1: one stderr line per program dispatch with the
     host<->device transfer volumes this program implies — descriptor
     upload (int32 + int16 sides) and result download (hres residual
@@ -247,10 +299,15 @@ def _log_volumes(sig, desc, desc16):
             hres_el += int(np.prod(op[2][1], dtype=np.int64))
         elif op[0] == "hres":
             hres_el += int(np.prod(op[3][1], dtype=np.int64))
+        elif op[0] == "hresc":        # (tx, txtp, sh, sw, h_v, h_p)
+            hres_el += op[5][1][0] * op[3] * op[4]
+        elif op[0] == "hresmc":       # (tx, sh, sw, h_v, h_p, ...)
+            hres_el += op[4][1][0] * op[2] * op[3]
     pb = sum(int(np.prod(s, dtype=np.int64)) for s in plane_shapes)
     pb *= np.dtype(out_dtype).itemsize if out_dtype else 4
     print(f"[vollog] up32={desc.nbytes/1e6:.2f}MB "
           f"up16={desc16.nbytes/1e6:.2f}MB "
+          f"up8={desc8.nbytes/1e6:.2f}MB "
           f"hres={hres_el*4/1e6:.2f}MB planes={pb/1e6:.2f}MB "
           f"ops={len(ops)}", file=sys.stderr, flush=True)
 
@@ -289,7 +346,7 @@ def _compiled(sig):
     # plane-input programs (the filter chain) own their input planes —
     # donate them so XLA can filter in place instead of allocating a
     # second set of 1080p planes per frame
-    donate = (2,) if sig[6] else ()   # refsrc (the chain's input planes)
+    donate = (3,) if sig[6] else ()   # refsrc (the chain's input planes)
     return jax.jit(_interpreter(sig), donate_argnums=donate)
 
 
@@ -298,13 +355,13 @@ def _interpreter(sig):
     (ops, n_planes, bd, plane_shapes, refspec, srefspec,
      plane_inputs, out_dtype) = sig
 
-    def body(desc, desc16, refsrc):
+    def body(desc, desc16, desc8, refsrc):
         def get(h):
-            if len(h) == 3:      # int16 side buffer (emit16)
-                off, shape, _ = h
+            if len(h) == 3:      # narrow side buffers (emit16/emit8)
+                off, shape, bits = h
                 n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-                return desc16[off:off + n].reshape(shape).astype(
-                    np.int32)
+                src = desc16 if bits == 16 else desc8
+                return src[off:off + n].reshape(shape).astype(np.int32)
             off, shape = h
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1
             return desc[off:off + n].reshape(shape)
@@ -529,11 +586,31 @@ def _interpreter(sig):
                     planes[pl], get(h_cf), get(h_rs),
                     get(h_cs), get(h_ys), get(h_xs),
                     tx, bd)
+            elif kind == "residc":
+                _, pl, sh, sw, tx, txtp, h_v, h_p, h_ys, h_xs = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                planes[pl] = _resid_scatter(
+                    planes[pl], cf, get(h_ys), get(h_xs), tx, txtp, bd)
+            elif kind == "residmc":
+                _, pl, sh, sw, tx, h_v, h_p, h_rs, h_cs, h_ys, h_xs = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                planes[pl] = _resid_scatter_multi(
+                    planes[pl], cf, get(h_rs), get(h_cs),
+                    get(h_ys), get(h_xs), tx, bd)
             elif kind == "hresm":
                 _, tx, h_cf, h_rs, h_cs = rec
                 hres.append(itx_residual_multi(
                     get(h_cf), get(h_rs), get(h_cs),
                     tx, bd))
+            elif kind == "hresc":
+                _, tx, txtp, sh, sw, h_v, h_p = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                hres.append(itx_residual(cf, tx, txtp, bd))
+            elif kind == "hresmc":
+                _, tx, sh, sw, h_v, h_p, h_rs, h_cs = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                hres.append(itx_residual_multi(cf, get(h_rs),
+                                               get(h_cs), tx, bd))
             # ---- intra wavefront engine ops (models/tpu_intra) ----
             elif kind == "setplane":
                 _, pl, h_arr = rec
@@ -553,6 +630,18 @@ def _interpreter(sig):
                     snap["res"][pl], get(h_cf), get(h_rs),
                     get(h_cs), get(h_ys), get(h_xs),
                     tx, bd, False)
+            elif kind == "resrawc":
+                _, pl, tx, txtp, sh, sw, h_v, h_p, h_ys, h_xs = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                snap["res"][pl] = _resid_scatter(
+                    snap["res"][pl], cf, get(h_ys), get(h_xs),
+                    tx, txtp, bd, False)
+            elif kind == "resrawmc":
+                _, pl, sh, sw, tx, h_v, h_p, h_rs, h_cs, h_ys, h_xs = rec
+                cf = _expand_cf(get(h_v), get(h_p), sh, sw)
+                snap["res"][pl] = _resid_scatter_multi(
+                    snap["res"][pl], cf, get(h_rs), get(h_cs),
+                    get(h_ys), get(h_xs), tx, bd, False)
             elif kind == "embed":
                 # re-home a plane into the intra engine's padded layout
                 # (PADT top/left margin, uniform luma-padded shape) —
@@ -590,6 +679,13 @@ def _interpreter(sig):
                 hres.append(itx_residual(get(h_cf), tx, txtp, bd))
             elif kind == "out":
                 planes = [p.astype(jnp.dtype(out_dtype)) for p in planes]
+            elif kind == "outpack":
+                # single flat download buffer: the tunneled device->host
+                # path pays a fixed round-trip per transfer, so the
+                # deferred-download gather stage pulls ONE buffer
+                # instead of one per plane (api._gather_planes splits)
+                planes = planes + [jnp.concatenate(
+                    [p.reshape(-1) for p in planes])]
         return tuple(planes), tuple(hres)
 
     return body

@@ -166,25 +166,28 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
                                fhdr.loopfilter_level_y[1]):
         lf = build_lf_arrays(seq, fhdr, coders, bufs.width, bufs.height)
         e_lut, i_lut = calc_eih(fhdr.loopfilter_sharpness)
-        # deblock maps are dense per-4x4 frames of tiny values — the
-        # int16 side halves this program's dominant upload
+        # deblock maps are dense per-4x4 frames of tiny values (levels
+        # <= 63, edge classes -1..2) — the int8 side quarters this
+        # program's dominant upload (the tunnel charges ~100 ms latency
+        # + bandwidth per frame). e_lut peaks at 193 (2*(63+2)+63) so
+        # it stays on the int16 side; it is 64 entries, noise.
         h_el = prog.emit16(np.asarray(e_lut))
-        h_il = prog.emit16(np.asarray(i_lut))
+        h_il = prog.emit8(np.asarray(i_lut))
         sb_step4 = 32 if seq.sb128 else 16
         lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
-        prog.op("dbk", 0, True, sb_step4, prog.emit16(lf.edge_v_y),
-                prog.emit16(lf.edge_h_y), prog.emit16(lv),
-                prog.emit16(lvp), prog.emit16(lh_), prog.emit16(lhp),
+        prog.op("dbk", 0, True, sb_step4, prog.emit8(lf.edge_v_y),
+                prog.emit8(lf.edge_h_y), prog.emit8(lv),
+                prog.emit8(lvp), prog.emit8(lh_), prog.emit8(lhp),
                 h_el, h_il)
         if (len(planes_in) > 1 and
                 (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
-            h_ev = prog.emit16(lf.edge_v_uv)
-            h_eh = prog.emit16(lf.edge_h_uv)
+            h_ev = prog.emit8(lf.edge_v_uv)
+            h_eh = prog.emit8(lf.edge_h_uv)
             for pl in (0, 1):
                 lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
                 prog.op("dbk", 1 + pl, False, sb_step4 >> bufs.ss_ver,
-                        h_ev, h_eh, prog.emit16(lv), prog.emit16(lvp),
-                        prog.emit16(lh_), prog.emit16(lhp), h_el, h_il)
+                        h_ev, h_eh, prog.emit8(lv), prog.emit8(lvp),
+                        prog.emit8(lh_), prog.emit8(lhp), h_el, h_il)
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
                          for p in range(3)) if (filters_mask & 4) else 0
@@ -196,10 +199,10 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
             (any(fhdr.cdef_y_strength[:1 << fhdr.cdef_n_bits]) or
              any(fhdr.cdef_uv_strength[:1 << fhdr.cdef_n_bits])):
         cdef_idx_map, noskip = build_cdef_plan(fhdr, coders)
-        prog.op("cdef", prog.emit16(cdef_idx_map),
-                prog.emit16(noskip.astype(np.int16)),
-                prog.emit16(np.asarray(fhdr.cdef_y_strength, np.int16)),
-                prog.emit16(np.asarray(fhdr.cdef_uv_strength, np.int16)),
+        prog.op("cdef", prog.emit8(cdef_idx_map),
+                prog.emit8(noskip.astype(np.int8)),
+                prog.emit8(np.asarray(fhdr.cdef_y_strength, np.int8)),
+                prog.emit8(np.asarray(fhdr.cdef_uv_strength, np.int8)),
                 fhdr.cdef_damping + (bd - 8), bufs.ss_hor, bufs.ss_ver,
                 seq.layout == 0)
 
@@ -283,9 +286,14 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
                         h_ysout, h_eg, h_s0, h_s1, h_w0, h_w1)
 
     prog.op("out")   # native-dtype planes: 4x smaller downloads/refs
+    if defer_download:
+        prog.op("outpack")   # one flat buffer = one tunnel round-trip
     from ..utils.trace import trace_scope
     with trace_scope("filters.dispatch"):
         planes, _ = run_frame_program(prog, tuple(planes_in))
+    packed = None
+    if defer_download:
+        planes, packed = planes[:-1], planes[-1]
     import os as _os
     if _os.environ.get("DAV1D_TPU_SYNC_TRACE"):
         with trace_scope("filters.device-wait"):
@@ -295,7 +303,7 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
         # super-res rebound `bufs`; the (possibly donated) input buffers
         # on the original FrameBuffers are dead — no dangling refs
         orig_bufs.dev_planes = None
-    for p in planes:
+    for p in (planes if packed is None else [packed]):
         try:
             p.copy_to_host_async()
         except Exception:
@@ -306,8 +314,10 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
         # tunnel download of the output planes runs on the gather
         # stage, overlapped with the NEXT frame's dispatch/compute —
         # device-side consumers (the next frame's ref binds) only need
-        # dev_planes, which are already published above
-        bufs._pending_dl = list(planes)
+        # dev_planes, which are already published above. The download
+        # itself is ONE packed flat buffer (outpack): the tunnel pays a
+        # fixed round-trip per transfer, so per-plane pulls tripled it.
+        bufs._pending_dl = packed
         return bufs
     with trace_scope("filters.download"):
         for i, p in enumerate(planes):

@@ -1129,6 +1129,26 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # scatter-add buckets: part of the fused program (the descriptor
     # buffer is the frame's single upload, coefficients included)
     from ..ops.itx_meta import TX_INFO as _TXI
+
+    def _emit_compact_cf(cf, kkey):
+        """Sparse coefficient upload (frame_exec.compact_cf): dense tx
+        blocks are mostly zeros past the eob, and on the tunneled TPU
+        every descriptor byte is frame time — upload (vals, pos) of
+        the nonzeros only; K is schema-padded so the signature stays
+        frame-invariant. Returns (h_vals, h_pos, K)."""
+        from .frame_exec import compact_cf
+        vals, pos, K = compact_cf(cf)
+        S = cf.shape[1] * cf.shape[2]
+        Kp = _padn(kkey, K)
+        if Kp > K:
+            vals = np.pad(vals, ((0, 0), (0, Kp - K)))
+            pos = np.pad(pos, ((0, 0), (0, Kp - K)),
+                         constant_values=S)
+        # 8 bpc coefficient values fit int16 (dav1d's own 8bpc coef
+        # type); positions always do (S <= 1024)
+        h_vals = prog.emit16(vals) if bd == 8 else prog.emit(vals)
+        return h_vals, prog.emit16(pos), Kp
+
     for (pl, tx, is_wht), lst in _cases(("residm",), rplans,
                                         _dummy_resid):
         w_t, h_t, _ = _TXI[tx]
@@ -1150,15 +1170,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
             for i, e in enumerate(lst):
                 sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
-        # 8 bpc coefficients fit int16 (dav1d's own 8bpc coef type):
-        # emitting them on the int16 side halves the dominant slice of
-        # the per-frame descriptor upload
-        emit_cf = prog.emit16 if bd == 8 else prog.emit
+        h_vals, h_pos, _ = _emit_compact_cf(
+            cf, ("residmK", pl, tx, is_wht))
         if is_wht:
-            prog.op("resid", pl, sh, sw, tx, WHT_WHT, emit_cf(cf),
+            prog.op("residc", pl, sh, sw, tx, WHT_WHT, h_vals, h_pos,
                     prog.emit(ys), prog.emit(xs))
         else:
-            prog.op("residm", pl, sh, sw, tx, emit_cf(cf),
+            prog.op("residmc", pl, sh, sw, tx, h_vals, h_pos,
                     prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
                     prog.emit(ys), prog.emit(xs))
     # host-map buckets: residuals computed in the same program, fetched
@@ -1179,12 +1197,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             cfs[:B] = np.stack([e[0] for e in lst])
             for i, e in enumerate(lst):
                 sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
-        emit_cf = prog.emit16 if bd == 8 else prog.emit
+        h_vals, h_pos, _ = _emit_compact_cf(
+            cfs, ("hresmK", pl, tx, is_wht))
         if is_wht:
-            prog.op("hres", tx, WHT_WHT, emit_cf(cfs))
+            prog.op("hresc", tx, WHT_WHT, sh, sw, h_vals, h_pos)
         else:
-            prog.op("hresm", tx, emit_cf(cfs), prog.emit(sel[:, 0]),
-                    prog.emit(sel[:, 1]))
+            prog.op("hresmc", tx, sh, sw, h_vals, h_pos,
+                    prog.emit(sel[:, 0]), prog.emit(sel[:, 1]))
         hres_meta.append((pl, lst))
 
     if eng:

@@ -887,6 +887,8 @@ def emit_mixed_intra(prog, seq, fhdr, coders, iplans, padn, cases,
     def _dummy(key):
         return []
 
+    from .frame_exec import compact_cf
+
     for (pl, tx, is_wht), lst in cases(("resrawm",), iplans, _dummy):
         w_t, h_t, _ = TX_INFO[tx]
         sh, sw = min(h_t, 32), min(w_t, 32)
@@ -901,12 +903,21 @@ def emit_mixed_intra(prog, seq, fhdr, coders, iplans, padn, cases,
             ys[:B] = lst.ys + PADT
             xs[:B] = lst.xs + PADT
             sel[:B] = lst.sel
-        emit_cf = prog.emit16 if bd == 8 else prog.emit
+        # sparse coefficient upload (frame_exec.compact_cf): only the
+        # nonzeros cross the tunnel; K schema-padded for stability
+        vals, pos, K = compact_cf(cf)
+        Kp = padn(("resrawmK", pl, tx, is_wht), K)
+        if Kp > K:
+            vals = np.pad(vals, ((0, 0), (0, Kp - K)))
+            pos = np.pad(pos, ((0, 0), (0, Kp - K)),
+                         constant_values=sh * sw)
+        h_vals = prog.emit16(vals) if bd == 8 else prog.emit(vals)
+        h_pos = prog.emit16(pos)
         if is_wht:
-            prog.op("resraw", pl, tx, WHT_WHT, emit_cf(cf),
+            prog.op("resrawc", pl, tx, WHT_WHT, sh, sw, h_vals, h_pos,
                     prog.emit(ys), prog.emit(xs))
         else:
-            prog.op("resrawm", pl, sh, sw, tx, emit_cf(cf),
+            prog.op("resrawmc", pl, sh, sw, tx, h_vals, h_pos,
                     prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
                     prog.emit(ys), prog.emit(xs))
 

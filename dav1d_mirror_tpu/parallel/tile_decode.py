@@ -39,19 +39,22 @@ from ..ops.itx import itx_residual
 T_BLOCK_DIM = TABLES["block_dimensions"]
 
 
-def _band_assembly(seq, fhdr, coder, band_y0px):
-    """Per-tile-row plan + init/residual band planes (host side).
-    band_y0px: the band's top in luma pixels; all P_PY/P_BPY/P_YSRC_Y
-    coordinates are rebased so the band is self-contained."""
+def _band_assembly(seq, fhdr, coder, band_y0px, band_x0px=0):
+    """Per-tile plan + init/residual band planes (host side).
+    band_y0px/band_x0px: the tile's top-left in luma pixels; all
+    P_PY/P_PX/P_BPY/P_BPX/P_YSRC coordinates are rebased so the tile
+    slab is self-contained (tile-column sharding = nonzero x0)."""
     bitdepth = seq.bitdepth
     ss_hor = 1 if seq.layout != h.PIXEL_LAYOUT_I444 else 0
     ss_ver = 1 if seq.layout == h.PIXEL_LAYOUT_I420 else 0
     n_planes = 1 if seq.layout == h.PIXEL_LAYOUT_I400 else 3
     bw = coder.bw
     band_h4 = coder.row_end - coder.row_start
+    band_w4 = coder.col_end - coder.col_start
     Hb = band_h4 * 4 + PADT + PAD
-    Wb = bw * 4 + PADT + PAD
+    Wb = band_w4 * 4 + PADT + PAD
     cy0 = band_y0px >> ss_ver
+    cx0 = band_x0px >> ss_hor
 
     ch_w = (bw + ss_hor) >> ss_hor
     ch_full = ((coder.bh + ss_ver) >> ss_ver)
@@ -65,9 +68,13 @@ def _band_assembly(seq, fhdr, coder, band_y0px):
     def rebase(items):
         for pv, _ in items:
             y0 = band_y0px if pv[ipt.P_PLANE] == 0 else cy0
+            x0 = band_x0px if pv[ipt.P_PLANE] == 0 else cx0
             pv[ipt.P_PY] -= y0
             pv[ipt.P_BPY] -= y0
             pv[ipt.P_YSRC_Y] -= band_y0px
+            pv[ipt.P_PX] -= x0
+            pv[ipt.P_BPX] -= x0
+            pv[ipt.P_YSRC_X] -= band_x0px
 
     rebase(plan.items)
     rebase(plan.filter_items)
@@ -83,7 +90,7 @@ def _band_assembly(seq, fhdr, coder, band_y0px):
         bw4, bh4 = int(b_dim[0]), int(b_dim[1])
         if b.pal_sz[0]:
             py = 4 * b.by - band_y0px + PADT
-            px = 4 * b.bx + PADT
+            px = 4 * b.bx - band_x0px + PADT
             init[0][py:py + bh4 * 4, px:px + bw4 * 4] = \
                 np.asarray(b.pal[0], np.int64)[b.pal_idx_y]
         if b.pal_sz[1] and n_planes > 1 and \
@@ -91,7 +98,7 @@ def _band_assembly(seq, fhdr, coder, band_y0px):
             cbw4 = (bw4 + ss_hor) >> ss_hor
             cbh4 = (bh4 + ss_ver) >> ss_ver
             py = 4 * (b.by >> ss_ver) - cy0 + PADT
-            px = 4 * (b.bx >> ss_hor) + PADT
+            px = 4 * (b.bx >> ss_hor) - cx0 + PADT
             for pl in (1, 2):
                 init[pl][py:py + cbh4 * 4, px:px + cbw4 * 4] = \
                     np.asarray(b.pal[pl], np.int64)[b.pal_idx_uv]
@@ -105,41 +112,72 @@ def _band_assembly(seq, fhdr, coder, band_y0px):
         cfs = jnp.asarray(np.stack([e.cf for e in lst]).astype(np.int32))
         r = np.asarray(itx_residual(cfs, tx, txtp, bitdepth))
         y0 = band_y0px if pl == 0 else cy0
+        x0 = band_x0px if pl == 0 else cx0
         for i, e in enumerate(lst):
             py = e.y * 4 - y0 + PADT
-            px = e.x * 4 + PADT
+            px = e.x * 4 - x0 + PADT
             res[pl][py:py + r.shape[1], px:px + r.shape[2]] = r[i]
 
     return main_plan, filt_plan, init, res
 
 
-def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
-    """Decode an intra multi-tile-row frame with tile rows sharded over
-    the mesh, then the band-sharded filter chain. Fills bufs.planes."""
-    from ..models import tpu_filters as tf
-    from ..models.tpu_filters import build_cdef_plan
-    from ..host.lf import build_lf_arrays
-    from ..ops.ref.loopfilter import calc_eih
-    from .filter_shard import band_deblock_plane, band_cdef_plane
+def _tile_grid(fhdr, coders, n):
+    """(rows, cols, band_h4, band_w4): the uniform R x C tile grid the
+    mesh shards over (one tile per device, raster order)."""
+    t = fhdr.tiling
+    assert t.cols * t.rows == n, \
+        f"need {n} tiles total, have {t.rows}x{t.cols}"
+    band_h4s = {c.row_end - c.row_start for c in coders}
+    band_w4s = {c.col_end - c.col_start for c in coders}
+    assert len(band_h4s) == 1 and len(band_w4s) == 1, \
+        "tiles must be uniform"
+    return t.rows, t.cols, band_h4s.pop(), band_w4s.pop()
 
+
+def _stitch_tiles(out, n_planes, rows, cols, band_h4, band_w4, ss_hor,
+                  ss_ver, bufs, crop_padt=True):
+    """Assemble per-tile slabs (n, Hs, Ws) back into full planes.
+    Chroma content occupies the top-left of each luma-sized slab."""
+    planes = []
+    for i in range(n_planes):
+        ssv = ss_ver if i else 0
+        ssh = ss_hor if i else 0
+        bh_px = band_h4 * 4 >> ssv
+        bw_px = band_w4 * 4 >> ssh
+        o = np.asarray(out[i])
+        if crop_padt:
+            o = o[:, PADT:PADT + band_h4 * 4, PADT:PADT + band_w4 * 4]
+        full = np.concatenate(
+            [np.concatenate([o[r * cols + c][:bh_px, :bw_px]
+                             for c in range(cols)], axis=1)
+             for r in range(rows)], axis=0)
+        ph, pw = bufs.planes[i].shape
+        buf = np.zeros((ph, pw), np.int32)
+        ch = min(ph, full.shape[0])
+        cw = min(pw, full.shape[1])
+        buf[:ch, :cw] = full[:ch, :cw]
+        planes.append(buf)
+    return planes
+
+
+def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
+    """Decode an intra multi-tile frame with the R x C tile grid sharded
+    over the mesh (one tile per device, raster order — tiles are fully
+    independent for entropy and prediction), then the band-sharded
+    filter chain. Fills bufs.planes."""
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
-    t = fhdr.tiling
-    assert t.cols == 1 and t.rows == n, \
-        f"need {n} tile rows x 1 col, have {t.rows}x{t.cols}"
-    band_h4s = {c.row_end - c.row_start for c in coders}
-    assert len(band_h4s) == 1, "tile rows must be uniform"
-    band_h4 = band_h4s.pop()
+    rows, cols, band_h4, band_w4 = _tile_grid(fhdr, coders, n)
     bitdepth = seq.bitdepth
     ss_hor = bufs.ss_hor
     ss_ver = bufs.ss_ver
     n_planes = len(bufs.planes)
-    bw = coders[0].bw
 
     mains, filts, inits, ress = [], [], [], []
     for r, coder in enumerate(coders):
         m, f, init, res = _band_assembly(seq, fhdr, coder,
-                                         coder.row_start * 4)
+                                         coder.row_start * 4,
+                                         coder.col_start * 4)
         mains.append(m)
         filts.append(f)
         inits.append(init)
@@ -177,21 +215,8 @@ def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
                      tuple(jnp.asarray(p) for p in res_in),
                      jnp.asarray(mp), jnp.asarray(fp))
 
-    # stitch bands into full-frame planes (strip per-band padding)
-    planes = []
-    for i in range(n_planes):
-        ssv = ss_ver if i else 0
-        bh_px = band_h4 * 4 >> ssv
-        o = np.asarray(out[i])[:, PADT:PADT + (band_h4 * 4),
-                               PADT:PADT + bw * 4]
-        # chroma band rows occupy the top of each (luma-sized) band slab
-        full = np.concatenate([o[r][:bh_px] for r in range(n)], axis=0)
-        ph, pw = bufs.planes[i].shape
-        buf = np.zeros((ph, pw), np.int32)
-        cw = min(pw, full.shape[1])
-        buf[:min(ph, full.shape[0]), :cw] = full[:ph, :cw]
-        planes.append(buf)
-
+    planes = _stitch_tiles(out, n_planes, rows, cols, band_h4, band_w4,
+                           ss_hor, ss_ver, bufs)
     planes = banded_inloop_filters(mesh, seq, fhdr, coders, bufs, planes)
 
     for i in range(n_planes):
@@ -199,77 +224,121 @@ def sharded_intra_decode(seq, fhdr, coders, mesh: Mesh, bufs):
     return bufs
 
 
-def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
-    """Decode a translational INTER multi-tile-row frame with tile rows
-    sharded over the mesh (BASELINE config-4's inter leg):
+def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs,
+                         jnt_weights=None):
+    """Decode an INTER multi-tile frame with the R x C tile grid sharded
+    over the mesh (BASELINE config-4's inter leg):
 
       * reference planes are REPLICATED onto every shard (the
         multi-chip residency model — MVs may point anywhere in the ref,
         so each chip keeps the full previous-frame planes; dav1d's
         analogue is the shared address space its frame threads read
         ref rows from, thread_task.c:403-431);
-      * each shard runs its tile row's 8-tap MC unit batches + the
-        type-as-data residual scatter under ONE shard_map (zero
-        collectives — tile rows are independent);
+      * each shard runs its tile's 8-tap MC unit batches, compound
+        avg/weighted-avg joins + the type-as-data residual scatter
+        under ONE shard_map (zero collectives — tiles are independent);
       * the in-loop filters cross tile boundaries and run as the
         band-sharded passes with ppermute halo exchange.
 
-    Scope: single-ref translational blocks (incl. sub-8x8 chroma
-    quadrants). Warp/OBMC/compound blocks raise — the callers compose
-    streams accordingly (the single-chip fused program owns those).
+    Scope: translational blocks — single-ref (incl. sub-8x8 chroma
+    quadrants) and compound AVG / weighted-AVG. Warp/OBMC/masked
+    compound raise — the single-chip fused program owns those.
     refs: 7-slot list of FrameBuffers (int planes). Fills bufs.planes,
     bit-exact with the single-device decode."""
     from ..models.tpu_inter import (_units_for_block_raw, _pad_rows,
                                     _pad_vec, _p2)
     from ..models.frame_exec import _resid_scatter_multi
-    from ..ops.mc_tpu import mc_unit_batch, scatter_units, PAD_OOB
+    from ..ops.mc_tpu import (mc_unit_batch, scatter_units, set_slots,
+                              comp_join_wavg, PAD_OOB)
     from ..ops.itx import itx_multi_sel
     from ..ops.itx_meta import TX_INFO, WHT_WHT
+    from ..host.tilecoder import (COMP_INTER_NONE, COMP_INTER_AVG,
+                                  COMP_INTER_WEIGHTED_AVG)
 
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
-    t = fhdr.tiling
-    assert t.cols == 1 and t.rows == n, \
-        f"need {n} tile rows x 1 col, have {t.rows}x{t.cols}"
-    band_h4s = {c.row_end - c.row_start for c in coders}
-    assert len(band_h4s) == 1, "tile rows must be uniform"
-    band_h4 = band_h4s.pop()
+    rows_n, cols_n, band_h4, band_w4 = _tile_grid(fhdr, coders, n)
     bitdepth = seq.bitdepth
     ss_hor, ss_ver = bufs.ss_hor, bufs.ss_ver
     n_planes = len(bufs.planes)
     plane_shapes = [((band_h4 * 4) >> (ss_ver if pl else 0),
-                     bufs.planes[pl].shape[1]) for pl in range(n_planes)]
+                     (band_w4 * 4) >> (ss_hor if pl else 0))
+                    for pl in range(n_planes)]
 
-    # --- per-band planning (host): translational puts + residuals ---
+    # --- per-tile planning (host): translational puts + compound +
+    # residuals ---
     put_bands = [[dict() for _ in range(n_planes)] for _ in range(n)]
+    comp_bands = [dict() for _ in range(n)]
     res_bands = [dict() for _ in range(n)]
-    # ONE frame-wide decode-order filter map (cols==1, so coder order IS
-    # decode order) — per-band maps would read 0 instead of the previous
-    # band's filter2d for sub-8x8 chroma at a band's top row, diverging
-    # from the single-device path (models/tpu_inter.py:404)
+    # ONE frame-wide decode-order filter map (coders iterate in tile
+    # raster order, which IS bitstream decode order for any tiling) —
+    # per-band maps would read 0 instead of the previous tile's
+    # filter2d for sub-8x8 chroma at a tile's top row, diverging from
+    # the single-device path (models/tpu_inter.py:404)
     f2d_map = np.zeros((coders[0].bh, coders[0].bw), np.uint8)
     tl_f2d = 0
     for r, coder in enumerate(coders):
         rf = coder.rf
         band_y0 = coder.row_start * 4
+        band_x0 = coder.col_start * 4
         cy0 = band_y0 >> ss_ver
+        cx0 = band_x0 >> ss_hor
         for b in coder.blocks:
             b_dim = T_BLOCK_DIM[b.bs]
             bw4, bh4 = int(b_dim[0]), int(b_dim[1])
             bx, by = b.bx, b.by
-            if b.intra or b.comp_type or b.motion_mode or (
+            comp_ok = b.comp_type in (COMP_INTER_AVG,
+                                      COMP_INTER_WEIGHTED_AVG) and \
+                not b.motion_mode and not b.interintra_type
+            if comp_ok and b.inter_mode == 6:   # GLOBALMV_GLOBALMV
+                from ..models.ref_decoder import _gmv_warp_params
+                comp_ok = all(
+                    _gmv_warp_params(fhdr, b.ref[i], False) is None
+                    for i in (0, 1))
+            if b.intra or b.motion_mode or \
+                    (b.comp_type and not comp_ok) or (
+                    not b.comp_type and
                     b.inter_mode == 2 and          # GLOBALMV with a
                     fhdr.gmv[b.ref[0]].type > 1 and  # warping gm model
                     min(bw4, bh4) > 1):  # 4px-narrow GLOBALMV is
                 #                          translational (tpu_inter:435)
                 raise ValueError("sharded_inter_decode: translational "
-                                 "single-ref blocks only")
-            _units_for_block_raw(put_bands[r][0], 0, 0, 0, (bw4, bh4),
-                                 bx, by, b.mv[0], b.ref[0], b.filter2d,
-                                 dst=(by * 4 - band_y0, bx * 4))
+                                 "single-ref/avg-compound blocks only")
             has_chroma = (n_planes > 1 and
                           (bw4 > ss_hor or bx & 1) and
                           (bh4 > ss_ver or by & 1))
+            if b.comp_type:
+                # compound avg/wavg: whole-block sides per plane
+                # (compound needs bs >= 8x8, so no sub-8x8 chroma)
+                w = 8
+                if b.comp_type == COMP_INTER_WEIGHTED_AVG:
+                    w = jnt_weights[b.ref[0]][b.ref[1]]
+                for pl in range(n_planes):
+                    ssh = ss_hor if pl else 0
+                    ssv = ss_ver if pl else 0
+                    if pl and not has_chroma:
+                        continue
+                    bwp = (bw4 * 4) >> ssh
+                    bhp = (bh4 * 4) >> ssv
+                    sides = []
+                    for i in (0, 1):
+                        tmp = {}
+                        _units_for_block_raw(
+                            tmp, pl, ss_hor, ss_ver, (bw4, bh4), bx,
+                            by, b.mv[i], b.ref[i], b.filter2d,
+                            whole=True)
+                        (k2, l2), = tmp.items()
+                        sides.append((l2[0][:6], k2[2], k2[3]))
+                    comp_bands[r].setdefault((pl, bwp, bhp), []).append(
+                        (sides, w,
+                         (by * 4 - band_y0) >> ssv,
+                         (bx * 4 - band_x0) >> ssh))
+                f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
+                continue
+            _units_for_block_raw(put_bands[r][0], 0, 0, 0, (bw4, bh4),
+                                 bx, by, b.mv[0], b.ref[0], b.filter2d,
+                                 dst=(by * 4 - band_y0,
+                                      bx * 4 - band_x0))
             if has_chroma:
                 is_sub8x8 = bw4 == ss_hor or bh4 == ss_ver
                 if is_sub8x8:
@@ -281,7 +350,7 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                         is_sub8x8 &= rf.ref[by - 1, bx - 1, 0] > 0
                 if is_sub8x8:
                     # neighbour-MV chroma quadrants (recon_tmpl.c:1703)
-                    uvx = (bx >> ss_hor) * 4
+                    uvx = (bx >> ss_hor) * 4 - cx0
                     uvy = (by >> ss_ver) * 4 - cy0
                     h_off = v_off = 0
 
@@ -320,7 +389,7 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                             bx & ~ss_hor, by & ~ss_ver, b.mv[0],
                             b.ref[0], b.filter2d,
                             dst=(((by & ~ss_ver) * 4 >> ss_ver) - cy0,
-                                 ((bx & ~ss_hor) * 4 >> ss_hor)))
+                                 ((bx & ~ss_hor) * 4 >> ss_hor) - cx0))
             tl_f2d = b.filter2d
             f2d_map[by:by + bh4, bx:bx + bw4] = b.filter2d
         for cb in coder.coefs:
@@ -328,8 +397,9 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                 continue
             assert cb.txtp != WHT_WHT
             y0 = band_y0 if cb.plane == 0 else cy0
+            x0 = band_x0 if cb.plane == 0 else cx0
             res_bands[r].setdefault((cb.plane, cb.tx), []).append(
-                (cb.cf, cb.y * 4 - y0, cb.x * 4,
+                (cb.cf, cb.y * 4 - y0, cb.x * 4 - x0,
                  itx_multi_sel(cb.tx, cb.txtp)))
 
     # --- uniform packing across bands (the shard axis) ---
@@ -346,6 +416,64 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                   0)]
             arrs.append(_pad_rows(np.asarray(lst, np.int32), 6, padn))
         put_data.append(jnp.asarray(np.stack(arrs)))
+    # compound buckets: uniform (Np, ...) packing across tiles. Slot
+    # Np-1 is sacrificial (pad sides set_slots into it; pad dsts are
+    # OOB so the scatter drops the whole slot).
+    comp_keys = sorted({k for cb in comp_bands for k in cb})
+    comp_data = []
+    comp_meta = []
+    for key in comp_keys:
+        pl, bwp, bhp = key
+        Np = _p2(max(max((len(cb.get(key, [])) for cb in comp_bands)),
+                     1) + 1)
+        srows = np.zeros((n, 2, Np, 6), np.int32)
+        shh = np.zeros((n, 2, Np), bool)
+        shv = np.zeros((n, 2, Np), bool)
+        wts = np.full((n, Np), 8, np.int32)
+        dys = np.full((n, Np), PAD_OOB, np.int32)
+        dxs = np.zeros((n, Np), np.int32)
+        for r, cb in enumerate(comp_bands):
+            for i, (sides, w, dy, dx) in enumerate(cb.get(key, [])):
+                for si, (row6, hh, hv) in enumerate(sides):
+                    srows[r, si, i] = row6
+                    shh[r, si, i] = hh
+                    shv[r, si, i] = hv
+                wts[r, i] = w
+                dys[r, i] = dy
+                dxs[r, i] = dx
+        # per-(side, hh, hv) sub-batches with slot lists, uniform
+        # across tiles: every slot appears in exactly one sub-batch per
+        # side; absent combos point every slot at the sacrificial pad
+        subs = []          # (si, hh, hv) -> (rows (n,Ps,6), slots)
+        for si in (0, 1):
+            for hh in (False, True):
+                for hv in (False, True):
+                    sel = [np.nonzero((shh[r, si] == hh) &
+                                      (shv[r, si] == hv))[0]
+                           for r in range(n)]
+                    mx = max(max(len(s) for s in sel), 1)
+                    Ps = _p2(mx)
+                    rr = np.zeros((n, Ps, 6), np.int32)
+                    sl = np.full((n, Ps), Np - 1, np.int32)
+                    any_real = False
+                    for r in range(n):
+                        s = sel[r]
+                        if len(s):
+                            any_real = True
+                            rr[r, :len(s)] = srows[r, si, s]
+                            sl[r, :len(s)] = s
+                            # pad lanes re-target the sacrificial slot
+                            rr[r, len(s):] = rr[r, max(len(s) - 1, 0)]
+                    if not any_real:
+                        continue
+                    subs.append((si, hh, hv, jnp.asarray(rr),
+                                 jnp.asarray(sl)))
+        # static meta ((si, hh, hv) per sub) apart from the array pytree
+        # (shard_map specs must mirror the arrays only)
+        comp_meta.append((key, tuple(s[:3] for s in subs)))
+        comp_data.append(tuple(
+            [a for s in subs for a in s[3:]] +
+            [jnp.asarray(wts), jnp.asarray(dys), jnp.asarray(dxs)]))
     res_keys = sorted({k for rb in res_bands for k in rb})
     res_data = []
     for k in res_keys:
@@ -393,13 +521,14 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
 
     in_specs = (tuple(P(None) for _ in range(n_planes)),
                 tuple(P(axis) for _ in put_data),
+                tuple(tuple(P(axis) for _ in c) for c in comp_data),
                 tuple((P(axis),) * 4 for _ in res_data))
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=in_specs,
         out_specs=tuple(P(axis) for _ in range(n_planes)))
-    def recon_band(refstk, puts, ress):
+    def recon_band(refstk, puts, comps, ress):
         planes = [jnp.zeros((1,) + plane_shapes[pl], jnp.int32)
                   for pl in range(n_planes)]
         for (pl, k), arr in zip(put_keys, puts):
@@ -411,6 +540,24 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
                 bitdepth, False)
             planes[pl] = planes[pl].at[0].set(scatter_units(
                 planes[pl][0], out, a[:, 6], a[:, 7], uh, uw))
+        for (key, submeta), arrs in zip(comp_meta, comps):
+            pl, bwp, bhp = key
+            wts, dys, dxs = arrs[-3], arrs[-2], arrs[-1]
+            Np = wts.shape[1]
+            tmps = [jnp.zeros((Np, bhp, bwp), jnp.int32)
+                    for _ in (0, 1)]
+            for j, (si, hh, hv) in enumerate(submeta):
+                rr, sl = arrs[2 * j][0], arrs[2 * j + 1][0]
+                outm = mc_unit_batch(
+                    (refstk[pl], rr[:, 0], rr[:, 1], rr[:, 2],
+                     rr[:, 3], rr[:, 4], rr[:, 5]), bwp, bhp,
+                    bool(hh), bool(hv), bitdepth, True)
+                tmps[si] = set_slots(tmps[si], sl, outm)
+            joined = comp_join_wavg(
+                jnp.zeros((Np, bhp, bwp), jnp.int32), tmps[0], tmps[1],
+                jnp.arange(Np), wts[0][:, None, None], bitdepth)
+            planes[pl] = planes[pl].at[0].set(scatter_units(
+                planes[pl][0], joined, dys[0], dxs[0], bhp, bwp))
         for (pl, tx), (cf, ys, xs, sel) in zip(res_keys, ress):
             planes[pl] = planes[pl].at[0].set(_resid_scatter_multi(
                 planes[pl][0], cf[0], sel[0, :, 0], sel[0, :, 1],
@@ -418,17 +565,11 @@ def sharded_inter_decode(seq, fhdr, coders, mesh: Mesh, bufs, refs):
         return tuple(planes)
 
     out = recon_band(tuple(ref_stacks), tuple(put_data),
-                     tuple(res_data))
+                     tuple(comp_data), tuple(res_data))
 
-    planes = []
-    for pl in range(n_planes):
-        full = np.asarray(out[pl]).reshape(-1,
-                                           bufs.planes[pl].shape[1])
-        ph, pw = bufs.planes[pl].shape
-        buf = np.zeros((ph, pw), np.int32)
-        buf[:min(ph, full.shape[0])] = full[:ph]
-        planes.append(buf)
-
+    planes = _stitch_tiles(out, n_planes, rows_n, cols_n, band_h4,
+                           band_w4, ss_hor, ss_ver, bufs,
+                           crop_padt=False)
     planes = banded_inloop_filters(mesh, seq, fhdr, coders, bufs,
                                    planes)
     for i in range(n_planes):

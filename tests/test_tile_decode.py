@@ -102,6 +102,15 @@ INTER_CASES = [
     dict(W=64, H=512, lf=(20, 20, 14, 14, 1), q=80,
          cdefp=dict(damping=4, n_bits=1, y_strength=[6, 11],
                     uv_strength=[3, 0])),
+    # BASELINE config-4 grid shape: 2x2 tiles on a 4-device mesh, with
+    # compound (avg) blocks enabled — exercises tile-COLUMN sharding
+    # and the compound join in sharded_inter_decode
+    dict(W=128, H=128, lf=(24, 24, 16, 16, 1), tiles=(1, 1), mesh_n=4,
+         comp=True),
+    dict(W=256, H=128, lf=(20, 20, 14, 14, 1), q=80, tiles=(2, 1),
+         mesh_n=8, comp=True,
+         cdefp=dict(damping=4, n_bits=1, y_strength=[6, 11],
+                    uv_strength=[3, 0])),
 ]
 
 
@@ -121,9 +130,12 @@ def test_sharded_inter_decode_bit_exact(ci):
     q = cfg.get("q", 100)
     cdefp = cfg.get("cdefp")
     lf = cfg["lf"]
+    tiles = cfg.get("tiles", (0, 3))
+    mesh_n = cfg.get("mesh_n", 8)
+    comp = cfg.get("comp", False)
     seq = make_seq_hdr(W, H, cdef=1 if cdefp else 0)
     kf = make_key_frame_hdr(seq, qidx=q, txfm_mode=h.TX_SWITCHABLE,
-                            loopfilter=lf, tiles=(0, 3),
+                            loopfilter=lf, tiles=tiles,
                             cdef_params=cdefp)
     cdf0 = new_cdf_context(qcat_from_qidx(q))
     kf_tiles, kf_coders = gen_frame_tiles(seq, kf,
@@ -134,15 +146,15 @@ def test_sharded_inter_decode_bit_exact(ci):
     for i in range(2):
         fi = make_inter_frame_hdr(seq, qidx=q, txfm_mode=h.TX_SWITCHABLE,
                                   loopfilter=lf, cdef_params=cdefp,
-                                  tiles=(0, 3))
+                                  tiles=tiles, switchable_comp=comp)
         _, coders = gen_frame_tiles(seq, fi,
                                     _InterOnlyPolicy(50 + 7 * i + ci),
                                     cdf=cdf.copy(), ref_poc=[0] * 7)
         chain.append((fi, coders))
         cdf = cdf_thread_update(cdf, coders[fi.tiling.update].cdf, False)
 
-    assert len(jax.devices()) >= 8
-    mesh = Mesh(np.array(jax.devices()[:8]), ("tile",))
+    assert len(jax.devices()) >= mesh_n
+    mesh = Mesh(np.array(jax.devices()[:mesh_n]), ("tile",))
 
     refs_ref = [None] * 8
     refs_mesh = [None] * 8

@@ -28,6 +28,11 @@ def main():
                          "2 = 3-stage pipeline)")
     ap.add_argument("--json", default=None,
                     help="write the split table to this JSON file")
+    ap.add_argument("--intra-engine", action="store_true",
+                    help="use_tpu_intra_engine=True (mixed-frame device "
+                         "intra: inter frames become full_device)")
+    ap.add_argument("--host", action="store_true",
+                    help="profile the HOST pixel path instead")
     args = ap.parse_args()
 
     from dav1d_mirror_tpu import api
@@ -41,7 +46,9 @@ def main():
     trace.enabled = True
     result = {"stream": args.stream, "passes": []}
     dec = api.Decoder(api.Settings(
-        logger=None, use_tpu_inter=True, use_tpu_filters=True,
+        logger=None, use_tpu_inter=not args.host,
+        use_tpu_filters=not args.host,
+        use_tpu_intra_engine=args.intra_engine,
         n_threads=args.threads, apply_grain=True))
     import os
     xprof_dir = os.environ.get("PROF_TRACE")
