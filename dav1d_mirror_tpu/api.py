@@ -238,10 +238,14 @@ class Decoder:
         if self.s.n_threads > 1 or self.s.max_frame_delay > 1:
             import concurrent.futures as _cf
             self._pipe = _cf.ThreadPoolExecutor(max_workers=1)
-            # program building gets its own in-order worker, making the
-            # pipeline 3-stage: entropy(N+2) [native, GIL-free] ||
-            # build(N+1) [Python planning] || device-pixels(N)
-            self._build_pipe = _cf.ThreadPoolExecutor(max_workers=1)
+            # program building gets its own workers, making the
+            # pipeline 4-stage: entropy(N+2..) [native, GIL-free] ||
+            # build(N+1, N+2) [Python planning, 2-wide — ProgramSchema
+            # is lock-protected; the pixel worker consumes builds
+            # strictly in order via each frame's future] ||
+            # device-pixels(N) || download-gather(N-1)
+            self._build_pipe = _cf.ThreadPoolExecutor(
+                max_workers=2 if self.s.n_threads >= 2 else 1)
             # output-plane downloads run on a 4th in-order stage so the
             # ~30 MB/s tunnel transfer of frame N overlaps frame N+1's
             # dispatch/compute instead of serializing the pixel worker
@@ -328,27 +332,33 @@ class Decoder:
         return f
 
     # Auto-routing crossover, from round-4/5 measurements on this
-    # image's tunneled TPU (BENCH_r04/BENCH_r05): at 1080p the device
-    # path wins by 20-50x (1.29 fps steady vs 0.026-0.06 fps host); at
-    # 448x256 the host path wins (16.5 vs 8.36 fps). The crossover sits
-    # between those sizes; 400k pixels (~854x480) is the recorded
-    # estimate. Frames at or above it auto-route to the device path.
+    # image's tunneled TPU (BENCH_r04/BENCH_r05, PROFILE_r05): at 1080p
+    # the batched pipeline wins by 20-50x (1.29 fps steady vs
+    # 0.026-0.06 fps for the per-block host walk); at 448x256 the host
+    # walk wins (16.5 vs 8.36 fps). The crossover sits between those
+    # sizes; 400k pixels (~854x480) is the recorded estimate. Frames at
+    # or above it auto-route to the batched pipeline — on the TPU
+    # backend when present, else the SAME pipeline on the CPU backend
+    # (eager per-kernel jit, frame_exec._fuse_default): the numpy/
+    # python per-block walk exists as the behavioral spec and small-
+    # frame path, not as the HD fallback (it does ~0.03 fps at 1080p).
     AUTO_MIN_PIX = 400_000
 
     def _route_tpu(self, fhdr):
-        """Resolve the use_tpu_* auto setting (None): device pixel path
-        for frames >= AUTO_MIN_PIX pixels when a TPU backend is
-        present, host path otherwise. DAV1D_TPU_AUTO_MIN_PIX overrides
-        the crossover (0 routes every size to the device)."""
+        """Resolve the use_tpu_* auto setting (None): batched pixel
+        pipeline for frames >= AUTO_MIN_PIX pixels (any JAX backend),
+        host walk otherwise. DAV1D_TPU_AUTO_MIN_PIX overrides the
+        crossover (0 routes every size to the pipeline);
+        DAV1D_TPU_NO_TPU=1 forces the host walk at every size."""
         ui, uf = self.s.use_tpu_inter, self.s.use_tpu_filters
         if ui is None or uf is None:
             min_pix = int(_os.environ.get("DAV1D_TPU_AUTO_MIN_PIX",
                                           self.AUTO_MIN_PIX))
-            auto = (_tpu_backend_present() and
+            auto = (not _os.environ.get("DAV1D_TPU_NO_TPU") and
                     fhdr.width[1] * fhdr.height >= min_pix)
             ui = auto if ui is None else ui
             uf = auto if uf is None else uf
-            if ui or uf:
+            if (ui or uf) and _tpu_backend_present():
                 from .utils.jit_cache import enable_persistent_cache
                 enable_persistent_cache()
                 _warm_transfer_path()
@@ -693,8 +703,14 @@ class Decoder:
                                            execute_frame_program,
                                            ProgramSchema)
             from .utils import schema_cache
+            # the engine flag is part of the key: engine streams never
+            # emit hresm/host-map cases, and a schema polluted with the
+            # other mode's case unions forces dead dummy buckets (and
+            # their downloads) into every frame
             schema_key = (fhdr.width[1], fhdr.height, seq.bitdepth,
-                          seq.layout)
+                          seq.layout,
+                          "eng" if settings.use_tpu_intra_engine
+                          else "hyb")
             if self._prog_schema is None:
                 self._prog_schema = ProgramSchema()
                 # start from the converged packing any previous process

@@ -45,6 +45,27 @@ from ..ops.itx import (_residual_core, _residual_multi_core, itx_residual,
                        itx_residual_multi)
 
 
+# int16 OOB sentinel for destination rows: PAD_OOB (1 << 20) marks
+# dropped scatter rows but doesn't fit int16, so narrow emits carry
+# OOB16 and the interpreter widens it back (put/puthv destination
+# columns were the second-largest int32 descriptor slice)
+OOB16 = 0x7FFF
+
+
+def emit_ys16(prog, ys):
+    from ..ops.mc_tpu import PAD_OOB
+    v = np.asarray(ys, np.int64)
+    assert v.max(initial=0) < 0x7FFF or \
+        v[v >= 0x7FFF].min(initial=PAD_OOB) >= PAD_OOB, \
+        "ys16 value collides with OOB16"
+    return prog.emit16(np.where(v >= PAD_OOB, OOB16, v))
+
+
+def _ys_oob(ys):
+    from ..ops.mc_tpu import PAD_OOB
+    return jnp.where(ys == OOB16, PAD_OOB, ys)
+
+
 def compact_cf(cf):
     """Sparsify a (B, sh, sw) coefficient batch to (vals (B, K),
     pos (B, K), K): inverse-transform inputs are mostly zeros (eob
@@ -424,7 +445,7 @@ def _interpreter(sig):
                     (refs[pl], a[:, 0], a[:, 1], a[:, 2], a[:, 3],
                      a[:, 4], a[:, 5]), uw, uh, hh, hv, bd, False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(h_ys),
+                                           _ys_oob(get(h_ys)),
                                            get(h_xs), uh, uw)
             elif kind == "puthv_x":
                 (_, pl, uw, uh, cid, h_slot, h_oy, h_ox, h_my, h_tv,
@@ -434,7 +455,7 @@ def _interpreter(sig):
                      get(h_ox), get(h_my), get(h_tv)),
                     uw, uh, bd, False)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(h_ys),
+                                           _ys_oob(get(h_ys)),
                                            get(h_xs), uh, uw)
             elif kind == "puthv_p":
                 _, pl, uw, uh, cid, h_cols, B, h_ys, h_xs = rec
@@ -449,7 +470,7 @@ def _interpreter(sig):
                 out = mc_pallas.vpass_run(hpad, *cols, uw, uh, bd,
                                           False, B)
                 planes[pl] = scatter_units(planes[pl], out,
-                                           get(h_ys),
+                                           _ys_oob(get(h_ys)),
                                            get(h_xs), uh, uw)
             elif kind == "warp":
                 _, pl, h_rows, h_ys, h_xs = rec
@@ -511,13 +532,19 @@ def _interpreter(sig):
                     lh, lw, region, vert)
             # ---- in-loop filter chain ops (packed by models/tpu_filters)
             elif kind == "dbk":
-                (_, pl, luma, sb4, h_ev, h_eh, h_lv, h_lvp, h_lh, h_lhp,
+                (_, pl, luma, sb4, h_ev, h_eh, h_lv, h_lh,
                  h_el, h_il) = rec
                 from ..ops.loopfilter_tpu import deblock_plane_tpu
+                # the *_prev neighbour-level maps are pure shifts of
+                # lv/lh — derived here instead of uploaded (the 6-map
+                # upload was the filter program's dominant slice)
+                lv = jnp.asarray(get(h_lv))
+                lh = jnp.asarray(get(h_lh))
+                lvp = jnp.pad(lv[:, :-1], ((0, 0), (1, 0)))
+                lhp = jnp.pad(lh[:-1, :], ((1, 0), (0, 0)))
                 planes[pl] = deblock_plane_tpu(
                     planes[pl], get(h_ev), get(h_eh),
-                    get(h_lv), get(h_lvp), get(h_lh),
-                    get(h_lhp), get(h_el), get(h_il),
+                    lv, lvp, lh, lhp, get(h_el), get(h_il),
                     luma=luma, bitdepth=bd, sb_step4=sb4)
             elif kind == "snap":
                 snap[rec[1]] = list(planes)
@@ -658,12 +685,27 @@ def _interpreter(sig):
                                            get(h_ys),
                                            get(h_xs), 4, 4)
             elif kind == "intrascan":
-                _, h_mp, h_fpl, ssh, ssv, npl = rec
+                _, wm, wf, ssh, ssv, npl = rec
                 from .tpu_intra import intra_scan
+                from ..ops.ipred_tpu import NPARAMS, P_DC_MULT
+
+                def _expand_plan(w):
+                    # compact wave plan -> dense (nw, K, NPARAMS)
+                    # (tpu_intra._emit_wave_plan): scatter the real
+                    # unit rows back into the padded scan layout
+                    nw_, K_, h_rows, h_mult, h_slots = w
+                    # jnp.asarray: the eager path hands numpy slices
+                    rows = jnp.asarray(get(h_rows))
+                    rows = rows.at[:, P_DC_MULT].set(get(h_mult))
+                    dense = jnp.zeros((nw_ * K_, NPARAMS),
+                                      jnp.int32).at[get(h_slots)].set(
+                        rows, mode="drop")
+                    return dense.reshape(nw_, K_, NPARAMS)
+
                 out = intra_scan(
                     tuple(planes[:npl]), tuple(snap["res"][:npl]),
-                    jnp.asarray(get(h_mp)),
-                    jnp.asarray(get(h_fpl)), bd, ssh, ssv, npl)
+                    _expand_plan(wm), _expand_plan(wf), bd, ssh, ssv,
+                    npl)
                 for i in range(npl):
                     planes[i] = out[i]
             elif kind == "crop":
@@ -698,10 +740,12 @@ def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
     """One translational-put bucket. arr: pow2-padded (B, 8) rows
     (ref, oy, ox, mx, my, f2d, dst_y, dst_x) with PAD_OOB dst_y pads.
     combos_pad: optional grow-only pad (ProgramSchema) so the H-plane
-    stack's dims stay frame-invariant."""
+    stack's dims stay frame-invariant. All columns ride the int16 side
+    (coords < 8K, the dst_y OOB sentinel narrowed to OOB16): put rows
+    were the second-largest int32 descriptor slice at 1080p."""
     uw, uh, has_h, has_v = key
-    h_ys = prog.emit(arr[:, 6])
-    h_xs = prog.emit(arr[:, 7])
+    h_ys = emit_ys16(prog, arr[:, 6])
+    h_xs = prog.emit16(arr[:, 7])
     if has_h and has_v:
         W = prog.ref_shapes[pl][1]
         H = prog.ref_shapes[pl][0]
@@ -727,9 +771,9 @@ def pack_put_case(prog: FrameProgram, pl, key, arr, combos_pad=None):
                     h_ys, h_xs)
         else:
             ox = np.clip(arr[:, 2], -_HPAD_L, W - 1).astype(np.int32)
-            prog.op("puthv_x", pl, uw, uh, cid, prog.emit(slot),
-                    prog.emit(arr[:, 1]), prog.emit(ox),
-                    prog.emit(arr[:, 4]), prog.emit(tv), h_ys, h_xs)
+            prog.op("puthv_x", pl, uw, uh, cid, prog.emit16(slot),
+                    prog.emit16(arr[:, 1]), prog.emit16(ox),
+                    prog.emit16(arr[:, 4]), prog.emit16(tv), h_ys, h_xs)
     else:
         prog.op("put", pl, uw, uh, bool(has_h), bool(has_v),
-                prog.emit(arr[:, :6]), h_ys, h_xs)
+                prog.emit16(arr[:, :6]), h_ys, h_xs)

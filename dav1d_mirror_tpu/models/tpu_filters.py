@@ -174,20 +174,24 @@ def apply_inloop_filters_tpu(seq, fhdr, coders, bufs, filters_mask=7,
         h_el = prog.emit16(np.asarray(e_lut))
         h_il = prog.emit8(np.asarray(i_lut))
         sb_step4 = 32 if seq.sb128 else 16
-        lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_y, 0, 1)
+        # only lv/lh cross the tunnel; the *_prev neighbour maps are
+        # pure shifts, derived on device (interpreter "dbk")
+        lv = lf.lvl_y[:, :, 0].astype(np.int8)
+        lh_ = lf.lvl_y[:, :, 1].astype(np.int8)
         prog.op("dbk", 0, True, sb_step4, prog.emit8(lf.edge_v_y),
                 prog.emit8(lf.edge_h_y), prog.emit8(lv),
-                prog.emit8(lvp), prog.emit8(lh_), prog.emit8(lhp),
-                h_el, h_il)
+                prog.emit8(lh_), h_el, h_il)
         if (len(planes_in) > 1 and
                 (fhdr.loopfilter_level_u or fhdr.loopfilter_level_v)):
             h_ev = prog.emit8(lf.edge_v_uv)
             h_eh = prog.emit8(lf.edge_h_uv)
             for pl in (0, 1):
-                lv, lvp, lh_, lhp = _prep_lvls(lf.lvl_uv, pl, pl)
+                # chroma v/h share one level channel (see _prep_lvls
+                # call sites: ci_v == ci_h == plane index)
+                lvc = lf.lvl_uv[:, :, pl].astype(np.int8)
+                h_lvc = prog.emit8(lvc)
                 prog.op("dbk", 1 + pl, False, sb_step4 >> bufs.ss_ver,
-                        h_ev, h_eh, prog.emit8(lv), prog.emit8(lvp),
-                        prog.emit8(lh_), prog.emit8(lhp), h_el, h_il)
+                        h_ev, h_eh, h_lvc, h_lvc, h_el, h_il)
 
     restore_planes = sum((fhdr.restoration_type[p] != 0) << p
                          for p in range(3)) if (filters_mask & 4) else 0

@@ -84,33 +84,41 @@ class ProgramSchema:
     processes). dav1d's analogue: its per-bucket DSP calls are
     dispatch, not compile, so it never had this trade."""
 
-    __slots__ = ("counts", "keysets")
+    __slots__ = ("counts", "keysets", "_lock")
 
     def __init__(self):
         self.counts = {}
         self.keysets = {}
+        # builds of DIFFERENT frames may run concurrently on the
+        # 2-worker build stage (api._build_pipe); growth is monotone so
+        # interleaving only affects which frame grows a pad first
+        import threading
+        self._lock = threading.Lock()
 
     def pad(self, key, n, extra: int = 0) -> int:
         """Padded batch size for `key`: pow2(n + extra), never smaller
         than any previous frame's answer. `extra` reserves sacrificial
         pad slots (comp joins need >=1 slot that no real work targets)."""
-        p = max(_p2(max(n + extra, 1)), self.counts.get(key, 0))
-        self.counts[key] = p
-        return p
+        with self._lock:
+            p = max(_p2(max(n + extra, 1)), self.counts.get(key, 0))
+            self.counts[key] = p
+            return p
 
     def combos_pad(self, key, n: int) -> int:
         """mc_hv_combos' 1.5x-step ladder (multiples of 8), grow-only."""
         p = 8
         while p < n:
             p = (p + (p >> 1) + 7) & ~7
-        p = max(p, self.counts.get(key, 0))
-        self.counts[key] = p
-        return p
+        with self._lock:
+            p = max(p, self.counts.get(key, 0))
+            self.counts[key] = p
+            return p
 
     def union(self, family, keys):
-        s = self.keysets.setdefault(family, set())
-        s.update(keys)
-        return sorted(s)
+        with self._lock:
+            s = self.keysets.setdefault(family, set())
+            s.update(keys)
+            return sorted(s)
 
 
 def _block_device_class(fhdr, coder, b, refs, cur_w, cur_h):

@@ -691,6 +691,33 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
+def _emit_wave_plan(prog, arr, padn, tag):
+    """Compact upload of a (nw, K, NPARAMS) wave plan. The dense plan
+    is almost all padding (each wave is padded to the max-occupancy
+    wave), and on the tunneled TPU it was the single largest descriptor
+    slice (~10 MB/frame at 1080p). Only the real units (P_VALID == 1)
+    cross the tunnel — (U, NPARAMS) int16 rows + int32 slot ids — and
+    the device scatters them back into the zeros((nw, K, NPARAMS))
+    layout the scan consumes. P_DC_MULT (up to 0xAAAB) is the one
+    field that overflows int16; it rides in its own int32 column."""
+    nw, K, NP = arr.shape
+    flat = arr.reshape(nw * K, NP)
+    real = np.nonzero(flat[:, P.P_VALID])[0]
+    U = len(real)
+    Up = padn(tag, max(U, 1))
+    rows = np.zeros((Up, NP), np.int32)
+    rows[:U] = flat[real]
+    slots = np.full(Up, nw * K, np.int32)   # OOB -> dropped
+    slots[:U] = real
+    mult = rows[:, P.P_DC_MULT].copy()
+    rows16 = rows
+    rows16[:, P.P_DC_MULT] = 0
+    assert rows16.min() >= -32768 and rows16.max() < 32768, \
+        "wave-plan field out of int16 range"
+    return (nw, K, prog.emit16(rows16), prog.emit(mult),
+            prog.emit(slots))
+
+
 def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
     """Device reconstruction of an intra/key frame: batched itx residual
     planes + palette pre-placement + wavefront prediction scan. Fills
@@ -711,8 +738,11 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
     plane_dims = [(bh * 4, bw * 4)] + \
         [(ch_h * 4, ch_w * 4)] * (n_planes - 1)
 
-    # ---- palette pre-placement (host; no recon dependency) ----
-    init = [np.zeros((Hp, Wp), np.int32) for _ in range(n_planes)]
+    # ---- palette pre-placement as 4x4-tile scatters (host; no recon
+    # dependency). Tiles, not whole init planes: the old "setplane"
+    # form uploaded 3 full padded int32 planes (~25 MB at 1080p) over
+    # the tunnel for what is usually a handful of palette blocks. ----
+    tiles = [[] for _ in range(n_planes)]
     for coder in coders:
         for b in coder.blocks:
             if not b.intra or (not b.pal_sz[0] and not b.pal_sz[1]):
@@ -720,32 +750,50 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
             b_dim = T_BLOCK_DIM[b.bs]
             bw4, bh4 = int(b_dim[0]), int(b_dim[1])
             if b.pal_sz[0]:
-                py, px = 4 * b.by + PADT, 4 * b.bx + PADT
-                init[0][py:py + bh4 * 4, px:px + bw4 * 4] = \
-                    np.asarray(b.pal[0], np.int64)[b.pal_idx_y]
-            if b.pal_sz[1] and n_planes > 1:
+                px_ = np.asarray(b.pal[0], np.int64)[b.pal_idx_y]
+                py0, px0 = 4 * b.by + PADT, 4 * b.bx + PADT
+                for oy in range(0, bh4 * 4, 4):
+                    for ox in range(0, bw4 * 4, 4):
+                        tiles[0].append((px_[oy:oy + 4, ox:ox + 4],
+                                         py0 + oy, px0 + ox))
+            if b.pal_sz[1] and n_planes > 1 and \
+                    (bw4 > ss_hor or b.bx & 1) and \
+                    (bh4 > ss_ver or b.by & 1):
                 cbw4 = (bw4 + ss_hor) >> ss_hor
                 cbh4 = (bh4 + ss_ver) >> ss_ver
-                if (bw4 > ss_hor or b.bx & 1) and \
-                        (bh4 > ss_ver or b.by & 1):
-                    py = 4 * (b.by >> ss_ver) + PADT
-                    px = 4 * (b.bx >> ss_hor) + PADT
-                    for pl in (1, 2):
-                        init[pl][py:py + cbh4 * 4, px:px + cbw4 * 4] = \
-                            np.asarray(b.pal[pl], np.int64)[b.pal_idx_uv]
+                py0 = 4 * (b.by >> ss_ver) + PADT
+                px0 = 4 * (b.bx >> ss_hor) + PADT
+                for pl in (1, 2):
+                    pv_ = np.asarray(b.pal[pl], np.int64)[b.pal_idx_uv]
+                    for oy in range(0, cbh4 * 4, 4):
+                        for ox in range(0, cbw4 * 4, 4):
+                            tiles[pl].append(
+                                (pv_[oy:oy + 4, ox:ox + 4],
+                                 py0 + oy, px0 + ox))
 
-    # ---- fused program: palette init + batched residual scatters +
+    # ---- fused program: palette tiles + batched residual scatters +
     # wavefront scan + crops, packed as ONE device program (frame_exec;
     # one descriptor upload, one dispatch per frame signature) ----
-    from .frame_exec import FrameProgram, run_frame_program
+    from .frame_exec import FrameProgram, run_frame_program, compact_cf
     from .tpu_inter import _p2
     from ..ops.mc_tpu import PAD_OOB
 
     prog = FrameProgram(n_planes, bd, [(Hp, Wp)] * n_planes,
                         out_dtype=bufs.planes[0].dtype)
     for pl in range(n_planes):
-        if init[pl].any():
-            prog.op("setplane", pl, prog.emit(init[pl]))
+        if not tiles[pl]:
+            continue
+        B = len(tiles[pl])
+        P_ = _p2(B)
+        vals = np.zeros((P_, 4, 4), np.int32)
+        ys = np.full(P_, PAD_OOB, np.int32)
+        xs = np.zeros(P_, np.int32)
+        for i, (v, y, x) in enumerate(tiles[pl]):
+            vals[i] = v
+            ys[i] = y
+            xs[i] = x
+        prog.op("palset", pl, prog.emit(vals), prog.emit(ys),
+                prog.emit(xs))
     prog.op("newres")
     buckets = {}
     for coder in coders:
@@ -763,8 +811,16 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
         xs = np.zeros(P, np.int32)
         ys[:B] = np.fromiter((e.y * 4 + PADT for e in lst), np.int32, B)
         xs[:B] = np.fromiter((e.x * 4 + PADT for e in lst), np.int32, B)
-        prog.op("resraw", pl, tx, txtp, prog.emit(cf), prog.emit(ys),
-                prog.emit(xs))
+        # sparse coefficient upload (frame_exec.compact_cf)
+        vals, pos, K = compact_cf(cf)
+        Kp = _p2(K)
+        if Kp > K:
+            vals = np.pad(vals, ((0, 0), (0, Kp - K)))
+            pos = np.pad(pos, ((0, 0), (0, Kp - K)),
+                         constant_values=sh * sw)
+        h_vals = prog.emit16(vals) if bd == 8 else prog.emit(vals)
+        prog.op("resrawc", pl, tx, txtp, sh, sw, h_vals,
+                prog.emit16(pos), prog.emit(ys), prog.emit(xs))
 
     # ---- plan ----
     done = [np.zeros((bh, bw), np.int32),
@@ -783,8 +839,10 @@ def recon_intra_frame_tpu(seq, fhdr, coders, bufs):
     fpl = np.zeros((nw, k_f, NPARAMS), np.int32)
     fpl[:filt_plan.shape[0], :filt_plan.shape[1]] = filt_plan
 
-    prog.op("intrascan", prog.emit(mp), prog.emit(fpl), ss_hor, ss_ver,
-            n_planes)
+    prog.op("intrascan",
+            _emit_wave_plan(prog, mp, lambda _t, n: _p2(n), None),
+            _emit_wave_plan(prog, fpl, lambda _t, n: _p2(n), None),
+            ss_hor, ss_ver, n_planes)
     # crops: dev_planes[i] takes bufs.planes[i]'s shape (the contract
     # the filter chain / future ref reads expect)
     for i in range(n_planes):
@@ -936,8 +994,10 @@ def emit_mixed_intra(prog, seq, fhdr, coders, iplans, padn, cases,
     mp[:main_plan.shape[0], :main_plan.shape[1]] = main_plan
     fpl = np.zeros((nw, k_f, NPARAMS), np.int32)
     fpl[:filt_plan.shape[0], :filt_plan.shape[1]] = filt_plan
-    prog.op("intrascan", prog.emit(mp), prog.emit(fpl), ss_hor,
-            ss_ver, n_planes)
+    prog.op("intrascan",
+            _emit_wave_plan(prog, mp, padn, ("iscanU", "m")),
+            _emit_wave_plan(prog, fpl, padn, ("iscanU", "f")),
+            ss_hor, ss_ver, n_planes)
 
     for pl in range(n_planes):
         ph, pw = plane_dims[pl]

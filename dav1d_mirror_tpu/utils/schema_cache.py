@@ -22,7 +22,8 @@ import pickle
 # bump when ProgramSchema key structure or the packing layout changes —
 # a stale schema is only a performance hazard (signatures that nothing
 # else produces), never a correctness one, but it wastes compiles
-SCHEMA_VERSION = 1
+# v2: compact coefficient/wave-plan uploads + eng/hyb key split (r05)
+SCHEMA_VERSION = 2
 
 
 def _cache_dir() -> str | None:
