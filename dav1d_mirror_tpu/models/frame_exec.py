@@ -403,6 +403,11 @@ def _interpreter(sig):
         snap = {}     # filter-chain plane snapshots (pre-CDEF, pre-LR)
         hres = []
 
+        def hres_out(x):
+            # residuals fit int16 at 8 bpc (dav1d's own coef type):
+            # halve their tunnel download; consumers widen back
+            hres.append(x.astype(jnp.int16) if bd == 8 else x)
+
         def side_tmp(pl, bwp, bhp, N, subops, prep):
             tmp = jnp.zeros((N, bhp, bwp), jnp.int32)
             for s in subops:
@@ -626,18 +631,18 @@ def _interpreter(sig):
                     get(h_ys), get(h_xs), tx, bd)
             elif kind == "hresm":
                 _, tx, h_cf, h_rs, h_cs = rec
-                hres.append(itx_residual_multi(
+                hres_out(itx_residual_multi(
                     get(h_cf), get(h_rs), get(h_cs),
                     tx, bd))
             elif kind == "hresc":
                 _, tx, txtp, sh, sw, h_v, h_p = rec
                 cf = _expand_cf(get(h_v), get(h_p), sh, sw)
-                hres.append(itx_residual(cf, tx, txtp, bd))
+                hres_out(itx_residual(cf, tx, txtp, bd))
             elif kind == "hresmc":
                 _, tx, sh, sw, h_v, h_p, h_rs, h_cs = rec
                 cf = _expand_cf(get(h_v), get(h_p), sh, sw)
-                hres.append(itx_residual_multi(cf, get(h_rs),
-                                               get(h_cs), tx, bd))
+                hres_out(itx_residual_multi(cf, get(h_rs),
+                                             get(h_cs), tx, bd))
             # ---- intra wavefront engine ops (models/tpu_intra) ----
             elif kind == "setplane":
                 _, pl, h_arr = rec
@@ -718,7 +723,7 @@ def _interpreter(sig):
                 planes[pl] = crop
             elif kind == "hres":
                 _, tx, txtp, h_cf = rec
-                hres.append(itx_residual(get(h_cf), tx, txtp, bd))
+                hres_out(itx_residual(get(h_cf), tx, txtp, bd))
             elif kind == "out":
                 planes = [p.astype(jnp.dtype(out_dtype)) for p in planes]
             elif kind == "outpack":

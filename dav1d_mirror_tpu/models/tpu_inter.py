@@ -1138,6 +1138,13 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
     # buffer is the frame's single upload, coefficients included)
     from ..ops.itx_meta import TX_INFO as _TXI
 
+    # Sparse/dense split threshold: measured nnz distribution at 1080p
+    # q=80 is p90 ~ 8, max ~ 400 (PROFILE_r05) — one dense block per
+    # bucket would force K to ~512 for the whole batch, a ~50x padding
+    # waste. Blocks with <= KS nonzeros ride the K=KS lanes; the rare
+    # dense tail gets its own sub-bucket.
+    KS_SPARSE = 16
+
     def _emit_compact_cf(cf, kkey):
         """Sparse coefficient upload (frame_exec.compact_cf): dense tx
         blocks are mostly zeros past the eob, and on the tunneled TPU
@@ -1156,6 +1163,25 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
         # type); positions always do (S <= 1024)
         h_vals = prog.emit16(vals) if bd == 8 else prog.emit(vals)
         return h_vals, prog.emit16(pos), Kp
+
+    def _split_sparse(cf_real):
+        """(idx_sparse, idx_dense): real-row partition by nnz."""
+        if not cf_real.shape[0]:
+            z = np.zeros(0, np.int64)
+            return z, z
+        nnz = (cf_real.reshape(cf_real.shape[0], -1) != 0).sum(axis=1)
+        sp = nnz <= KS_SPARSE
+        return np.nonzero(sp)[0], np.nonzero(~sp)[0]
+
+    def _bucket_rows(lst, B):
+        """(cf (B,sh,sw), ys, xs, sel) real rows of a bucket."""
+        if isinstance(lst, ResidBucket):
+            return (lst.cf, lst.ys, lst.xs, lst.sel)
+        cf = np.stack([e[0] for e in lst]) if B else None
+        ys = np.fromiter((e[1] for e in lst), np.int32, B)
+        xs = np.fromiter((e[2] for e in lst), np.int32, B)
+        sel = np.zeros((B, 2), np.int32)
+        return cf, ys, xs, sel
 
     for (pl, tx, is_wht), lst in _cases(("residm",), rplans,
                                         _dummy_resid):
@@ -1178,41 +1204,85 @@ def build_frame_program(seq, fhdr, coders, bufs, refs, jnt_weights=None,
             xs[:B] = np.fromiter((e[2] for e in lst), np.int32, B)
             for i, e in enumerate(lst):
                 sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
-        h_vals, h_pos, _ = _emit_compact_cf(
-            cf, ("residmK", pl, tx, is_wht))
-        if is_wht:
-            prog.op("residc", pl, sh, sw, tx, WHT_WHT, h_vals, h_pos,
-                    prog.emit(ys), prog.emit(xs))
+        # sparse/dense sub-buckets (see KS_SPARSE): the dense tail is
+        # schema-sticky so its presence never flips the signature
+        idx_s, idx_d = _split_sparse(cf[:B])
+        has_d = bool(schema.union(("residD", pl, tx, is_wht),
+                                  [1] if len(idx_d) else [])) \
+            if schema is not None else bool(len(idx_d))
+        subs = [("s", idx_s)]
+        if has_d:
+            subs.append(("d", idx_d))
         else:
-            prog.op("residmc", pl, sh, sw, tx, h_vals, h_pos,
-                    prog.emit(sel[:, 0]), prog.emit(sel[:, 1]),
-                    prog.emit(ys), prog.emit(xs))
+            subs[0] = ("s", np.arange(B))    # no dense tail ever seen
+        for tag, idx in subs:
+            Bs = len(idx)
+            Ps = _padn(("residmN" + tag, pl, tx, is_wht), Bs)
+            cfs2 = np.zeros((Ps, sh, sw), np.int32)
+            yss = np.full(Ps, PAD_OOB, np.int32)
+            xss = np.zeros(Ps, np.int32)
+            sels = np.zeros((Ps, 2), np.int32)
+            cfs2[:Bs] = cf[idx]
+            yss[:Bs] = ys[idx]
+            xss[:Bs] = xs[idx]
+            sels[:Bs] = sel[idx]
+            h_vals, h_pos, _ = _emit_compact_cf(
+                cfs2, ("residmK" + tag, pl, tx, is_wht))
+            if is_wht:
+                prog.op("residc", pl, sh, sw, tx, WHT_WHT, h_vals,
+                        h_pos, prog.emit(yss), prog.emit(xss))
+            else:
+                prog.op("residmc", pl, sh, sw, tx, h_vals, h_pos,
+                        prog.emit(sels[:, 0]), prog.emit(sels[:, 1]),
+                        prog.emit(yss), prog.emit(xss))
     # host-map buckets: residuals computed in the same program, fetched
     # after execution for the decode-order host pass
     hres_meta = []
+
+    def _take(lst, idx):
+        if isinstance(lst, ResidBucket):
+            return ResidBucket(lst.cf[idx], lst.ys[idx], lst.xs[idx],
+                               lst.sel[idx], lst.ci[idx], lst.cj[idx])
+        return [lst[int(i)] for i in idx]
+
     for (pl, tx, is_wht), lst in _cases(("hresm",), hplans,
                                         _dummy_resid):
         w_t, h_t, _ = _TXI[tx]
         sh, sw = min(h_t, 32), min(w_t, 32)
         B = len(lst)
-        P = _padn(("hresmN", pl, tx, is_wht), B)
-        cfs = np.zeros((P, sh, sw), np.int32)
-        sel = np.zeros((P, 2), np.int32)
+        cf_r = np.zeros((B, sh, sw), np.int32)
+        sel_r = np.zeros((B, 2), np.int32)
         if isinstance(lst, ResidBucket):
-            cfs[:B] = lst.cf
-            sel[:B] = lst.sel
+            cf_r[:] = lst.cf
+            sel_r[:] = lst.sel
         elif B:
-            cfs[:B] = np.stack([e[0] for e in lst])
+            cf_r[:] = np.stack([e[0] for e in lst])
             for i, e in enumerate(lst):
-                sel[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
-        h_vals, h_pos, _ = _emit_compact_cf(
-            cfs, ("hresmK", pl, tx, is_wht))
-        if is_wht:
-            prog.op("hresc", tx, WHT_WHT, sh, sw, h_vals, h_pos)
+                sel_r[i] = itx_multi_sel(tx, e[5]) if not is_wht else 0
+        idx_s, idx_d = _split_sparse(cf_r)
+        has_d = bool(schema.union(("hresD", pl, tx, is_wht),
+                                  [1] if len(idx_d) else [])) \
+            if schema is not None else bool(len(idx_d))
+        subs = [("s", idx_s)]
+        if has_d:
+            subs.append(("d", idx_d))
         else:
-            prog.op("hresmc", tx, sh, sw, h_vals, h_pos,
-                    prog.emit(sel[:, 0]), prog.emit(sel[:, 1]))
-        hres_meta.append((pl, lst))
+            subs[0] = ("s", np.arange(B))
+        for tag, idx in subs:
+            Bs = len(idx)
+            Ps = _padn(("hresmN" + tag, pl, tx, is_wht), Bs)
+            cfs = np.zeros((Ps, sh, sw), np.int32)
+            sel = np.zeros((Ps, 2), np.int32)
+            cfs[:Bs] = cf_r[idx]
+            sel[:Bs] = sel_r[idx]
+            h_vals, h_pos, _ = _emit_compact_cf(
+                cfs, ("hresmK" + tag, pl, tx, is_wht))
+            if is_wht:
+                prog.op("hresc", tx, WHT_WHT, sh, sw, h_vals, h_pos)
+            else:
+                prog.op("hresmc", tx, sh, sw, h_vals, h_pos,
+                        prog.emit(sel[:, 0]), prog.emit(sel[:, 1]))
+            hres_meta.append((pl, _take(lst, idx)))
 
     if eng:
         # device intra: every remaining (plain-intra) block
