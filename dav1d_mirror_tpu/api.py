@@ -77,14 +77,19 @@ class Settings:
     # the CPU backend keeps the host path unless tests opt in).
     use_tpu_filters: bool | None = None
     use_tpu_inter: bool | None = None
-    # Route intra-only frames through the wavefront device intra engine
-    # (models/tpu_intra). Bit-exact and mesh-shardable, but its
-    # lax.scan over dependency waves pays XLA's fixed per-op dispatch
-    # cost hundreds of times per frame, so on current hardware the
-    # hybrid path (host prediction + device residuals/filters) is
-    # faster; flip this on for the sharded multi-tile path or once the
-    # scan is fused into a single Pallas kernel.
-    use_tpu_intra_engine: bool = False
+    # Route intra blocks through the wavefront device intra engine
+    # (models/tpu_intra): keyframes run the whole-frame scan, and inter
+    # frames embed it in the fused program (emit_mixed_intra) so the
+    # frame becomes full_device — no pre-filter plane download, no hres
+    # download, no host pass-2. MEASURED r05 (PROFILE_r05.json, config
+    # 2 steady, real chip): engine 0.45 fps vs hybrid 1.62 fps — the
+    # downloads it saves (~270 ms/frame) are outweighed by the scan's
+    # ~1.5 s/frame device execution (vmapped dynamic-slice edge
+    # gathers x padded wave count). None (auto) therefore resolves to
+    # False until the scan is a fused Pallas wavefront kernel; True
+    # forces it (bit-exact, md5-verified on hardware — the mesh-
+    # sharded tile path uses it where tiles decode independently).
+    use_tpu_intra_engine: bool | None = None
 
 
 @dataclass
@@ -696,9 +701,12 @@ class Decoder:
         # plan/pack cost overlaps device time instead of serializing
         # with it (dav1d frame threading's tile-vs-recon split,
         # thread_task.c:268-310, reborn for the host/device pipeline).
+        # engine auto (None): resolves to False — measured slower than
+        # the hybrid path at 1080p (see Settings.use_tpu_intra_engine)
+        use_eng = bool(settings.use_tpu_intra_engine)
+        self._last_eng = use_eng
         built_fut = None
-        if use_tpu_inter and not (pure_intra and
-                                  settings.use_tpu_intra_engine):
+        if use_tpu_inter and not (pure_intra and use_eng):
             from .models.tpu_inter import (build_frame_program,
                                            execute_frame_program,
                                            ProgramSchema)
@@ -708,9 +716,7 @@ class Decoder:
             # other mode's case unions forces dead dummy buckets (and
             # their downloads) into every frame
             schema_key = (fhdr.width[1], fhdr.height, seq.bitdepth,
-                          seq.layout,
-                          "eng" if settings.use_tpu_intra_engine
-                          else "hyb")
+                          seq.layout, "eng" if use_eng else "hyb")
             if self._prog_schema is None:
                 self._prog_schema = ProgramSchema()
                 # start from the converged packing any previous process
@@ -726,8 +732,7 @@ class Decoder:
                     return build_frame_program(
                         seq, fhdr, coders, work_bufs, refs_snapshot,
                         jnt_weights, keep_device=use_tpu_filters,
-                        schema=schema,
-                        intra_engine=settings.use_tpu_intra_engine)
+                        schema=schema, intra_engine=use_eng)
 
             if self._build_pipe is not None:
                 built_fut = self._build_pipe.submit(build_work)
@@ -746,8 +751,7 @@ class Decoder:
                         built_fut.result(), seq, fhdr, coders, work,
                         refs_snapshot, jnt_weights,
                         keep_device=use_tpu_filters)
-                elif use_tpu_inter and pure_intra and \
-                        settings.use_tpu_intra_engine:
+                elif use_tpu_inter and pure_intra and use_eng:
                     # wavefront device intra engine (models/tpu_intra)
                     from .models.tpu_intra import recon_intra_frame_tpu
                     recon_intra_frame_tpu(seq, fhdr, coders, work)

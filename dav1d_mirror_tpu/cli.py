@@ -67,17 +67,21 @@ def parse_args(argv=None):
                    help="pace output to the container frame rate "
                         "(tools/dav1d.c:93 synchronization)")
     p.add_argument("--tpu", action="store_true",
-                   help="force the JAX device pixel pipelines (default: "
-                        "host path — it currently beats the tunneled "
-                        "device path at every frame size; "
-                        "DAV1D_TPU_AUTO_MIN_PIX=N re-enables size-"
-                        "based auto-routing)")
+                   help="force the batched JAX pixel pipeline at every "
+                        "frame size (default: auto — pipeline at/above "
+                        "the measured ~400k-pixel crossover, host walk "
+                        "below it; DAV1D_TPU_AUTO_MIN_PIX=N moves the "
+                        "crossover)")
     p.add_argument("--no-tpu", dest="notpu", action="store_true",
                    help="force the host pixel path even on a TPU backend")
-    p.add_argument("--tpuintra", action="store_true",
-                   help="with the device path: reconstruct pure-intra "
-                        "frames with the device wavefront engine "
-                        "(models/tpu_intra) instead of the host walk")
+    p.add_argument("--tpuintra", dest="tpuintra", default=None,
+                   action="store_true",
+                   help="force the device wavefront intra engine "
+                        "(models/tpu_intra) on (default: auto — on for "
+                        "the pipeline on a real TPU backend)")
+    p.add_argument("--no-tpuintra", dest="tpuintra",
+                   action="store_false",
+                   help="force the hybrid path (host intra recon)")
     p.add_argument("-q", "--quiet", action="store_true")
     return p.parse_args(argv)
 
