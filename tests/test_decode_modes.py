@@ -131,7 +131,7 @@ def test_pipelined_decode_matches_sync():
     assert (m0, n0) == (m1, n1) == (m2, n2)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_pipelined_device_path_matches_sync():
     """Stage-split pipelining on the DEVICE path (deferred filter-plane
     downloads on the gather stage) is bit-exact with the synchronous

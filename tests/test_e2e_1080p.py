@@ -14,7 +14,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 from conftest import ORACLE  # noqa: E402
 from test_e2e_inter import build_stream  # noqa: E402
 
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.xslow
 
 
 CFGS = {

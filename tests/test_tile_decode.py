@@ -13,7 +13,7 @@ from jax.sharding import Mesh
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.xslow
 
 from dav1d_mirror_tpu.host import headers as h  # noqa: E402
 from dav1d_mirror_tpu.testing.streamgen import (  # noqa: E402

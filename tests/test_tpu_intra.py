@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.xslow
 
 sys.path.insert(0, str(Path(__file__).parent))
 
