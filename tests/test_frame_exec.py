@@ -52,7 +52,7 @@ def _decode_md5(path, **settings):
     return mux.digest()
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 @pytest.mark.parametrize("name", FUSED_STREAMS)
 def test_fused_frame_program_bit_exact(name, monkeypatch):
     monkeypatch.setenv("DAV1D_TPU_FUSE", "1")
@@ -60,7 +60,7 @@ def test_fused_frame_program_bit_exact(name, monkeypatch):
     assert got == _md5s()[f"{name}.ivf"]
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 @pytest.mark.parametrize("name", INTRA_ENGINE_STREAMS)
 def test_fused_intra_engine_bit_exact(name, monkeypatch):
     monkeypatch.setenv("DAV1D_TPU_FUSE", "1")

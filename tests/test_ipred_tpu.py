@@ -80,13 +80,15 @@ def test_intra_wavefront_matches_host(ci):
     _ab_case(FAST_CASES[ci], seed=5 + ci)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("ci", range(len(SLOW_CASES)))
+@pytest.mark.parametrize("ci", [
+    pytest.param(i, marks=pytest.mark.slow if i < 2
+                 else pytest.mark.xslow)
+    for i in range(len(SLOW_CASES))])
 def test_intra_wavefront_matches_host_slow(ci):
     _ab_case(SLOW_CASES[ci], seed=11 + ci)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_intra_wavefront_multitile():
     from dav1d_mirror_tpu.testing.streamgen import (
         RandomPolicy, make_seq_hdr, make_key_frame_hdr, gen_frame_tiles,

@@ -6,11 +6,21 @@ from dav1d_mirror_tpu.ops.itx_meta import TX_INFO, allowed_txtypes
 from dav1d_mirror_tpu.ops.ref.itx import inv_txfm_add_ref
 from dav1d_mirror_tpu.ops.itx import itx_add
 
-# the large-transform jits (32x32/64-wide sizes) dominate suite runtime;
-# they run in the slow tier
+# the large-transform jits (32x32/64-wide sizes) dominate suite runtime
+# (>20 min of CPU compiles for the full matrix): the slow tier keeps
+# one representative per large size class; the rest are xslow
 _SLOW_TX = {3, 4, 9, 10, 11, 12, 17, 18}
-CASES = [pytest.param(tx, txtp,
-                      marks=[pytest.mark.slow] if tx in _SLOW_TX else [])
+_SLOW_REP = {(3, 0), (17, 0)}   # 32x32 + 64x64 dct_dct
+
+
+def _tier(tx, txtp):
+    if tx not in _SLOW_TX:
+        return []
+    return [pytest.mark.slow] if (tx, txtp) in _SLOW_REP \
+        else [pytest.mark.xslow]
+
+
+CASES = [pytest.param(tx, txtp, marks=_tier(tx, txtp))
          for tx in TX_INFO for txtp in allowed_txtypes(tx)]
 
 
@@ -44,7 +54,8 @@ _MULTI_FAST = {0, 1, 6, 8}      # 4x4, 8x8, 8x4, 8x16: default tier
     "tx,bitdepth",
     [pytest.param(tx, bd,
                   marks=() if (tx in _MULTI_FAST and bd == 8)
-                  else (pytest.mark.slow,))
+                  else (pytest.mark.slow,) if tx in _MULTI_FAST
+                  else (pytest.mark.xslow,))
      for tx in sorted(TX_INFO) for bd in (8, 10)])
 def test_itx_multi_matches_per_type(tx, bitdepth):
     # type-as-data kernel (ops/itx.py itx_residual_multi): one program
